@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from frauddetection_spark.plans.registry import load_all
+from frauddetection_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# shapes where the engine's plan quality actually matters.
+HEADLINE = [
+    "q_groupby_agg",
+    "q_join_inner",
+    "q_topk",
+    "q_window_agg_transform",
+    "q_join_common_neighbor",
+    "q_graph_aggregate",
+    "q_jaccard_lag",
+    "q_dense_spine",
+    "q_knn_cosine",
+    "q_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    registry = load_all()
+    spark = get_spark(app_name="frauddetection-bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not first-touch costs.
+    registry["q_scan_parquet"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        start = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

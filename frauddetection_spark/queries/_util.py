@@ -1,0 +1,33 @@
+"""Shared helpers for query authoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frauddetection_spark.sources.tables import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its pinned schema."""
+    return load_table(spark, sf_dir, name)
+
+
+def r6(c: Column | str) -> Column:
+    """Round a float column to 6 decimals (summation-order tolerance —
+    both oracle twins round identically, SURVEY.md §5)."""
+    return F.round(F.col(c) if isinstance(c, str) else c, 6)
+
+
+def week_str(ts_col: str = "ts") -> Column:
+    """Monday-anchored week bucket as a plain string.
+
+    Both Spark and DuckDB ``date_trunc('week', ts)`` truncate to Monday;
+    emitting a *string* avoids date-vs-timestamp dtype drift between the
+    two engines' pandas conversions.
+    """
+    return F.date_format(F.date_trunc("week", F.col(ts_col)), "yyyy-MM-dd")
+
+
+# DuckDB twin of week_str
+SQL_WEEK = "strftime(date_trunc('week', {ts}), '%Y-%m-%d')"

@@ -1,0 +1,711 @@
+"""Scalar / relational core: scans, projections, filters, expressions,
+joins, plain aggregates, set ops  (SURVEY.md §2.1, §2.2, §2.3 J1/J3/J6/J7,
+§2.4 A2-A4/A14/A15, §2.5, §2.8 E6).
+
+Every query here is stock DataFrame API — Catalyst gets full visibility
+(pushdown, pruning, join selection). Scale notes are per-query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+# ---------------------------------------------------------------------------
+# S2 — parquet scan + global aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(min(l_extendedprice), 6) AS min_price,
+           round(max(l_extendedprice), 6) AS max_price
+    FROM lineitem
+    """,
+    survey="S2",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan + global agg (reference: np.load tensor scans,
+    Code for Sichuan/main.py:38-57). Scale: pure map-side partial agg,
+    single-row exchange; scan prunes to 2 columns (check ReadSchema)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        r6(F.sum("l_quantity")).alias("sum_qty"),
+        r6(F.min("l_extendedprice")).alias("min_price"),
+        r6(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/P4 — timestamp parsing + date-part derivation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           epoch_us(ts) AS ts_us
+    FROM events
+    """,
+    survey="S5,P4",
+)
+def q_ts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (reference: voc['hour'] derivation,
+    data_process.py:57-58; .dt.date src/utils.py:79). Emits strings /
+    epoch ints, not raw DATE, for cross-engine dtype stability."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.hour("ts").alias("hour_of_day"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — compound-predicate filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_compound",
+    oracle="""
+    SELECT event_id, user_id, round(value, 6) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100
+    """,
+    survey="P2",
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate (reference: .loc[(t>t0)&(calltype==2)&(opp==x)],
+    src/utils.py:184-185). Both conjuncts push to the parquet scan."""
+    e = t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        "event_id", "user_id", r6("value").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5 — null coercion over computed nullable aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_fill",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(coalesce(o.n_big, 0) AS BIGINT) AS n_big_orders,
+           round(coalesce(o.sum_big, 0.0), 6) AS sum_big_totalprice
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_big, sum(o_totalprice) AS sum_big
+        FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    survey="P5,J1",
+)
+def q_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null coercion at the join boundary (reference: np.nan_to_num x10,
+    main.py:59-63,84-88 → df.na.fill). Agg-before-join keeps the build
+    side small enough to broadcast."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"), F.sum("o_totalprice").alias("sum_big"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("n_big"), F.lit(0)).cast("bigint").alias("n_big_orders"),
+        r6(F.coalesce(F.col("sum_big"), F.lit(0.0))).alias("sum_big_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — key-range filter (replaces positional slicing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_key_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 6) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey < 750
+    """,
+    survey="P7",
+)
+def q_key_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range filter. The reference slices by *position*
+    (label[:train_index], main.py:133-135) — position is meaningless on
+    a distributed table, so the engine's policy is explicit key ranges
+    (pushes to parquet min/max pruning)."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") < 750).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        r6("o_totalprice").alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — string expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           concat_ws(' ', c_name, c_mktsegment) AS name_seg,
+           upper(c_mktsegment) AS seg_upper,
+           CAST(length(c_name) AS INTEGER) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+    survey="P8",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface (reference: ' '.join([city, county]),
+    src/utils.py:161,169)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(" ", "c_name", "c_mktsegment").alias("name_seg"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — conditional expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT event_id,
+           CAST(CASE WHEN event_type = 'purchase' THEN 1
+                     WHEN event_type = 'error' THEN -1
+                     ELSE 0 END AS INTEGER) AS edge_weight
+    FROM events
+    """,
+    survey="P9",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed weight by event type (reference: calltype ±1 edge weight,
+    data_process.py:102-106)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("edge_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 — elementwise math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           round(pow(l_quantity + 1, -0.5), 6) AS inv_sqrt_deg,
+           round(ln(l_quantity + 1), 6) AS log_qty,
+           round(exp(l_discount), 6) AS exp_disc,
+           round(abs(l_quantity - 25.0), 6) AS abs_dev,
+           round((exp(2*l_tax) - 1) / (exp(2*l_tax) + 1), 6) AS tanh_tax
+    FROM lineitem
+    """,
+    survey="P10",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise math (reference: degree^-0.5 new_train_1.py:131-138,
+    tanh gates layers.py:60, 1/x new_utlis_1.py:18-31). All JVM-side
+    whole-stage-codegen expressions — no UDFs."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.pow(q, 2)).alias("qty_sq"),
+        r6(F.pow(q + 1, -0.5)).alias("inv_sqrt_deg"),
+        r6(F.log(q + 1)).alias("log_qty"),
+        r6(F.exp("l_discount")).alias("exp_disc"),
+        r6(F.abs(q - 25.0)).alias("abs_dev"),
+        r6(F.tanh("l_tax")).alias("tanh_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — fact ⋈ dim inner joins (broadcast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    ORDER BY c.c_mktsegment, o.o_orderpriority
+    """,
+    survey="J1,J2",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim join chain (reference: pd.merge(user, voc, on=phone),
+    data_process.py:70-71). customer is broadcast (dim ≪ fact); at
+    100 TB orders⋈lineitem co-partitions on orderkey via AQE/bucketing."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — existence self theta-join (as-of style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_existence",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE e.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id
+                    AND x.event_type = 'error'
+                    AND x.ts > e.ts)
+    """,
+    survey="J3",
+)
+def q_join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases followed by a later error from the same user — the
+    shape of the reference's recall_rate (outbound call with a later
+    inbound from same counterparty, src/utils.py:180-187), decorrelated
+    from an O(n²) python loop into one aggregate + join.
+
+    Scale form: instead of a LEFT SEMI with an inequality (which Spark
+    plans as a broadcast-nested-loop when keys alone don't decide), we
+    reduce the probe side first — max(error ts) per user is tiny — then
+    a plain equi-join + range filter. One shuffle on user_id."""
+    e = t(spark, sf_dir, "events")
+    last_err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("max_err_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase")
+    return (
+        p.join(F.broadcast(last_err), "user_id")
+        .filter(F.col("max_err_ts") > F.col("ts"))
+        .select("event_id", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — anti join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    survey="J6",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order (reference: tmp_ids.discard +
+    residual loop, data_process.py:164-169 → left_anti)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — semi join against a filtered id set
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 4000)
+    """,
+    survey="J7",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose customer passes a filter (reference: edge endpoints
+    membership mask, new_utlis_2.py:72-84 → LEFT SEMI). The id set is
+    broadcast — no shuffle of the fact side."""
+    o = t(spark, sf_dir, "orders")
+    ids = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 4000).select("c_custkey")
+    return o.join(F.broadcast(ids), o.o_custkey == ids.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — grouped aggregate (TPC-H Q1 shape) — the flagship
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(sum(l_extendedprice), 6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           round(var_pop(l_quantity), 6) AS var_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey="A2",
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean/var/count/sum (reference: mean_voc_time/var2,
+    src/utils.py:245-261). var_pop matches the reference's np.nanvar
+    ddof=0 (SURVEY §7 watch-list #1). Partial aggregation map-side, 6
+    groups → single tiny exchange."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r6(F.sum("l_quantity")).alias("sum_qty"),
+            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            r6(F.avg("l_quantity")).alias("avg_qty"),
+            r6(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            r6(F.var_pop("l_quantity")).alias("var_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — count distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="A3",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type (reference: nunique()/set() size,
+    src/utils.py:139,156-162,264-266). Exact here; the approx variant is
+    q_approx_count_distinct."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_approx_count_distinct",
+    oracle=None,  # HLL sketch values differ across engines by design
+    survey="A3",
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the 100 TB path for A3 — one pass,
+    no per-group hash set. rows-only check (sketch estimates are
+    engine-specific)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — median / quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_median",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey="A4",
+)
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per group (reference: median
+    time-on-day, src/utils.py:87). Spark `percentile` = DuckDB
+    `quantile_cont` (both linear interpolation). At 100 TB the engine
+    swaps in percentile_approx — declared separately so the oracle stays
+    exact."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            r6(F.percentile("value", 0.5)).alias("median_value"),
+            r6(F.percentile("value", 0.9)).alias("p90_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("q_median_approx", oracle=None, survey="A4")
+def q_median_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx — the scale path for A4 (single-pass sketch)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(r6(F.percentile_approx("value", 0.5, 10000)).alias("median_value_approx"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — top-k per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    survey="A14",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice. Ties broken by orderkey
+    for determinism. Spark plans this as a partial top-k per partition
+    before the shuffle (WindowGroupLimit) — no full sort of the fact."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", r6("o_totalprice").alias("o_totalprice"), F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 — rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    survey="A15",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup — free in Spark (absent in the reference)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(r6(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 — union + edge mirroring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_mirror",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+    )
+    SELECT src, dst FROM edges
+    UNION
+    SELECT dst AS src, src AS dst FROM edges
+    """,
+    survey="U1,U3",
+)
+def q_union_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected edge list via (src,dst) ∪ (dst,src) (reference: edge
+    mirroring main.py:102-110). Edges derive from events: user ↔
+    counterparty (props.k), the engine's canonical graph."""
+    e = t(spark, sf_dir, "events")
+    edges = e.select(
+        F.col("user_id").alias("src"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+    ).distinct()
+    return edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+# ---------------------------------------------------------------------------
+# U2 — exact dedup, deterministic representative
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type,
+           min(event_id) AS min_event_id,
+           count(*) AS n_dups
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    survey="U2",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with deterministic representative (reference:
+    drop_duplicates, src/utils.py:220-221 — whose row choice is
+    nondeterministic; engine policy is min-per-group, SURVEY §5)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("min_event_id"), F.count("*").alias("n_dups"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U5 — table-level set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    survey="U5",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who purchased but never errored (set difference)."""
+    e = t(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = e.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.subtract(erroring)
+
+
+@register(
+    "q_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    survey="U5",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users present in both behavioral slices (set intersection)."""
+    e = t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# E6 — JSON extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    survey="E6",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON props column (multimodal metadata
+    pattern). get_json_object stays JVM-side."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_val")
+    )

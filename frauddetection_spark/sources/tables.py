@@ -1,0 +1,151 @@
+"""Explicit schemas + loaders for the engine's tables.
+
+The reference infers every schema at read time (pandas ``read_csv``,
+``Code for Sichuan/Data_processing/data_process.py:53-55``). At 100 TB
+schema inference is a full scan, so this engine pins an explicit
+StructType per source and *asserts* it against what arrives — a
+mismatch should fail loudly at plan time, not silently coerce.
+
+Tables mirror /root/testdata/sf*/: a TPC-H-ish star schema plus
+``events`` (the CDR-shaped stream table, standing in for voc.csv),
+``documents`` and ``embeddings`` (LLM-pipeline extensions).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _s(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+
+SCHEMAS: dict[str, StructType] = {
+    "region": _s(("r_regionkey", IntegerType()), ("r_name", StringType())),
+    "nation": _s(
+        ("n_nationkey", IntegerType()),
+        ("n_name", StringType()),
+        ("n_regionkey", IntegerType()),
+    ),
+    "customer": _s(
+        ("c_custkey", LongType()),
+        ("c_name", StringType()),
+        ("c_nationkey", IntegerType()),
+        ("c_acctbal", DoubleType()),
+        ("c_mktsegment", StringType()),
+    ),
+    "supplier": _s(
+        ("s_suppkey", LongType()),
+        ("s_name", StringType()),
+        ("s_nationkey", IntegerType()),
+        ("s_acctbal", DoubleType()),
+    ),
+    "part": _s(
+        ("p_partkey", LongType()),
+        ("p_name", StringType()),
+        ("p_brand", StringType()),
+        ("p_type", StringType()),
+        ("p_size", IntegerType()),
+        ("p_retailprice", DoubleType()),
+    ),
+    "orders": _s(
+        ("o_orderkey", LongType()),
+        ("o_custkey", LongType()),
+        ("o_orderstatus", StringType()),
+        ("o_totalprice", DoubleType()),
+        ("o_orderdate", TimestampType()),
+        ("o_orderpriority", StringType()),
+    ),
+    "lineitem": _s(
+        ("l_orderkey", LongType()),
+        ("l_partkey", LongType()),
+        ("l_suppkey", LongType()),
+        ("l_linenumber", IntegerType()),
+        ("l_quantity", DoubleType()),
+        ("l_extendedprice", DoubleType()),
+        ("l_discount", DoubleType()),
+        ("l_tax", DoubleType()),
+        ("l_returnflag", StringType()),
+        ("l_linestatus", StringType()),
+        ("l_shipdate", TimestampType()),
+    ),
+    # CDR-shaped event stream: maps to the reference's voc.csv
+    # (phone_no_m→user_id, start_datetime→ts, calltype_id→event_type,
+    # call_dur→value; data_process.py:55-58).
+    "events": _s(
+        ("event_id", LongType()),
+        ("ts", TimestampType()),
+        ("user_id", LongType()),
+        ("event_type", StringType()),
+        ("value", DoubleType()),
+        ("props", StringType()),
+    ),
+    "documents": _s(
+        ("doc_id", LongType()),
+        ("text", StringType()),
+        ("lang", StringType()),
+        ("source", StringType()),
+        ("n_chars", LongType()),
+    ),
+    "embeddings": _s(
+        ("vec_id", LongType()),
+        ("embedding", ArrayType(FloatType())),
+        ("label", IntegerType()),
+    ),
+}
+
+TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table with its pinned schema.
+
+    Parquet is self-describing, so we read natively (keeps row-group
+    min/max pruning and column pruning) and verify the arriving schema
+    matches the pinned one, rather than forcing a cast that could mask
+    upstream drift.
+    """
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = {f.name: f.dataType for f in SCHEMAS[name].fields}
+    got = {f.name: f.dataType for f in df.schema.fields}
+    if set(expected) - set(got):
+        raise ValueError(
+            f"table {name}: missing columns {sorted(set(expected) - set(got))}"
+        )
+    # Project to the pinned column order; cast only if physical types
+    # drifted (e.g. parquet written with int32 where we expect int64).
+    # TIMESTAMP(NANOS) arrives as int64 nanos (nanosAsLong) — convert to
+    # micros with integer division, the same truncation DuckDB applies.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType as _Long
+
+    cols = []
+    for c in expected:
+        if isinstance(expected[c], TimestampType) and got[c] == _Long():
+            cols.append(F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c))
+        elif got[c] != expected[c]:
+            cols.append(df[c].cast(expected[c]).alias(c))
+        else:
+            cols.append(df[c])
+    return df.select(*cols)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL surface)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

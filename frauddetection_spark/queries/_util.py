@@ -31,3 +31,22 @@ def week_str(ts_col: str = "ts") -> Column:
 
 # DuckDB twin of week_str
 SQL_WEEK = "strftime(date_trunc('week', {ts}), '%Y-%m-%d')"
+
+
+def cents(c: Column | str, scale: int = 100) -> Column:
+    """Fixed-point integer view of a 2-decimal double column.
+
+    Oracle-critical aggregates (sum/avg/variance over doubles) drift
+    between engines at ~1e-7 relative because summation order and
+    variance kernels differ; any fixed rounding can land on a digit
+    boundary. Testdata money/value columns are 2-decimal fixed point,
+    so summing exact int64 cents makes both engines produce *identical*
+    doubles after one final division. (Int64 bounds: |Σ cents| < 9.2e18
+    — safe up to ~1e14 rows of 4-digit values per group.)
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * scale).cast("bigint")
+
+
+# DuckDB twin of cents()
+SQL_CENTS = "CAST(round({col} * {scale}) AS BIGINT)"

@@ -1,1 +1,504 @@
-"""Populated in a later phase."""
+"""Windowed behavioral features (SURVEY.md §2.4 A1, A5-A13) — the
+reference's heart: `data_process.py`'s per-user per-time-window feature
+library, re-expressed as single-pass window/groupBy plans.
+
+The reference materializes a list of week-sliced DataFrames and loops
+over users inside each slice (data_process.py:90-169). Here the slice
+key is just a grouping column — every window computes in one shuffle,
+which is the difference between O(weeks × users) python iterations and
+one distributed pass at 100 TB.
+
+Counterparty (the reference's `opposite_no_m`) derives from
+``events.props.k``; week buckets are Monday-anchored
+``date_trunc('week')`` in both engines (SURVEY §7 watch-list #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import SQL_WEEK, cents, r6, t, week_str
+
+_WEEK = SQL_WEEK.format(ts="ts")
+
+
+def _events_with_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "events").withColumn("week", week_str("ts"))
+
+
+def _counterparty(df: DataFrame) -> DataFrame:
+    return df.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# A1 — grouped aggregate broadcast back to rows (pandas groupby.transform)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_agg_transform",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    )
+    SELECT event_id, user_id,
+           round(CAST(sum(vc) OVER w AS DOUBLE) / count(*) OVER w / 100, 6)
+               AS week_avg_value,
+           count(*) OVER w AS week_n_events,
+           round((sum(vc * vc) OVER w
+                  - CAST(sum(vc) OVER w * sum(vc) OVER w AS DOUBLE)
+                    / count(*) OVER w)
+                 / count(*) OVER w / 10000, 6) AS week_var_value
+    FROM e
+    WINDOW w AS (PARTITION BY user_id, {_WEEK})
+    """,
+    survey="A1",
+)
+def q_window_agg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row weekly mean/var/count (reference: groupby([user,
+    Grouper('1W')])['call_dur'].transform(nanmean/nanvar/count),
+    data_process.py:75-86). Population variance (np.nanvar ddof=0)
+    computed as (Σx² − (Σx)²/n)/n over exact integer cents in BOTH
+    twins: native var_pop kernels (Welford vs merge) and double
+    summation order each drift ~1e-7 relative, which leaks through any
+    fixed rounding. One window spec → one shuffle on (user, week)."""
+    e = _events_with_week(spark, sf_dir).withColumn("vc", cents("value"))
+    w = Window.partitionBy("user_id", "week")
+    sv = F.sum("vc").over(w)
+    svv = F.sum(F.col("vc") * F.col("vc")).over(w)
+    n = F.count("*").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        r6(sv.cast("double") / n / 100).alias("week_avg_value"),
+        n.alias("week_n_events"),
+        r6((svv - (sv * sv).cast("double") / n) / n / 10000).alias("week_var_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — two-level aggregation (mean of per-day stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_two_level_agg",
+    oracle="""
+    WITH per_day AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               avg(value) AS day_avg,
+               quantile_cont(value, 0.5) AS day_median,
+               count(*) AS day_n
+        FROM events GROUP BY user_id, day
+    )
+    SELECT user_id,
+           round(avg(day_avg), 6) AS mean_of_day_means,
+           round(avg(day_median), 6) AS mean_of_day_medians,
+           round(avg(day_n), 6) AS mean_daily_events,
+           count(*) AS n_active_days
+    FROM per_day GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A5",
+)
+def q_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean of per-day means/medians per user (reference: time_gap
+    src/utils.py:23-38, time :75-91). Inner groupBy(user, day) → outer
+    groupBy(user); both levels partial-aggregate map-side and the outer
+    reuses the inner's hash partitioning on user_id (no extra shuffle
+    of the full fact)."""
+    e = t(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    per_day = e.groupBy("user_id", "day").agg(
+        F.avg("value").alias("day_avg"),
+        F.percentile("value", 0.5).alias("day_median"),
+        F.count("*").alias("day_n"),
+    )
+    return (
+        per_day.groupBy("user_id")
+        .agg(
+            r6(F.avg("day_avg")).alias("mean_of_day_means"),
+            r6(F.avg("day_median")).alias("mean_of_day_medians"),
+            r6(F.avg("day_n")).alias("mean_daily_events"),
+            F.count("*").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — relative-frequency histogram (hour-of-day distribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_histogram_norm",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS n
+        FROM events GROUP BY user_id, hour_of_day
+    )
+    SELECT user_id, hour_of_day,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id), 6) AS share
+    FROM c ORDER BY user_id, hour_of_day
+    """,
+    survey="A6",
+)
+def q_histogram_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized hour-of-day histogram per user (reference:
+    value_counts(normalize=True) data_process.py:151-154; hand-rolled
+    24-bin src/utils.py:94-106). Aggregate first, then a window over
+    the *aggregated* (≤24 rows/user) frame — never a window over the
+    raw fact."""
+    e = t(spark, sf_dir, "events").withColumn("hour_of_day", F.hour("ts"))
+    c = e.groupBy("user_id", "hour_of_day").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id")
+    return (
+        c.select(
+            "user_id",
+            "hour_of_day",
+            r6(F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+        )
+        .orderBy("user_id", "hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — per-group share + dispersion (energy dispersion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_share_dispersion",
+    oracle="""
+    WITH per_cp AS (
+        SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
+               count(*) AS n_cp
+        FROM events GROUP BY user_id, k
+    ), tot AS (
+        SELECT user_id, sum(n_cp) AS n_total FROM per_cp GROUP BY user_id
+    )
+    SELECT p.user_id,
+           round(sum(CAST(n_cp AS DOUBLE) / n_total) / count(*), 6) AS mean_share,
+           round((sum((CAST(n_cp AS DOUBLE) / n_total)
+                      * (CAST(n_cp AS DOUBLE) / n_total))
+                  - sum(CAST(n_cp AS DOUBLE) / n_total)
+                    * sum(CAST(n_cp AS DOUBLE) / n_total) / count(*))
+                 / count(*), 6) AS var_share,
+           count(*) AS n_counterparties
+    FROM per_cp p JOIN tot USING (user_id)
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+    survey="A7",
+)
+def q_share_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy dispersion: per-counterparty share of a user's events,
+    then mean/variance of shares per user (reference: inline window
+    version data_process.py:81-86; utils energy_dispersion
+    src/utils.py:213-224 — live semantics per SURVEY B8). Two-level
+    aggregate; the share denominator is a window sum over the already-
+    aggregated (user, counterparty) frame."""
+    e = _counterparty(t(spark, sf_dir, "events"))
+    per_cp = e.groupBy("user_id", "k").agg(F.count("*").alias("n_cp"))
+    w = Window.partitionBy("user_id")
+    shares = per_cp.withColumn(
+        "share", F.col("n_cp").cast("double") / F.sum("n_cp").over(w)
+    )
+    s, n = F.sum("share"), F.count("*")
+    svv = F.sum(F.col("share") * F.col("share"))
+    return (
+        shares.groupBy("user_id")
+        .agg(
+            r6(F.sum("share") / F.count("*")).alias("mean_share"),
+            r6((svv - s * s / n) / n).alias("var_share"),
+            F.count("*").alias("n_counterparties"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — lag within ordered partition (inter-event gaps, same-day only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lag_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+               )) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6) AS mean_gap_sec,
+           count(gap_us) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A8",
+)
+def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean inter-event gap per user, same-day pairs only (reference:
+    shift(1) within day, src/utils.py:31-33,50-53 — cross-day gaps
+    excluded by partitioning on (user, date)). Micros as int64 keep the
+    sum exact in both engines (a float64 running average drifts at 1e10
+    magnitude); one double division at the end. Ties broken by
+    event_id."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    g = e.withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            r6(F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6).alias("mean_gap_sec"),
+            F.count("gap_us").alias("n_gaps"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — consecutive-window set Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_jaccard_lag",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, {_WEEK} AS week,
+               CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+        FROM events
+    ), sets AS (
+        SELECT user_id, week, list(k ORDER BY k) AS cur
+        FROM pairs GROUP BY user_id, week
+    ), lagged AS (
+        SELECT user_id, week, cur,
+               lag(cur) OVER (PARTITION BY user_id ORDER BY week) AS prev
+        FROM sets
+    )
+    SELECT user_id, week,
+           round(CAST(len(list_intersect(cur, prev)) AS DOUBLE)
+                 / len(list_distinct(cur || prev)), 6) AS jaccard,
+           CAST(len(cur) AS BIGINT) AS n_contacts
+    FROM lagged WHERE prev IS NOT NULL
+    ORDER BY user_id, week
+    """,
+    survey="A9,U3",
+)
+def q_jaccard_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard overlap of a user's contact set vs the previous week
+    (reference: contacts-this-week ∩/∪ last-week, data_process.py:
+    122-129, src/utils.py:109-128). collect_set per (user, week) —
+    bounded by distinct contacts, not events — then a lag over weeks.
+    The reference's O(users × weeks) python loop is one shuffle here."""
+    e = _counterparty(_events_with_week(spark, sf_dir))
+    sets = (
+        e.select("user_id", "week", "k")
+        .distinct()
+        .groupBy("user_id", "week")
+        .agg(F.sort_array(F.collect_list("k")).alias("cur"))
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = sets.withColumn("prev", F.lag("cur", 1).over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return lagged.select(
+        "user_id",
+        "week",
+        r6(
+            F.size(F.array_intersect("cur", "prev")).cast("double")
+            / F.size(F.array_union("cur", "prev"))
+        ).alias("jaccard"),
+        F.size("cur").cast("bigint").alias("n_contacts"),
+    ).orderBy("user_id", "week")
+
+
+# ---------------------------------------------------------------------------
+# A10 — global-stats normalization (z-score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bc
+        FROM customer
+    ), s AS (
+        SELECT c_custkey, c_nationkey, bc,
+               sum(bc) OVER w AS sv,
+               sum(bc * bc) OVER w AS svv,
+               count(*) OVER w AS n
+        FROM c WINDOW w AS (PARTITION BY c_nationkey)
+    )
+    SELECT c_custkey, c_nationkey,
+           round(CASE WHEN svv - CAST(sv * sv AS DOUBLE) / n > 0
+                      THEN (bc - CAST(sv AS DOUBLE) / n)
+                           / sqrt((svv - CAST(sv * sv AS DOUBLE) / n) / n)
+                      ELSE 0.0 END, 6) AS acctbal_z
+    FROM s ORDER BY c_custkey
+    """,
+    survey="A10",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score of account balance (reference: normalize,
+    src/utils.py:273-279 — intended semantics; B6's mean-scaling bug is
+    not reproduced per SURVEY §0). Population stddev = np.std ddof=0,
+    computed from exact integer-cent sums in both twins (native stddev
+    kernels drift ~1e-7 relative; cents cancel in the z ratio).
+    Zero-variance groups map to 0, matching np.nan_to_num downstream."""
+    c = t(spark, sf_dir, "customer").withColumn("bc", cents("c_acctbal"))
+    w = Window.partitionBy("c_nationkey")
+    sv = F.sum("bc").over(w)
+    svv = F.sum(F.col("bc") * F.col("bc")).over(w)
+    n = F.count("*").over(w)
+    var = svv - (sv * sv).cast("double") / n
+    z = (F.col("bc") - sv.cast("double") / n) / F.sqrt(var / n)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        r6(F.when(var > 0, z).otherwise(F.lit(0.0))).alias("acctbal_z"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# A11 — grouped class rates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_class_rates",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, count(*) AS n,
+               round(avg(CASE WHEN value > 150 THEN 1.0 ELSE 0.0 END), 6) AS high_rate
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, high_rate,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS type_share
+    FROM c ORDER BY event_type
+    """,
+    survey="A11",
+)
+def q_class_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rates + group shares (reference: fraud rate sum(y)/len(y),
+    new_utlis_1.py:56-57; XOR-cased edge-class rates new_utlis_2.py:
+    87-101). The global denominator is a window sum over the 5-row
+    aggregate, not a second scan."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r6(F.avg(F.when(F.col("value") > 150, 1.0).otherwise(0.0))).alias("high_rate"),
+    )
+    return (
+        c.select(
+            "event_type",
+            "n",
+            "high_rate",
+            r6(F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+                "type_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — dense spine (every (user, week) cell present, zero-filled)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dense_spine",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    weeks AS (SELECT DISTINCT {_WEEK} AS week FROM events),
+    counts AS (
+        SELECT user_id, {_WEEK} AS week, count(*) AS n, sum(value) AS sum_value
+        FROM events GROUP BY user_id, week
+    )
+    SELECT u.user_id, w.week,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+           round(coalesce(c.sum_value, 0.0), 6) AS sum_value
+    FROM users u CROSS JOIN weeks w
+    LEFT JOIN counts c ON c.user_id = u.user_id AND c.week = w.week
+    ORDER BY u.user_id, w.week
+    """,
+    survey="A12",
+)
+def q_dense_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (user × week) grid with zero-filled gaps (reference:
+    append [0]*32 for absent users per slice, data_process.py:159-169).
+    The spine is |users| × |weeks| — tiny relative to the fact — so the
+    cross join broadcasts; the fact is touched once for the counts."""
+    e = _events_with_week(spark, sf_dir)
+    users = e.select("user_id").distinct()
+    weeks = e.select("week").distinct()
+    counts = e.groupBy("user_id", "week").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+    spine = users.crossJoin(F.broadcast(weeks))
+    return (
+        spine.join(counts, ["user_id", "week"], "left")
+        .select(
+            "user_id",
+            "week",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            r6(F.coalesce("sum_value", F.lit(0.0))).alias("sum_value"),
+        )
+        .orderBy("user_id", "week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — ordered collect to series (tensor assembly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_collect_series",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, {_WEEK} AS week, count(*) AS n
+        FROM events GROUP BY user_id, week
+    )
+    SELECT user_id,
+           array_to_string(list(n ORDER BY week), ',') AS weekly_series,
+           count(*) AS n_weeks
+    FROM counts GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A13",
+)
+def q_collect_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user week-ordered series (reference: slice_feature[id]
+    .append(...) in window order → np.array, data_process.py:160-178).
+    collect_list(struct(week, n)) sorted by week gives deterministic
+    order; emitted as a CSV string for cross-engine hash stability.
+    This is the tensor-assembly boundary: downstream ML reads the
+    array form (ArrayType), the string form exists for the oracle."""
+    e = _events_with_week(spark, sf_dir)
+    counts = e.groupBy("user_id", "week").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("week", "n"))),
+                    lambda x: x["n"].cast("string"),
+                ),
+                ",",
+            ).alias("weekly_series"),
+            F.count("*").alias("n_weeks"),
+        )
+        .orderBy("user_id")
+    )

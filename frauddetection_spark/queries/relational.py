@@ -271,7 +271,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, o.o_orderpriority,
            count(*) AS n_lines,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                      AS DOUBLE) / 10000, 6) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -283,17 +285,22 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim join chain (reference: pd.merge(user, voc, on=phone),
     data_process.py:70-71). customer is broadcast (dim ≪ fact); at
-    100 TB orders⋈lineitem co-partitions on orderkey via AQE/bucketing."""
+    100 TB orders⋈lineitem co-partitions on orderkey via AQE/bucketing.
+    Revenue aggregates as exact integer (cents × discount-percent) for
+    cross-engine determinism."""
+    from frauddetection_spark.queries._util import cents
+
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
+    rev = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            r6(F.sum(rev).cast("double") / 10000).alias("revenue"),
         )
         .orderBy("c_mktsegment", "o_orderpriority")
     )
@@ -401,17 +408,24 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_groupby_agg",
     oracle="""
+    WITH li AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100) AS BIGINT) AS dc
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
-           round(var_pop(l_quantity), 6) AS var_qty,
+           CAST(sum(q) AS DOUBLE) AS sum_qty,
+           round(CAST(sum(pc) AS DOUBLE) / 100, 6) AS sum_base_price,
+           round(CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000, 6) AS sum_disc_price,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(pc) AS DOUBLE) / count(*) / 100, 6) AS avg_price,
+           round(CAST(sum(dc) AS DOUBLE) / count(*) / 100, 6) AS avg_disc,
+           round((sum(q * q) - CAST(sum(q) * sum(q) AS DOUBLE) / count(*))
+                 / count(*), 6) AS var_qty,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    FROM li
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -419,20 +433,35 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped mean/var/count/sum (reference: mean_voc_time/var2,
-    src/utils.py:245-261). var_pop matches the reference's np.nanvar
-    ddof=0 (SURVEY §7 watch-list #1). Partial aggregation map-side, 6
-    groups → single tiny exchange."""
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    src/utils.py:245-261). var = np.nanvar ddof=0 (SURVEY §7 watch-list
+    #1), spelled (Σx² − (Σx)²/n)/n. Money columns aggregate as exact
+    integer cents (2-decimal fixed point) so both engines produce
+    identical doubles regardless of summation order / agg kernel.
+    Partial aggregation map-side, 6 groups → single tiny exchange."""
+    from frauddetection_spark.queries._util import cents
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            cents("l_quantity", 1).alias("q"),
+            cents("l_extendedprice").alias("pc"),
+            cents("l_discount").alias("dc"),
+        )
+    )
+    n = F.count("*")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            r6(F.sum("l_quantity")).alias("sum_qty"),
-            r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
-            r6(F.avg("l_quantity")).alias("avg_qty"),
-            r6(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
-            r6(F.var_pop("l_quantity")).alias("var_qty"),
+            F.sum("q").cast("double").alias("sum_qty"),
+            r6(F.sum("pc").cast("double") / 100).alias("sum_base_price"),
+            r6(F.sum(F.col("pc") * (100 - F.col("dc"))).cast("double") / 10000).alias("sum_disc_price"),
+            r6(F.sum("q").cast("double") / n).alias("avg_qty"),
+            r6(F.sum("pc").cast("double") / n / 100).alias("avg_price"),
+            r6(F.sum("dc").cast("double") / n / 100).alias("avg_disc"),
+            r6((F.sum(F.col("q") * F.col("q")) - (F.sum("q") * F.sum("q")).cast("double") / n) / n).alias("var_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -1,1 +1,181 @@
-"""Populated in a later phase."""
+"""Graph queries (SURVEY.md §2.3 J4/J5, degree features, neighbor
+aggregates) over the canonical events-derived edge list
+(user → counterparty via props.k)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.graph import (
+    aggregate_messages,
+    common_neighbor_pairs,
+    degrees,
+    edges_from_events,
+)
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+# DuckDB twin of edges_from_events
+_SQL_EDGES = """
+        SELECT DISTINCT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# degrees (graph feature tables)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_degrees",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    sides AS (
+        SELECT src AS node, 1 AS is_out FROM edges
+        UNION ALL
+        SELECT dst AS node, 0 AS is_out FROM edges
+    )
+    SELECT node,
+           CAST(sum(is_out) AS BIGINT) AS out_degree,
+           CAST(sum(1 - is_out) AS BIGINT) AS in_degree,
+           count(*) AS degree
+    FROM sides GROUP BY node ORDER BY node
+    """,
+    survey="J5,A2",
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node in/out/total degree (reference: nx degree loops over
+    unique counterparties, data_process.py:131-138; intended semantics,
+    not B9's last-write-wins weight). Single pass via edge explode."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    return degrees(e).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# J4 — common-neighbor self-join (buildLSN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_common_neighbor",
+    oracle=f"""
+    WITH c AS ({_SQL_EDGES})
+    SELECT a.src AS user_a, b.src AS user_b, count(*) AS n_common
+    FROM c a JOIN c b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+    HAVING count(*) >= 5
+    ORDER BY user_a, user_b
+    """,
+    survey="J4",
+)
+def q_join_common_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs sharing ≥5 counterparties — buildLSN's similarity
+    graph (data_process.py:20-48). The reference's O(n²·set-intersect)
+    loop is one inverted-index self-join + aggregate: one shuffle on
+    contact, one on the pair key. Hub-contact pruning available via
+    operators.graph.common_neighbor_pairs(max_contact_degree=...)."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    contacts = e.select(F.col("src").alias("user"), F.col("dst").alias("contact"))
+    return (
+        common_neighbor_pairs(contacts, min_common=5)
+        .orderBy("user_a", "user_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — gather-scatter message passing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_aggregate",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    node_vals AS (
+        SELECT user_id AS id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100 AS val
+        FROM events GROUP BY user_id
+    )
+    SELECT e.dst AS node,
+           round(sum(v.val), 6) AS msg_sum,
+           round(sum(v.val) / count(*), 6) AS msg_avg,
+           count(*) AS n_msgs
+    FROM edges e JOIN node_vals v ON e.src = v.id
+    GROUP BY e.dst ORDER BY node
+    """,
+    survey="J5",
+)
+def q_graph_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message passing: per-dst aggregate of src node values (DGL
+    update_all(copy_u/u_mul_e, sum), new_model_1.py:24-36; propagate
+    src/layers.py:85-100). Node value = user's mean event value
+    (exact-cents avg). This join+groupBy pair is the engine's
+    GraphFrames-style aggregateMessages primitive."""
+    events = t(spark, sf_dir, "events")
+    e = edges_from_events(events)
+    node_vals = (
+        events.groupBy(F.col("user_id").alias("id"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / F.count("*")
+                / 100
+            ).alias("val")
+        )
+    )
+    agg = aggregate_messages(e, node_vals, id_col="id", value_col="val")
+    # msg_avg recomputed as sum/count for cross-engine determinism
+    return agg.select(
+        "node",
+        r6("msg_sum").alias("msg_sum"),
+        r6(F.col("msg_sum") / F.col("n_msgs")).alias("msg_avg"),
+        "n_msgs",
+    ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# neighbor average degree (B1's *intended* semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_neighbor_avg_degree",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY src)
+    SELECT u.src AS node,
+           round(CAST(sum(d.degree) AS DOUBLE) / count(*), 6) AS neighbor_avg_degree,
+           count(*) AS n_neighbors
+    FROM und u JOIN deg d ON u.dst = d.node
+    GROUP BY u.src ORDER BY node
+    """,
+    survey="J5",
+)
+def q_neighbor_avg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean degree of a node's neighbors over the undirected graph —
+    the *intended* semantics of the reference's neighbor-average-degree
+    feature (data_process.py:141-144, bug B1 appends the node's own
+    degree instead; SURVEY §0 policy: implement intended). Exact-int
+    sum / count division keeps the oracle deterministic."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("degree"))
+    return (
+        und.join(deg.select(F.col("node").alias("dst"), "degree"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            r6(F.sum("degree").cast("double") / F.count("*")).alias("neighbor_avg_degree"),
+            F.count("*").alias("n_neighbors"),
+        )
+        .orderBy("node")
+    )

@@ -1,1 +1,300 @@
-"""Populated in a later phase."""
+"""Text-analysis queries over the ``documents`` table (SURVEY.md §2.8
+E4/E5 + north-star text ops: language-ID, quality scoring, token
+counting, document fingerprinting).
+
+The reference has no text surface; these are [EXT] rows. Everything
+stays JVM-side (split/explode/aggregate/transform — whole-stage
+codegen), no Python UDFs: at 100 TB tokenization is the hot path and
+must not cross the JVM↔Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+# Whitespace tokenization, identical in both engines.
+_TOKENS_SPARK = r"\s+"
+_SQL_TOKENS = r"string_split_regex(text, '\s+')"
+
+# Tiny fixed stopword list (quality scoring; the synthetic corpus is
+# Spark-flavored word soup, so function words are the right markers).
+_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "on", "for", "with")
+_SQL_STOPWORDS = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+# BPE-ish tokenizer: letter runs, digit runs, single other symbols.
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), _TOKENS_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# E4 — token stats per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_token_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT lang,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT token) AS n_distinct_tokens,
+           round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 6)
+               AS avg_tokens_per_doc
+    FROM tok GROUP BY lang ORDER BY lang
+    """,
+    survey="E4",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: docs, token occurrences, vocabulary
+    size, mean tokens/doc. explode is map-side; one shuffle on lang."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    return (
+        tok.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+            r6(F.count("*").cast("double") / F.countDistinct("doc_id")).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E5 + north-star — per-document quality scoring & filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               length(text) AS n_chars,
+               len({_SQL_TOKENS}) AS n_tokens,
+               len(list_distinct({_SQL_TOKENS})) AS n_distinct,
+               list_aggregate(list_transform({_SQL_TOKENS}, x -> length(x)),
+                              'sum') AS token_chars,
+               len(list_filter({_SQL_TOKENS},
+                               x -> x IN {_SQL_STOPWORDS})) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens,
+           round(CAST(token_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           CAST(n_tokens >= 5 AND n_tokens <= 1000
+                AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.2
+                AS INTEGER) AS passes_filter
+    FROM q ORDER BY doc_id
+    """,
+    survey="E5,E4",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features (length, mean token length, unique- and
+    stopword-token ratios) + a threshold filter flag — the standard
+    LLM-pretraining quality gate, all as array expressions (no explode,
+    no shuffle: pure map → retains input partitioning at 100 TB)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = _tokens()
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct"),
+        F.aggregate(
+            F.transform(tok, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("token_chars"),
+        F.size(F.filter(tok, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    uniq = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return q.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        r6(F.col("token_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
+        r6(uniq).alias("uniq_ratio"),
+        r6(F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (
+            (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 1000) & (uniq > 0.2)
+        )
+        .cast("int")
+        .alias("passes_filter"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# north-star — corpus-trained language identification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    lf AS (
+        SELECT lang AS cand_lang, token, count(*) AS cnt
+        FROM tok GROUP BY 1, 2
+    ),
+    scores AS (
+        SELECT t.doc_id, t.lang AS true_lang, lf.cand_lang,
+               CAST(sum(lf.cnt) AS BIGINT) AS score
+        FROM tok t JOIN lf ON t.token = lf.token
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, cand_lang
+        ) AS rn FROM scores
+    )
+    SELECT doc_id, true_lang, cand_lang AS pred_lang, score,
+           CAST(cand_lang = true_lang AS INTEGER) AS correct
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    survey="E5",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by corpus token-frequency profiles: build per-(lang,
+    token) counts, score each doc against every language profile by
+    summed token frequency (exact int64 — cross-engine deterministic),
+    predict the argmax (ties → lexicographically first lang).
+
+    Scale: the profile table is |vocab|×|langs| — tiny relative to the
+    corpus → broadcast join onto the exploded token stream; one shuffle
+    to aggregate per (doc, lang), one window for the argmax."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("token")
+    )
+    lf = tok.groupBy(F.col("lang").alias("cand_lang"), "token").agg(
+        F.count("*").alias("cnt")
+    )
+    scores = (
+        tok.join(F.broadcast(lf), "token")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand_lang")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand_lang").alias("pred_lang"),
+            "score",
+            (F.col("cand_lang") == F.col("true_lang")).cast("int").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# north-star — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_token_regex",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{_BPE_PATTERN}') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+               AS n_word_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$')))
+               AS n_digit_tokens,
+           len(list_distinct(toks)) AS n_distinct
+    FROM tk ORDER BY doc_id
+    """,
+    survey="E4",
+)
+def q_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-style token counting with a BPE-ish regex (letter runs
+    / digit runs / single symbols) — the cheap proxy for tokenizer cost
+    estimation over a pretraining corpus. Pure map stage."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+    tk = docs.select("doc_id", toks.alias("toks"))
+    return tk.select(
+        "doc_id",
+        F.size("toks").alias("n_bpe_tokens"),
+        F.size(F.filter("toks", lambda x: x.rlike("^[a-z]+$"))).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.filter("toks", lambda x: x.rlike("^[0-9]+$"))).alias(
+            "n_digit_tokens"
+        ),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# north-star — document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+# Polynomial rolling hash over character codes, mod a 32-bit prime.
+# Exact int64 arithmetic at every step → bit-identical across engines.
+_FP_SPARK = (
+    "aggregate(transform(sequence(1, length(text)),"
+    " i -> ascii(substr(text, i, 1))),"
+    " 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+_FP_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length(text) + 1),"
+    " i -> CAST(unicode(text[i]) AS BIGINT))),"
+    " (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {_FP_SQL} AS fingerprint, length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    survey="E1",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rolling-hash fingerprint (h = h*31 + c mod p) —
+    content-addressing / incremental-dedup primitive. Expressed as a
+    codegen'd fold over the char sequence: map-only, no shuffle, no
+    Python. (Production would use xxhash64(text); the polynomial form
+    is used here because it is reproducible in the DuckDB oracle.)"""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(_FP_SPARK).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")

@@ -1,1 +1,353 @@
-"""Populated in a later phase."""
+"""Dedup + similarity-search queries (SURVEY.md §2.8 E1/E2/E3):
+exact hash dedup, exact shingle-Jaccard, deterministic MinHash+LSH,
+SimHash signatures, brute-force quantized-cosine kNN, embedding
+near-dup pairs, and an MLlib-LSH ANN variant (rows-only).
+
+Oracle twins are generated from the same constants as the Spark
+implementations (operators/textsim.py, operators/vectors.py) so both
+engines run the *same* integer algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.textsim import (
+    BAND_ROWS,
+    HASH_PARAMS,
+    P_MH,
+    SIMHASH_BITS,
+    SQL_WORD_SHINGLES,
+    exact_jaccard,
+    hashed_shingles,
+    lsh_bands,
+    lsh_candidates,
+    minhash_signatures,
+    rolling_hash_duckdb,
+    simhash,
+    word_shingles,
+)
+from frauddetection_spark.operators.vectors import (
+    SQL_COS,
+    SQL_QUANTIZED,
+    cosine_pairs,
+    quantize,
+)
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+JACCARD_MIN = 0.2
+NEARDUP_COS = 0.4
+KNN_K = 3
+
+
+# ---------------------------------------------------------------------------
+# E1 — exact dedup by content hash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY keeper_doc_id
+    """,
+    survey="E1",
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by sha256(content), keep min(doc_id) —
+    the canonical first pass of a pretraining dedup pipeline. One
+    shuffle on the hash; at 100 TB, hash first so the shuffle moves
+    64-hex keys instead of document bodies."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — exact shingle Jaccard (full inverted index)
+# ---------------------------------------------------------------------------
+
+_SQL_JACCARD_TAIL = f"""
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b, m.n_common,
+           round(CAST(m.n_common AS DOUBLE)
+                 / (sa.n + sb.n - m.n_common), 6) AS jaccard
+    FROM common m
+    JOIN sz sa ON m.doc_a = sa.doc_id
+    JOIN sz sb ON m.doc_b = sb.doc_id
+    WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common)
+          >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "q_shingle_jaccard",
+    oracle=f"""
+    WITH sh AS ({SQL_WORD_SHINGLES}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    {_SQL_JACCARD_TAIL}
+    """,
+    survey="E2,J4",
+)
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-shingle Jaccard ≥ 0.2 via the
+    inverted-index self-join (same decorrelation as J4's buildLSN —
+    never all-pairs). Exact-int count arithmetic; one final division."""
+    sh = word_shingles(t(spark, sf_dir, "documents"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        exact_jaccard(pairs, sh)
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_common", r6("jaccard").alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2 — deterministic MinHash + LSH banding (the scale path)
+# ---------------------------------------------------------------------------
+
+_SQL_MINHASH_PARAMS = ",\n        ".join(
+    f"({i}, {a}, {b})" for i, a, b in HASH_PARAMS
+)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH sh AS ({SQL_WORD_SHINGLES}),
+    hs AS (SELECT doc_id, {rolling_hash_duckdb('shingle')} AS h FROM sh),
+    params(i, a, b) AS (VALUES
+        {_SQL_MINHASH_PARAMS}
+    ),
+    sigs AS (
+        SELECT doc_id, p.i,
+               min((p.a * hs.h + p.b) % {P_MH}) AS sig
+        FROM hs CROSS JOIN params p GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // {BAND_ROWS} AS band,
+               CAST(sum(sig * CAST(pow(31, i % {BAND_ROWS}) AS BIGINT))
+                    AS BIGINT) AS key
+        FROM sigs GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id
+    ),
+    {_SQL_JACCARD_TAIL}
+    """,
+    survey="E2",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup the way it runs at 100 TB: MinHash signatures
+    (16 permutations) → 4×4 LSH banding → bucket-join candidates →
+    exact-Jaccard rerank ≥ 0.2. Unlike ml.feature.MinHashLSH, the hash
+    family is explicit integer arithmetic, so the whole pipeline is
+    reproducible in the oracle. Candidate generation is linear in
+    corpus size (bucket join), not O(n²)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    cands = lsh_candidates(lsh_bands(minhash_signatures(hashed_shingles(sh))))
+    return (
+        exact_jaccard(cands, sh)
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_common", r6("jaccard").alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# north-star — SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SQL_SIMHASH_BITS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SQL_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "q_simhash",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    th AS (SELECT doc_id, cnt, {rolling_hash_duckdb('token')} AS h FROM tk),
+    bits AS (
+        SELECT doc_id,
+               {_SQL_SIMHASH_BITS}
+        FROM th GROUP BY 1
+    )
+    SELECT doc_id, CAST({_SQL_SIMHASH_PACK} AS BIGINT) AS simhash
+    FROM bits ORDER BY doc_id
+    """,
+    survey="E2",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (count-weighted token hashes →
+    per-bit majority vote → packed int). Near-dup candidates then come
+    from hamming distance on a single bigint — the cheapest-possible
+    shuffle key for fuzzy dedup at scale."""
+    return simhash(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E3 — brute-force quantized-cosine kNN
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH q AS ({SQL_QUANTIZED}),
+    cos AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+               {SQL_COS} AS cos
+        FROM q a JOIN q b ON a.vec_id != b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, neighbor
+        ) AS rank FROM cos
+    )
+    SELECT vec_id, rank, neighbor, round(cos, 6) AS cos
+    FROM ranked WHERE rank <= {KNN_K}
+    ORDER BY vec_id, rank
+    """,
+    survey="E3,A14",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 cosine neighbors per embedding, brute force — the exact
+    baseline every ANN variant is measured against. Fixed-point int64
+    dot products (operators/vectors.py) make ranking identical across
+    engines. O(n²·d): correct up to ~10⁵ vectors; beyond that use the
+    LSH-bucketed variant (q_ann_lsh_ml) with this as the in-bucket
+    rerank."""
+    q = quantize(t(spark, sf_dir, "embeddings"))
+    pairs = cosine_pairs(q, q).filter(F.col("id_a") != F.col("id_b"))
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("id_a").alias("vec_id"),
+            "rank",
+            F.col("id_b").alias("neighbor"),
+            r6("cos").alias("cos"),
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# north-star — embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+    WITH q AS ({SQL_QUANTIZED}),
+    cos AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {SQL_COS} AS cos
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cos
+    FROM cos WHERE cos >= {NEARDUP_COS}
+    ORDER BY id_a, id_b
+    """,
+    survey="E3",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ 0.4 over unordered
+    pairs. Same quantized machinery as q_knn_cosine."""
+    q = quantize(t(spark, sf_dir, "embeddings"))
+    return (
+        cosine_pairs(q, q)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("id_a", "id_b", r6("cos").alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3 scale path — MLlib random-projection LSH (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ann_lsh_ml",
+    oracle=None,  # MLlib LSH hash seeds are engine-private → rows-only
+    survey="E3,E2",
+)
+def q_ann_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN candidate pairs via MLlib BucketedRandomProjectionLSH
+    (random-hyperplane buckets, euclidean). The 100-TB pattern:
+    `approxSimilarityJoin` prunes the pair space to same-bucket
+    collisions, then exact cosine reranks — here the rerank reuses the
+    quantized dot product so downstream semantics match the oracle
+    queries."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    # vectors are unit-norm → euclid² = 2−2·cos, so 1.1 ≈ cos ≥ 0.4:
+    # the ANN twin of q_embed_neardup's threshold.
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(emb)
+    joined = model.approxSimilarityJoin(emb, emb, 1.1, distCol="euclid")
+    pairs = joined.select(
+        F.col("datasetA.vec_id").alias("id_a"),
+        F.col("datasetB.vec_id").alias("id_b"),
+        F.col("euclid"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    # exact quantized-cosine rerank on the candidate set
+    q = quantize(t(spark, sf_dir, "embeddings"))
+    rerank = cosine_pairs(q, q).join(pairs, ["id_a", "id_b"])
+    return rerank.select(
+        "id_a", "id_b", r6("cos").alias("cos"), r6("euclid").alias("euclid")
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,70 @@
+"""Sampling operators (SURVEY.md §2.6 R1–R3): deterministic hash
+splits, degree/class-weighted node sampling distributions, edge-class
+sampling distributions.
+
+Policy vs the reference: the reference splits with sklearn RNG
+(`data_process.py:62-63`) and draws with `np.random.choice`
+(`new_train_1.py:156`) — irreproducible across runs/engines. This
+engine's splits are *hash-based*: membership is a pure function of the
+key and seed, so a 1000-executor cluster assigns every row the same
+way with zero coordination, resuming jobs re-derive the same split,
+and the oracle can verify it.
+
+Determinism of the probability queries: weights are built as exact
+int64 (fixed-point sqrt / reciprocal-share factors), summed exactly,
+and divided once at the end — so normalized distributions are
+bit-identical across engines (same trick as operators/vectors.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth-style multiplicative hash, exact in int64 for keys < ~7e9.
+# Production splits use xxhash64(key, seed) (better avalanche, any
+# type); the multiplicative form is the oracle-portable twin.
+HASH_A = 2_654_435_761
+HASH_MOD = 1 << 32
+
+
+def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Column:
+    """'train'/'test' by multiplicative hash — reproducible anywhere."""
+    h = (key.cast("bigint") * HASH_A + seed) % HASH_MOD
+    return F.when(h < (HASH_MOD * train_pct) // 100, F.lit("train")).otherwise(
+        F.lit("test")
+    )
+
+
+def sql_portable_split(key: str, train_pct: int = 80, seed: int = 12_345) -> str:
+    """DuckDB twin of :func:`portable_split`."""
+    thresh = (HASH_MOD * train_pct) // 100
+    return (
+        f"CASE WHEN (CAST({key} AS BIGINT) * {HASH_A} + {seed}) % {HASH_MOD}"
+        f" < {thresh} THEN 'train' ELSE 'test' END"
+    )
+
+
+def xxhash_split(key: Column, train_pct: int = 80, seed: int = 42) -> Column:
+    """Production split: xxhash64 — not oracle-portable (DuckDB has no
+    xxhash64), declared rows-only."""
+    return F.when(
+        F.pmod(F.xxhash64(key, F.lit(seed)), 100) < train_pct, F.lit("train")
+    ).otherwise(F.lit("test"))
+
+
+FIXED = 1_000_000  # fixed-point scale for weight factors
+
+
+def normalized_probability(df: DataFrame, raw_col: str) -> DataFrame:
+    """prob = raw / Σraw with an exact int64 numerator and denominator;
+    the single division is the only float op (bit-identical across
+    engines). `raw_col` must be int64.
+
+    The scalar total is attached via broadcast cross-join of a 1-row
+    aggregate — NOT a global window (which would funnel every row
+    through one partition at scale)."""
+    total = df.agg(F.sum(raw_col).alias("_total"))
+    return df.crossJoin(F.broadcast(total)).withColumn(
+        "prob", F.col(raw_col).cast("double") / F.col("_total")
+    ).drop("_total")

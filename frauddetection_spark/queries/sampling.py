@@ -1,1 +1,272 @@
-"""Populated in a later phase."""
+"""Sampling queries (SURVEY.md §2.6): hash splits (R1), node sampling
+weights (R2), edge-class sampling weights (R3), weighted draw (R4).
+
+Node/label model on the testdata: nodes are event users; the
+"fraud-ish" label is `n_error_events ≥ 15` (an exact-integer
+behavioral threshold, so both engines derive identical labels); the
+graph is the events-derived user → counterparty edge list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.graph import edges_from_events
+from frauddetection_spark.operators.sampling import (
+    FIXED,
+    normalized_probability,
+    portable_split,
+    sql_portable_split,
+    xxhash_split,
+)
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+ERROR_THRESHOLD = 15
+
+# Per-user fraud-ish label from exact event counts.
+_SQL_LABELS = f"""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    >= {ERROR_THRESHOLD} AS INTEGER) AS label
+        FROM events GROUP BY user_id
+"""
+
+
+def _labels(events: DataFrame) -> DataFrame:
+    return events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            >= ERROR_THRESHOLD
+        )
+        .cast("int")
+        .alias("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1 — stratified hash split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_split_stratified",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_portable_split('c_custkey')} AS split,
+           count(*) AS n,
+           CAST(min(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    GROUP BY 1, 2 ORDER BY c_mktsegment, split
+    """,
+    survey="R1",
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test split as a pure hash of the key (reference:
+    sklearn RNG split, data_process.py:62-63 — replaced by engine
+    policy: hash-based, coordination-free, reproducible; SURVEY §2.6).
+    Grouped by stratum to show per-segment balance. Production path
+    uses xxhash64 (q_split_xxhash); this twin uses the oracle-portable
+    multiplicative hash."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.withColumn("split", portable_split(F.col("c_custkey")))
+        .groupBy("c_mktsegment", "split")
+        .agg(F.count("*").alias("n"), F.min("c_custkey").alias("min_key"))
+        .orderBy("c_mktsegment", "split")
+    )
+
+
+@register("q_split_xxhash", oracle=None, survey="R1")
+def q_split_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-grade split on xxhash64(key, seed) — rows-only
+    (DuckDB lacks xxhash64). Same shape as q_split_stratified."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.withColumn("split", xxhash_split(F.col("c_custkey")))
+        .groupBy("c_mktsegment", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("c_mktsegment", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R2 — degree/class-weighted node sampling distribution
+# ---------------------------------------------------------------------------
+
+_SQL_EDGES = """
+        SELECT DISTINCT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+@register(
+    "q_sampling_weights",
+    oracle=f"""
+    WITH labels AS ({_SQL_LABELS}),
+    edges AS ({_SQL_EDGES}),
+    deg AS (SELECT src AS user_id, count(*) AS degree FROM edges GROUP BY 1),
+    nodes AS (
+        SELECT l.user_id, l.label, coalesce(d.degree, 0) AS degree
+        FROM labels l LEFT JOIN deg d ON l.user_id = d.user_id
+    ),
+    rates AS (
+        SELECT label, count(*) AS n_class,
+               (SELECT count(*) FROM nodes) AS n_total
+        FROM nodes GROUP BY label
+    ),
+    raw AS (
+        SELECT n.user_id, n.label, n.degree,
+               CAST(round(sqrt(n.degree + 1) * {FIXED}) AS BIGINT)
+               * CAST(round(CAST(r.n_total AS DOUBLE) / r.n_class * {FIXED})
+                      AS BIGINT) AS raw
+        FROM nodes n JOIN rates r ON n.label = r.label
+    )
+    SELECT user_id, label, degree,
+           round(CAST(raw AS DOUBLE)
+                 / (SELECT sum(raw) FROM raw), 6) AS prob
+    FROM raw ORDER BY user_id
+    """,
+    survey="R2",
+)
+def q_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node sampling distribution p(v) ∝ sqrt(deg(v)+1) / rate(label(v))
+    (reference: node_probability, new_utlis_1.py:52-65 — degree-tempered,
+    inverse-class-rate so the minority fraud class is oversampled).
+
+    Determinism: both factors are fixed-point int64
+    (round(sqrt·10⁶), round(rate⁻¹·10⁶)), the product and total are
+    exact, one final division (operators/sampling.py policy). The
+    class-rate table is 2 rows → broadcast; the normalizing total is a
+    broadcast 1-row aggregate, not a global window."""
+    events = t(spark, sf_dir, "events")
+    labels = _labels(events)
+    deg = (
+        edges_from_events(events)
+        .groupBy(F.col("src").alias("user_id"))
+        .agg(F.count("*").alias("degree"))
+    )
+    nodes = labels.join(deg, "user_id", "left").na.fill({"degree": 0})
+    total = nodes.count()
+    rates = nodes.groupBy("label").agg(F.count("*").alias("n_class"))
+    raw = (
+        nodes.join(F.broadcast(rates), "label")
+        .withColumn(
+            "raw",
+            (F.round(F.sqrt(F.col("degree") + 1) * FIXED).cast("bigint"))
+            * (
+                F.round(F.lit(float(total)) / F.col("n_class") * FIXED).cast(
+                    "bigint"
+                )
+            ),
+        )
+        .select("user_id", "label", "degree", "raw")
+    )
+    return (
+        normalized_probability(raw, "raw")
+        .select("user_id", "label", "degree", r6("prob").alias("prob"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R3 — edge-class sampling distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_edge_weights",
+    oracle=f"""
+    WITH labels AS ({_SQL_LABELS}),
+    edges AS ({_SQL_EDGES}),
+    le AS (
+        SELECT e.src, e.dst, ls.label AS y_src, ld.label AS y_dst
+        FROM edges e
+        JOIN labels ls ON e.src = ls.user_id
+        JOIN labels ld ON e.dst = ld.user_id
+    ),
+    classed AS (
+        SELECT src, dst,
+               CASE WHEN y_src = 1 AND y_dst = 1 THEN 'homo_fraud'
+                    WHEN y_src = 0 AND y_dst = 0 THEN 'homo_benign'
+                    ELSE 'hetero' END AS edge_class
+        FROM le
+    ),
+    cc AS (
+        SELECT edge_class, count(*) AS n_class,
+               (SELECT count(*) FROM classed) AS n_total
+        FROM classed GROUP BY edge_class
+    ),
+    raw AS (
+        SELECT c.src, c.dst, c.edge_class,
+               CAST(round(CAST(k.n_total AS DOUBLE) / k.n_class * {FIXED})
+                    AS BIGINT) AS raw
+        FROM classed c JOIN cc k ON c.edge_class = k.edge_class
+    )
+    SELECT src, dst, edge_class,
+           round(CAST(raw AS DOUBLE) / (SELECT sum(raw) FROM raw), 6) AS prob
+    FROM raw ORDER BY src, dst
+    """,
+    survey="R3,J7,P9,A11",
+)
+def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge sampling distribution by label-pair class (reference:
+    edge_probability, new_utlis_2.py:66-113 — homo-fraud / homo-benign
+    / hetero edges weighted by inverse class share so rare homo-fraud
+    edges are oversampled). Labels join onto both endpoints (two
+    broadcast joins of the small label table), CASE classification
+    (P9), inverse-share fixed-point weights, exact-int normalization."""
+    events = t(spark, sf_dir, "events")
+    labels = _labels(events)
+    e = edges_from_events(events)
+    le = (
+        e.join(
+            F.broadcast(labels.select(F.col("user_id").alias("src"), F.col("label").alias("y_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(labels.select(F.col("user_id").alias("dst"), F.col("label").alias("y_dst"))),
+            "dst",
+        )
+    )
+    classed = le.withColumn(
+        "edge_class",
+        F.when((F.col("y_src") == 1) & (F.col("y_dst") == 1), "homo_fraud")
+        .when((F.col("y_src") == 0) & (F.col("y_dst") == 0), "homo_benign")
+        .otherwise("hetero"),
+    ).select("src", "dst", "edge_class")
+    total = classed.count()
+    cc = classed.groupBy("edge_class").agg(F.count("*").alias("n_class"))
+    raw = classed.join(F.broadcast(cc), "edge_class").withColumn(
+        "raw",
+        F.round(F.lit(float(total)) / F.col("n_class") * FIXED).cast("bigint"),
+    ).select("src", "dst", "edge_class", "raw")
+    return (
+        normalized_probability(raw, "raw")
+        .select("src", "dst", "edge_class", r6("prob").alias("prob"))
+        .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — weighted draw (rows-only: rand)
+# ---------------------------------------------------------------------------
+
+
+@register("q_weighted_draw", oracle=None, survey="R2,R4")
+def q_weighted_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, size 50, via the
+    Efraimidis–Spirakis exponential-jitter trick: key = -ln(u)/w with
+    u ~ rand(seed), take the k smallest — one pass, fully distributed
+    (reference: np.random.choice(p=node_prob), new_train_1.py:156).
+    Seeded but engine-specific RNG → rows-only."""
+    weights = q_sampling_weights(spark, sf_dir)
+    keyed = weights.withColumn(
+        "draw_key", -F.log(F.rand(seed=42)) / F.col("prob")
+    )
+    return keyed.orderBy("draw_key").limit(50).select(
+        "user_id", "label", "degree", "prob"
+    )

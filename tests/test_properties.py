@@ -1,0 +1,93 @@
+"""Property tests — invariants from the reference's own identities
+(SURVEY.md §5.3): distributions sum to 1, Jaccard ∈ [0,1], splits are
+disjoint/exhaustive, mirrored edges are symmetric, the dense spine is
+complete, simhash fits its bit width.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.graph import edges_from_events, mirror
+from frauddetection_spark.plans.registry import load_all
+from frauddetection_spark.sources.tables import load_table
+
+REGISTRY = load_all()
+
+
+@pytest.mark.parametrize("name", ["q_sampling_weights", "q_edge_weights"])
+def test_probabilities_sum_to_one(name, spark, sf_dir):
+    # new_utlis_1.py:63-64 / new_utlis_2.py:111 normalize to Σp = 1
+    total = REGISTRY[name].fn(spark, sf_dir).agg(F.sum("prob")).first()[0]
+    assert abs(total - 1.0) < 1e-4  # probs are rounded to 6dp per row
+
+
+@pytest.mark.parametrize("name", ["q_shingle_jaccard", "q_dedup_minhash"])
+def test_jaccard_bounds(name, spark, sf_dir):
+    # src/utils.py:116 — Jaccard is a ratio of set sizes
+    row = (
+        REGISTRY[name]
+        .fn(spark, sf_dir)
+        .agg(F.min("jaccard"), F.max("jaccard"))
+        .first()
+    )
+    if row[0] is not None:
+        assert 0.0 <= row[0] and row[1] <= 1.0
+
+
+def test_minhash_candidates_subset_of_exact(spark, sf_dir):
+    # LSH output must be a subset of the exact inverted-index output
+    # (banding can only lose pairs, never invent them).
+    exact = REGISTRY["q_shingle_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = REGISTRY["q_dedup_minhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    assert lsh.exceptAll(exact).count() == 0
+
+
+def test_split_disjoint_exhaustive(spark, sf_dir):
+    counts = dict(
+        REGISTRY["q_split_stratified"]
+        .fn(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    customers = load_table(spark, sf_dir, "customer").count()
+    assert counts.get("train", 0) + counts.get("test", 0) == customers
+    # hash split should be near the 80/20 target
+    assert 0.6 <= counts.get("train", 0) / customers <= 0.95
+
+
+def test_mirror_symmetric(spark, sf_dir):
+    # main.py:102-110 — mirrored edge table equals its own transpose
+    e = mirror(edges_from_events(load_table(spark, sf_dir, "events")))
+    flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert e.exceptAll(flipped).count() == 0
+
+
+def test_dense_spine_complete(spark, sf_dir):
+    # data_process.py:159-169 — exactly |users| × |windows| rows
+    spine = REGISTRY["q_dense_spine"].fn(spark, sf_dir)
+    users = spine.select("user_id").distinct().count()
+    weeks = spine.select("week").distinct().count()
+    assert spine.count() == users * weeks
+
+
+def test_simhash_bit_width(spark, sf_dir):
+    row = (
+        REGISTRY["q_simhash"]
+        .fn(spark, sf_dir)
+        .agg(F.min("simhash"), F.max("simhash"))
+        .first()
+    )
+    assert row[0] >= 0 and row[1] < (1 << 32)
+
+
+def test_knn_is_symmetric_in_rank_quality(spark, sf_dir):
+    # rank-1 neighbor similarity must be >= rank-3 for every vec
+    knn = REGISTRY["q_knn_cosine"].fn(spark, sf_dir)
+    per = knn.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cos"))).alias("c1"),
+        F.max(F.when(F.col("rank") == 3, F.col("cos"))).alias("c3"),
+    )
+    assert per.filter(F.col("c1") < F.col("c3")).count() == 0

@@ -1,1 +1,254 @@
-"""Populated in a later phase."""
+"""Evaluation-metric queries (SURVEY.md §2.7 M5): confusion matrix,
+per-class + macro precision/recall/F1, rank-statistic ROC-AUC, and
+average precision — all as DataFrame aggregations, so the metric code
+itself is oracle-checked (the reference trusts sklearn,
+main.py:158-162 / new_utlis_1.py:35-50; we re-derive the formulas
+relationally and verify them against DuckDB).
+
+Fixture model: a deterministic "classifier" on the events users —
+score = error_share = n_errors / n_events (exact int division), label
+= n_errors ≥ 15 (same as queries/sampling.py), prediction = score ≥
+0.15. Score correlates with but does not determine the label, so the
+confusion matrix and AUC are non-degenerate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+ERROR_THRESHOLD = 15
+SCORE_THRESHOLD = 0.15
+
+_SQL_SCORED = f"""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    >= {ERROR_THRESHOLD} AS INTEGER) AS label,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS score
+        FROM events GROUP BY user_id
+"""
+
+
+def _scored(events: DataFrame) -> DataFrame:
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return events.groupBy("user_id").agg(
+        (n_err >= ERROR_THRESHOLD).cast("int").alias("label"),
+        (n_err.cast("double") / F.count("*")).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_metric_confusion",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED})
+    SELECT label,
+           CAST(score >= {SCORE_THRESHOLD} AS INTEGER) AS pred,
+           count(*) AS n
+    FROM s GROUP BY 1, 2 ORDER BY label, pred
+    """,
+    survey="M5,A11",
+)
+def q_metric_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix as a groupBy over (label, pred) — the primitive
+    every threshold metric derives from. One small shuffle."""
+    s = _scored(t(spark, sf_dir, "events"))
+    return (
+        s.withColumn("pred", (F.col("score") >= SCORE_THRESHOLD).cast("int"))
+        .groupBy("label", "pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-class + macro precision / recall / F1
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_metric_prf",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED}),
+    p AS (
+        SELECT label, CAST(score >= {SCORE_THRESHOLD} AS INTEGER) AS pred
+        FROM s
+    ),
+    per AS (
+        SELECT cls,
+               sum(CASE WHEN label = cls AND pred = cls THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN label != cls AND pred = cls THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN label = cls AND pred != cls THEN 1 ELSE 0 END) AS fn
+        FROM p CROSS JOIN (SELECT unnest([0, 1]) AS cls)
+        GROUP BY cls
+    )
+    SELECT cls,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM per ORDER BY cls
+    """,
+    survey="M5",
+)
+def q_metric_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 from exact TP/FP/FN counts
+    (macro = mean over this table's rows; reference prints sklearn's
+    macro scores, new_utlis_1.py:42-48). The class dimension comes
+    from an explode — no per-class query replays."""
+    s = _scored(t(spark, sf_dir, "events")).withColumn(
+        "pred", (F.col("score") >= SCORE_THRESHOLD).cast("int")
+    )
+    classes = s.crossJoin(
+        F.broadcast(
+            spark.range(2).select(F.col("id").cast("int").alias("cls"))
+        )
+    )
+    per = classes.groupBy("cls").agg(
+        F.sum(
+            F.when((F.col("label") == F.col("cls")) & (F.col("pred") == F.col("cls")), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when((F.col("label") != F.col("cls")) & (F.col("pred") == F.col("cls")), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when((F.col("label") == F.col("cls")) & (F.col("pred") != F.col("cls")), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return per.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        r6(tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision"),
+        r6(tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall"),
+        r6((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
+    ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via the Mann-Whitney rank statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_metric_auc",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED}),
+    ranked AS (
+        SELECT label,
+               rank() OVER (ORDER BY score)
+                 + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+        FROM s
+    ),
+    agg AS (
+        SELECT sum(CASE WHEN label = 1 THEN avg_rank ELSE 0 END) AS r_pos,
+               sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n_neg
+        FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+    FROM agg
+    """,
+    survey="M5",
+)
+def q_metric_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC without thresholds: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺·n⁻)
+    where R⁺ is the summed average-rank of positives (ties → midrank;
+    exact: ranks are half-integers, binary-exact doubles).
+
+    Scale note: the global rank is a total order — Spark computes it
+    with a single-partition window at this fixture size; the 100-TB
+    form buckets scores first (rank = bucket offset + within-bucket
+    rank, both distributed) since AUC only needs rank *sums*."""
+    s = _scored(t(spark, sf_dir, "events"))
+    ranked = s.select(
+        "label",
+        (
+            F.rank().over(Window.orderBy("score"))
+            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0)).alias("r_pos"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        r6(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# average precision (deterministic tie-break ranking)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_metric_ap",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED}),
+    ranked AS (
+        SELECT label,
+               row_number() OVER (ORDER BY score DESC, user_id) AS k,
+               sum(label) OVER (ORDER BY score DESC, user_id) AS cum_pos
+        FROM s
+    ),
+    terms AS (
+        SELECT CAST(round(CAST(cum_pos AS DOUBLE) / k * 1000000000)
+                    AS BIGINT) AS prec_q,
+               label
+        FROM ranked
+    )
+    SELECT round(CAST(sum(CASE WHEN label = 1 THEN prec_q ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(label) / 1000000000, 6) AS average_precision,
+           CAST(sum(label) AS BIGINT) AS n_pos
+    FROM terms
+    """,
+    survey="M5",
+)
+def q_metric_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision AP = Σ_k P(k)·rel(k) / n⁺ over the ranked
+    list (ties broken by user_id so the ranking is total and identical
+    everywhere). Per-term precisions are fixed-point-quantized before
+    the sum → exact-int accumulation, one final division."""
+    s = _scored(t(spark, sf_dir, "events"))
+    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
+    ranked = s.select(
+        "label",
+        F.row_number().over(w).alias("k"),
+        F.sum("label").over(w).alias("cum_pos"),
+    )
+    terms = ranked.select(
+        "label",
+        F.round(F.col("cum_pos").cast("double") / F.col("k") * 1_000_000_000)
+        .cast("bigint")
+        .alias("prec_q"),
+    )
+    return terms.agg(
+        r6(
+            F.sum(F.when(F.col("label") == 1, F.col("prec_q")).otherwise(0)).cast("double")
+            / F.sum("label")
+            / 1_000_000_000
+        ).alias("average_precision"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )

@@ -1,0 +1,191 @@
+"""Structured Streaming surface (SURVEY.md §2.8 E7, §1.3).
+
+The reference is batch-only; the engine exposes its windowed
+behavioral operators in streaming form over the CDR-shaped ``events``
+table: watermarked tumbling / sliding / session windows plus an
+``applyInPandasWithState`` custom stateful operator.
+
+Design:
+- The SAME window expressions serve batch and streaming — batch twins
+  in queries/streaming_twins.py are the oracle-checked definitions;
+  the streaming functions here reuse their grouping semantics, so a
+  backfill (batch) and the live path (stream) cannot disagree.
+- Watermark = late-event tolerance. State for a tumbling window is
+  dropped once `max(event time) - watermark` passes the window end —
+  bounded state at any scale.
+- File-source streaming reads the same parquet with the same pinned
+  schema (TIMESTAMP(NANOS) → int64 nanos → micros, exactly as
+  sources/tables.py does for batch).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WATERMARK = "10 minutes"
+
+# Raw arrival schema: ts is int64 nanos (nanosAsLong), as in batch.
+_RAW_EVENTS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events as an unbounded stream from the parquet file source.
+
+    Explicit schema (streaming sources cannot infer), nanos→micros
+    conversion identical to the batch loader."""
+    reader = (
+        spark.readStream.schema(_RAW_EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:
+    """Per-(hour, event_type) counts + exact-cents value sum, tolerant
+    of 10 minutes of event-time disorder. Streaming twin of
+    q_tumbling_counts."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / 100
+            ).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping windows — each event lands in size/slide windows.
+    Streaming twin of q_sliding_counts."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user activity sessions via native session_window (dynamic
+    gap-merged windows; state closes when the watermark passes
+    last-event + gap). Batch twin q_session_stats expresses the same
+    sessions as gaps-and-islands — parity is asserted in tests."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --- custom stateful operator (applyInPandasWithState) ---------------------
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("cents", LongType())]
+)
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_total", DoubleType()),
+    ]
+)
+
+
+def _running_totals_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
+    """Per-user running (count, exact-cents sum) across micro-batches."""
+    n, cents = state.get() if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        cents += int(round(float(pdf["value"].sum()) * 100))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "value_total": [cents / 100.0]}
+    )
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful aggregation: per-user lifetime totals,
+    emitted as an update stream every micro-batch. The state is two
+    int64s per user — the applyInPandasWithState pattern for operators
+    window aggs can't express (reference analogue: the per-user
+    accumulators data_process.py builds in driver dicts, :159-178)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a bounded stream into an in-memory table (tests / local
+    verification): availableNow processes all existing files then
+    stops — the streaming plan, executed to completion."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,78 @@
+"""Streaming path: the watermarked window operators must produce the
+same results as their oracle-checked batch twins when a bounded stream
+is drained to completion (availableNow), and the custom stateful
+operator must emit coherent per-user state.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frauddetection_spark.plans.registry import load_all
+from frauddetection_spark.sources.tables import load_table
+from frauddetection_spark.streaming.windows import (
+    run_to_memory,
+    running_totals,
+    session_stats,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+REGISTRY = load_all()
+
+
+def _drain(spark, sf_dir, build, name, mode="complete"):
+    df = build(stream_events(spark, sf_dir))
+    run_to_memory(df, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    got = _drain(spark, sf_dir, tumbling_counts, "t_tumbling")
+    want = REGISTRY["q_tumbling_counts"].fn(spark, sf_dir)
+    assert got.count() == want.count()
+    assert (
+        got.select("window_start", "event_type", "n", "value_sum")
+        .exceptAll(want.select("window_start", "event_type", "n", "value_sum"))
+        .count()
+        == 0
+    )
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    got = _drain(spark, sf_dir, sliding_counts, "t_sliding")
+    want = REGISTRY["q_sliding_counts"].fn(spark, sf_dir)
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
+    assert got.count() == want.count()
+
+
+def test_session_stream_matches_batch_islands(spark, sf_dir):
+    # native session_window (stream) ≡ gaps-and-islands (batch twin)
+    got = _drain(spark, sf_dir, session_stats, "t_sessions")
+    want = REGISTRY["q_session_stats"].fn(spark, sf_dir).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    got = _drain(spark, sf_dir, running_totals, "t_running", mode="update")
+    # one final state per user; totals must equal the batch aggregate
+    events = load_table(spark, sf_dir, "events")
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / 100
+        ).alias("value_total"),
+    )
+    # update-mode memory sink keeps every emission; take the last per user
+    latest = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_total").alias("value_total"),
+    )
+    assert latest.exceptAll(want).count() == 0
+    assert latest.count() == want.count()

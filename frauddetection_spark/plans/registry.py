@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.text",
     "frauddetection_spark.queries.similarity",
     "frauddetection_spark.queries.streaming_twins",
+    "frauddetection_spark.queries.python_surface",
 )
 
 

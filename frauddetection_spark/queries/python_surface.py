@@ -1,0 +1,131 @@
+"""Declared queries for the Python surface (SURVEY.md §2.8 E8 + the
+multimodal north-star): the pandas-UDF paths, oracle-checked where the
+kernel is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from frauddetection_spark.functions.multimodal import (
+    decode_media,
+    with_media_column,
+)
+from frauddetection_spark.functions.pandas_udfs import (
+    document_stats,
+    zscore_per_user,
+)
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import r6, t
+
+
+@register(
+    "q_pandas_udf_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT user_id,
+               CAST(sum(cents) AS DOUBLE) / count(*) AS mu,
+               CAST(sum(cents * cents) AS DOUBLE) / count(*)
+                 - (CAST(sum(cents) AS DOUBLE) / count(*))
+                   * (CAST(sum(cents) AS DOUBLE) / count(*)) AS var
+        FROM c GROUP BY user_id
+    )
+    SELECT c.event_id, c.user_id,
+           round(CASE WHEN m.var > 0
+                      THEN (c.cents - m.mu) / sqrt(m.var)
+                      ELSE 0 END, 6) AS zscore
+    FROM c JOIN m ON c.user_id = m.user_id
+    ORDER BY event_id
+    """,
+    survey="E8,A10",
+)
+def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score computed in an applyInPandas grouped-map UDF
+    (functions/pandas_udfs.py::zscore_group). The Python kernel uses
+    exact-int moments (Σc, Σc²), so it hash-matches the same formula in
+    SQL — proof the Arrow hop preserves the engine's determinism
+    policy. Built-in twin: q_zscore (A10, window functions)."""
+    events = t(spark, sf_dir, "events")
+    return (
+        zscore_per_user(events)
+        .select("event_id", "user_id", r6("zscore").alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_doc_stats_mapinpandas",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT doc_id, token AS top_token,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, token
+               ) AS rn
+        FROM counts
+    )
+    SELECT c.doc_id,
+           CAST(sum(c.cnt) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           any_value(tp.top_token) AS top_token
+    FROM counts c JOIN top tp ON c.doc_id = tp.doc_id AND tp.rn = 1
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    survey="E8,E4",
+)
+def q_doc_stats_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats via mapInPandas (batch-streaming, no
+    shuffle) with a deterministic top-token tie-break — the Python
+    partition-transform path, oracle-checked against the pure-SQL
+    equivalent."""
+    docs = t(spark, sf_dir, "documents")
+    return document_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS kind,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents ORDER BY doc_id
+    """,
+    survey="E8",
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary media column
+    (functions/multimodal.py data model). Metadata-only projection:
+    the binary payload is never deserialized (struct-field pruning) —
+    the property that makes 100-TB media tables queryable. ASCII
+    corpus → n_bytes equals n_chars and sha256(bytes)=sha256(text) in
+    the oracle."""
+    media = with_media_column(t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media.meta.kind").alias("kind"),
+        F.col("media.meta.n_bytes").alias("n_bytes"),
+        F.col("media.meta.sha").alias("sha"),
+    ).orderBy("doc_id")
+
+
+@register("q_multimodal_decode", oracle=None, survey="E8")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed media decode via mapInPandas with the deterministic
+    fake kernel (real decode is stubbed pending image libs —
+    functions/multimodal.py::decode_image). Rows-only: the kernel is
+    not SQL-expressible."""
+    media = with_media_column(t(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True).orderBy("doc_id")

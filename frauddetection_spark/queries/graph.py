@@ -179,3 +179,79 @@ def q_neighbor_avg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# M2 — multi-round feature propagation (oracle form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_propagate_2round",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    vals AS (
+        SELECT user_id AS id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100 AS val
+        FROM events GROUP BY user_id
+    ),
+    r1 AS (
+        SELECT e.dst AS id,
+               CAST(round(sum(v.val) / count(*) * 1000000) AS BIGINT) AS h1q
+        FROM edges e JOIN vals v ON e.src = v.id
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS id,
+               CAST(sum(r.h1q) AS DOUBLE) / count(*) / 1000000 AS h2
+        FROM edges e JOIN r1 r ON e.src = r.id
+        GROUP BY e.dst
+    )
+    SELECT r1.id AS node,
+           round(CAST(r1.h1q AS DOUBLE) / 1000000, 6) AS h1,
+           round(r2.h2, 6) AS h2
+    FROM r1 LEFT JOIN r2 ON r1.id = r2.id
+    ORDER BY node
+    """,
+    survey="M2,J5",
+)
+def q_propagate_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of mean-aggregate message passing (the relational
+    core of the reference's gated graph conv, layers.py:85-100 /
+    new_model_1.py:83-123; full pipeline in ml/pipeline.py). Round-1
+    outputs are fixed-point-quantized before round 2 so the composed
+    averages stay cross-engine exact. 2 join+agg shuffle pairs — the
+    K-round cost model the 100-TB path checkpoints between."""
+    events = t(spark, sf_dir, "events")
+    e = edges_from_events(events)
+    vals = events.groupBy(F.col("user_id").alias("id")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count("*")
+            / 100
+        ).alias("val")
+    )
+    r1 = (
+        e.join(vals.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(
+            F.round(F.sum("val") / F.count("*") * 1_000_000)
+            .cast("bigint")
+            .alias("h1q")
+        )
+    )
+    r2 = (
+        e.join(r1.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg((F.sum("h1q").cast("double") / F.count("*") / 1_000_000).alias("h2"))
+    )
+    return (
+        r1.join(r2, "id", "left")
+        .select(
+            F.col("id").alias("node"),
+            r6(F.col("h1q").cast("double") / 1_000_000).alias("h1"),
+            r6("h2").alias("h2"),
+        )
+        .orderBy("node")
+    )

@@ -22,7 +22,7 @@ Reference parity:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,21 +102,37 @@ def aggregate_messages(
     )
 
 
+BITMASK_MAX_CONTACTS = 4096  # 64 int64 words
+
+
 def common_neighbor_pairs(
     contacts: DataFrame,
     min_common: int = 1,
     max_contact_degree: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Pairs of users sharing ≥ min_common contacts (buildLSN,
-    data_process.py:20-48, live k=1 at :219-220).
+    data_process.py:20-48, live k=1 at :219-220). The reference's
+    O(n²·m) python loop, decorrelated. Two physical strategies:
 
-    The reference's O(n²·m) python loop becomes an inverted-index
-    self-join on contact: contacts(user, contact) ⋈ itself, user_a <
-    user_b, group-count. At scale the join explodes on hub contacts
-    (a contact shared by d users yields d² pair rows); hubs carry no
-    discriminative similarity, so `max_contact_degree` prunes them
-    before the join (documented semantic deviation, SURVEY §7
-    watch-list #3 — configurable, off by default for parity).
+    - ``inverted``: self-join on contact + pair-count — the sparse
+      path. Cost is Σ_c d(c)² intermediate rows, so it explodes when
+      contacts are hubs; `max_contact_degree` prunes hubs (documented
+      semantic deviation — configurable, off by default for parity).
+    - ``bitmask``: when the distinct-contact domain is small (≤4096),
+      encode each user's contact set as packed int64 words (bit_or
+      aggregate) and count pair overlaps with `bit_count(a & b)` —
+      no per-contact pair explosion at all; the pair space is the
+      user×user broadcast nested loop over tiny mask rows. This is
+      exactly the dense-domain regime where the inverted index is
+      quadratic-per-hub: 100 contacts shared by ~700 users each is
+      53M join rows inverted vs 1.1M cheap bitwise pairs masked.
+    - ``auto``: pick by a distinct-contact count (one cheap scalar
+      aggregate at plan time — an engine CBO decision driven by a
+      data statistic, not a guess).
+
+    Both strategies are semantically identical; the oracle twin pins
+    the semantics.
     """
     c = contacts.select(F.col("user").alias("u"), F.col("contact").alias("ct")).distinct()
     if max_contact_degree is not None:
@@ -127,6 +143,14 @@ def common_neighbor_pairs(
             .select("ct")
         )
         c = c.join(F.broadcast(keep), "ct")
+
+    if strategy == "auto":
+        n_contacts = c.select("ct").distinct().count()
+        strategy = "bitmask" if n_contacts <= BITMASK_MAX_CONTACTS else "inverted"
+
+    if strategy == "bitmask":
+        return _common_neighbors_bitmask(c, min_common)
+
     a = c.select(F.col("u").alias("user_a"), "ct")
     b = c.select(F.col("u").alias("user_b"), "ct")
     return (
@@ -135,4 +159,51 @@ def common_neighbor_pairs(
         .groupBy("user_a", "user_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
+    )
+
+
+def _common_neighbors_bitmask(c: DataFrame, min_common: int) -> DataFrame:
+    """Dense-domain strategy: contact sets as packed bit words.
+
+    One small broadcast (contact → dense bit index), one groupBy(user)
+    bit_or to build masks, then a self nested-loop join over mask rows
+    with pure codegen popcounts. No Σd² blowup: work is
+    O(|users|²·words), independent of hub degrees.
+    """
+    idx = (
+        c.select("ct")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("ct")) - 1,
+        )
+    )
+    n_words = (
+        idx.agg((F.floor(F.max("idx") / 64) + 1).alias("w")).first()[0] or 1
+    )
+    masked = c.join(F.broadcast(idx), "ct").select(
+        "u", (F.col("idx") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").alias("bit"),
+    )
+    masks = masked.groupBy("u").agg(
+        *[
+            F.bit_or(F.when(F.col("w") == w, F.col("bit")).otherwise(0)).alias(f"m{w}")
+            for w in range(int(n_words))
+        ]
+    )
+    a = masks.select(
+        F.col("u").alias("user_a"), *[F.col(f"m{w}").alias(f"a{w}") for w in range(int(n_words))]
+    )
+    b = masks.select(
+        F.col("u").alias("user_b"), *[F.col(f"m{w}").alias(f"b{w}") for w in range(int(n_words))]
+    )
+    overlap = None
+    for w in range(int(n_words)):
+        term = F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+        overlap = term if overlap is None else overlap + term
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .withColumn("n_common", overlap.cast("bigint"))
+        .filter(F.col("n_common") >= min_common)
+        .select("user_a", "user_b", "n_common")
     )

@@ -16,7 +16,7 @@ Design constraints:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Rolling hash h = h*31 + codepoint (mod p31): the engine's canonical
@@ -65,45 +65,81 @@ def rolling_hash_duckdb(col: str) -> str:
     )
 
 
-def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (doc_id, shingle).
+def token_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): per-position token hashes via a broadcast
+    dictionary of DISTINCT token hashes.
 
-    Map-side: split → transform over positions → explode → distinct
-    (the distinct shuffles on (doc_id, shingle) — unavoidable, it IS
-    the set semantics)."""
-    toks = F.split(F.col("text"), r"\s+")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-        ),
+    The char-fold rolling hash runs once per distinct token (a small
+    vocabulary), never per occurrence — at corpus scale this turns
+    ~10⁹ char folds into ~10⁵ plus a broadcast hash join."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
     )
-    return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+    th = (
+        tok.select("token")
         .distinct()
+        .withColumn("h", F.expr(rolling_hash_sql("token")))
     )
+    return tok.join(F.broadcast(th), "token").select("doc_id", "pos", "h")
 
 
-SQL_WORD_SHINGLES = r"""
-    SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(toks) - 1),
-               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
-           ))) AS shingle
-    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-          FROM documents)
+def word_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct hashed word k-shingles per document:
+    (doc_id, shingle: bigint).
+
+    shingle = ((h₁·31 + h₂)·31 + h₃) mod p over consecutive token
+    hashes (window leads, one shuffle on doc_id). Shingles are int64
+    keys from the start — every downstream join/shuffle moves 8-byte
+    ints instead of ~20-char strings. Hash collisions (p ≈ 2³⁰,
+    birthday ≈ 3 pairs per 2.5M shingles) are deterministic and
+    identical in the oracle twin."""
+    assert k == 3, "shingle combine is specialized to k=3"
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = token_hashes(docs).select(
+        "doc_id",
+        (
+            (
+                (F.col("h") * 31 + F.lead("h", 1).over(w)) * 31
+                + F.lead("h", 2).over(w)
+            )
+            % P31
+        ).alias("shingle"),
+    )
+    return sh.filter(F.col("shingle").isNotNull()).distinct()
+
+
+_SQL_TOKEN_HASHES = rf"""
+        SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS token
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+              FROM documents)
 """
 
+SQL_WORD_SHINGLES = rf"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               ((h * 31 + lead(h, 1) OVER w) * 31 + lead(h, 2) OVER w)
+                   % {P31} AS shingle
+        FROM (
+            SELECT tok.doc_id, tok.pos, th.h
+            FROM ({_SQL_TOKEN_HASHES}) tok
+            JOIN (
+                SELECT token, {{token_hash}} AS h
+                FROM (SELECT DISTINCT token FROM ({_SQL_TOKEN_HASHES}))
+            ) th USING (token)
+        )
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE shingle IS NOT NULL
+"""
+SQL_WORD_SHINGLES = SQL_WORD_SHINGLES.replace(
+    "{token_hash}", rolling_hash_duckdb("token")
+)
 
-def hashed_shingles(shingles: DataFrame) -> DataFrame:
-    """(doc_id, shingle) → (doc_id, h) with the rolling hash."""
-    return shingles.select(
-        "doc_id", F.expr(rolling_hash_sql("shingle")).alias("h")
-    )
 
-
-def minhash_signatures(hashed: DataFrame) -> DataFrame:
-    """MinHash: sig_i = min over shingles of (a_i*h + b_i) mod p,
-    i ∈ [0, N_HASHES). Returns (doc_id, i, sig).
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """MinHash over (doc_id, shingle:int64): sig_i = min over shingles
+    of (a_i·shingle + b_i) mod p, i ∈ [0, N_HASHES). Returns
+    (doc_id, i, sig).
 
     explode×16 then groupBy-min — partial aggregation (map-side
     combine) makes this one small shuffle keyed on (doc_id, i)."""
@@ -116,9 +152,13 @@ def minhash_signatures(hashed: DataFrame) -> DataFrame:
         ]
     )
     return (
-        hashed.select("doc_id", "h", F.explode(params).alias("p"))
+        shingles.select("doc_id", "shingle", F.explode(params).alias("p"))
         .groupBy("doc_id", F.col("p.i").alias("i"))
-        .agg(F.min((F.col("p.a") * F.col("h") + F.col("p.b")) % P_MH).alias("sig"))
+        .agg(
+            F.min((F.col("p.a") * F.col("shingle") + F.col("p.b")) % P_MH).alias(
+                "sig"
+            )
+        )
     )
 
 
@@ -207,11 +247,18 @@ def simhash(docs: DataFrame) -> DataFrame:
     token → rolling hash → per-bit ±count contributions (32 parallel
     sum-aggregates over array elements — stays columnar, one shuffle on
     doc_id) → sign → packed bigint. Returns (doc_id, simhash)."""
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    th = (
+        tok.select("token")
+        .distinct()
         .withColumn("h", F.expr(rolling_hash_sql("token")))
+    )
+    toks = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(th), "token")
     )
     contrib = toks.select(
         "doc_id",

@@ -10,7 +10,7 @@ engines run the *same* integer algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.textsim import (
@@ -20,7 +20,6 @@ from frauddetection_spark.operators.textsim import (
     SIMHASH_BITS,
     SQL_WORD_SHINGLES,
     exact_jaccard,
-    hashed_shingles,
     lsh_bands,
     lsh_candidates,
     minhash_signatures,
@@ -32,6 +31,8 @@ from frauddetection_spark.operators.vectors import (
     SQL_COS,
     SQL_QUANTIZED,
     cosine_pairs,
+    knn_topk_bruteforce,
+    neardup_pairs_bruteforce,
     quantize,
 )
 from frauddetection_spark.plans.registry import register
@@ -99,11 +100,21 @@ _SQL_JACCARD_TAIL = f"""
     "q_shingle_jaccard",
     oracle=f"""
     WITH sh AS ({SQL_WORD_SHINGLES}),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    ),
-    {_SQL_JACCARD_TAIL}
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b, m.n_common,
+           round(CAST(m.n_common AS DOUBLE)
+                 / (sa.n + sb.n - m.n_common), 6) AS jaccard
+    FROM common m
+    JOIN sz sa ON m.doc_a = sa.doc_id
+    JOIN sz sb ON m.doc_b = sb.doc_id
+    WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common)
+          >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
     """,
     survey="E2,J4",
 )
@@ -112,18 +123,33 @@ def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join (same decorrelation as J4's buildLSN —
     never all-pairs). Exact-int count arithmetic; one final division."""
     sh = word_shingles(t(spark, sf_dir, "documents"))
-    pairs = (
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
     )
     return (
-        exact_jaccard(pairs, sh)
-        .filter(F.col("jaccard") >= JACCARD_MIN)
+        jac.filter(F.col("jaccard") >= JACCARD_MIN)
         .select("doc_a", "doc_b", "n_common", r6("jaccard").alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -142,14 +168,13 @@ _SQL_MINHASH_PARAMS = ",\n        ".join(
     "q_dedup_minhash",
     oracle=f"""
     WITH sh AS ({SQL_WORD_SHINGLES}),
-    hs AS (SELECT doc_id, {rolling_hash_duckdb('shingle')} AS h FROM sh),
     params(i, a, b) AS (VALUES
         {_SQL_MINHASH_PARAMS}
     ),
     sigs AS (
         SELECT doc_id, p.i,
-               min((p.a * hs.h + p.b) % {P_MH}) AS sig
-        FROM hs CROSS JOIN params p GROUP BY 1, 2
+               min((p.a * sh.shingle + p.b) % {P_MH}) AS sig
+        FROM sh CROSS JOIN params p GROUP BY 1, 2
     ),
     bands AS (
         SELECT doc_id, i // {BAND_ROWS} AS band,
@@ -176,7 +201,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (bucket join), not O(n²)."""
     docs = t(spark, sf_dir, "documents")
     sh = word_shingles(docs)
-    cands = lsh_candidates(lsh_bands(minhash_signatures(hashed_shingles(sh))))
+    cands = lsh_candidates(lsh_bands(minhash_signatures(sh)))
     return (
         exact_jaccard(cands, sh)
         .filter(F.col("jaccard") >= JACCARD_MIN)
@@ -258,20 +283,10 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. O(n²·d): correct up to ~10⁵ vectors; beyond that use the
     LSH-bucketed variant (q_ann_lsh_ml) with this as the in-bucket
     rerank."""
-    q = quantize(t(spark, sf_dir, "embeddings"))
-    pairs = cosine_pairs(q, q).filter(F.col("id_a") != F.col("id_b"))
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            "rank",
-            F.col("id_b").alias("neighbor"),
-            r6("cos").alias("cos"),
-        )
-        .orderBy("vec_id", "rank")
-    )
+    knn = knn_topk_bruteforce(spark, t(spark, sf_dir, "embeddings"), k=KNN_K)
+    return knn.select(
+        "vec_id", "rank", "neighbor", r6("cos").alias("cos")
+    ).orderBy("vec_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -296,13 +311,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ 0.4 over unordered
     pairs. Same quantized machinery as q_knn_cosine."""
-    q = quantize(t(spark, sf_dir, "embeddings"))
-    return (
-        cosine_pairs(q, q)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("cos") >= NEARDUP_COS)
-        .select("id_a", "id_b", r6("cos").alias("cos"))
-        .orderBy("id_a", "id_b")
+    pairs = neardup_pairs_bruteforce(
+        spark, t(spark, sf_dir, "embeddings"), NEARDUP_COS
+    )
+    return pairs.select("id_a", "id_b", r6("cos").alias("cos")).orderBy(
+        "id_a", "id_b"
     )
 
 

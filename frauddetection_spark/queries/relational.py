@@ -738,3 +738,50 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 — CSV scan (explicit schema; interchange round-trip)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_csv",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS value_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="S1",
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with a REQUIRED explicit schema (reference:
+    pd.read_csv with inference, data_process.py:53-55 — engine policy
+    §1.2: never infer). The query re-exports events to CSV once (temp
+    dir keyed by sf), reads it back through sources/io.py::read_csv,
+    and aggregates; the oracle runs on the original parquet — matching
+    hashes prove the interchange is lossless."""
+    import os
+    import tempfile
+
+    from frauddetection_spark.sources.io import export_csv, read_csv
+    from frauddetection_spark.sources.tables import SCHEMAS
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"fd_spark_csv_{tag}", "events")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        export_csv(t(spark, sf_dir, "events"), path)
+    csv = read_csv(spark, path, SCHEMAS["events"])
+    return (
+        csv.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / 100
+            ).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,70 @@
+"""Sources & sinks beyond plain parquet reads (SURVEY.md §2.1 S1/S4 +
+the partitioned/bucketed layouts §4 calls for at 100 TB).
+
+Layout policy for big tables:
+- **Partition** by a low-cardinality pruning key (date, region): a
+  filtered read then scans only matching directories
+  (PartitionFilters in the plan — verified in tests/test_io.py).
+- **Bucket** by the dominant join/agg key: two tables bucketed on the
+  same key join with ZERO shuffle (no Exchange in the plan — also
+  verified). At 100 TB, pre-bucketing the events table on user_id
+  removes the biggest recurring shuffle in the behavioral-feature
+  queries.
+- CSV exists for interchange only (reference reads CSV,
+  data_process.py:53-55): always an explicit schema — inference is a
+  full extra scan and type-unstable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Directory-partitioned parquet sink. Caller picks partition keys
+    with enough files per partition to parallelize but few enough
+    directories to keep listings cheap (≲ 10⁴)."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a partitioned layout; partition columns come from the
+    directory structure and filters on them prune at planning time."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table (saveAsTable — bucketing
+    metadata lives in the session catalog). Joins/aggregations on
+    `bucket_by` between co-bucketed tables skip the shuffle."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
+def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (header, default quoting). Doubles round-trip via
+    Spark's shortest-repr writer."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """CSV scan with a REQUIRED explicit schema (S1; never infer —
+    inference is a full scan at 100 TB and is type-unstable)."""
+    return spark.read.schema(schema).option("header", "true").csv(path)

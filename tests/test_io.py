@@ -1,0 +1,77 @@
+"""Sink/layout behaviors that matter at 100 TB: partition pruning
+actually prunes (PartitionFilters), bucketed joins actually skip the
+shuffle (no Exchange), CSV round-trips values under an explicit
+schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frauddetection_spark.sources.io import (
+    export_csv,
+    read_csv,
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+from frauddetection_spark.sources.tables import SCHEMAS, load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "lineitem_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_partitioned(li, path, ["l_returnflag"])
+    back = read_partitioned(spark, path)
+    filtered = back.filter(F.col("l_returnflag") == "R")
+    plan = filtered._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan
+    # pruned read returns exactly the partition's rows
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert filtered.count() == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b",
+        "o_orderkey", 8,
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    # disable auto-broadcast so the test exercises the bucketed path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_csv_roundtrip_exact(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "events_csv")
+    events = load_table(spark, sf_dir, "events")
+    export_csv(events, path)
+    back = read_csv(spark, path, SCHEMAS["events"])
+    a = events.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.sum(F.unix_timestamp("ts")).alias("ts_sum"),
+    ).first()
+    b = back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        F.sum(F.unix_timestamp("ts")).alias("ts_sum"),
+    ).first()
+    assert (a.n, a.cents, a.ts_sum) == (b.n, b.cents, b.ts_sum)

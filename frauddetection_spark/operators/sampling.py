@@ -21,27 +21,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Knuth-style multiplicative hash, exact in int64 for keys < ~7e9.
-# Production splits use xxhash64(key, seed) (better avalanche, any
-# type); the multiplicative form is the oracle-portable twin.
-HASH_A = 2_654_435_761
+# Multiplicative hash over 31-bit key halves with sub-2^30 multipliers:
+# every intermediate stays < 2^62, so the arithmetic is exact int64 for
+# the FULL int64 key range (a single Knuth multiply overflows — and
+# under ANSI mode crashes — for keys ≥ ~3.5e9; found by the hypothesis
+# parity test). Production splits use xxhash64(key, seed) (better
+# avalanche, any type); this form is the oracle-portable twin.
+HASH_A1 = 999_999_937  # < 2^30, prime
+HASH_A2 = 998_244_353  # < 2^30, prime
+HASH_HALF = 1 << 31
 HASH_MOD = 1 << 32
 
 
 def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Column:
     """'train'/'test' by multiplicative hash — reproducible anywhere."""
-    h = (key.cast("bigint") * HASH_A + seed) % HASH_MOD
+    k = key.cast("bigint")
+    lo = F.pmod(k, F.lit(HASH_HALF))
+    hi = F.pmod(F.floor(k / HASH_HALF).cast("bigint"), F.lit(HASH_HALF))
+    h = F.pmod(lo * HASH_A1 + hi * HASH_A2 + seed, F.lit(HASH_MOD))
     return F.when(h < (HASH_MOD * train_pct) // 100, F.lit("train")).otherwise(
         F.lit("test")
     )
 
 
 def sql_portable_split(key: str, train_pct: int = 80, seed: int = 12_345) -> str:
-    """DuckDB twin of :func:`portable_split`."""
+    """DuckDB twin of :func:`portable_split` (DuckDB // floors like
+    Spark's floor-div; both pmods are on non-negative operands)."""
     thresh = (HASH_MOD * train_pct) // 100
+    k = f"CAST({key} AS BIGINT)"
+    lo = f"(({k} % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
+    hi = (
+        f"((CAST(floor({k} / {HASH_HALF}) AS BIGINT) % {HASH_HALF})"
+        f" + {HASH_HALF}) % {HASH_HALF}"
+    )
     return (
-        f"CASE WHEN (CAST({key} AS BIGINT) * {HASH_A} + {seed}) % {HASH_MOD}"
-        f" < {thresh} THEN 'train' ELSE 'test' END"
+        f"CASE WHEN ((({lo}) * {HASH_A1} + ({hi}) * {HASH_A2} + {seed})"
+        f" % {HASH_MOD}) < {thresh} THEN 'train' ELSE 'test' END"
     )
 
 

@@ -1,0 +1,82 @@
+"""Hypothesis property tests: cross-implementation parity of the
+engine's deterministic primitives (the hash family and fixed-point
+policy must agree between a pure-Python reference, the Spark
+expression, and — transitively, via the oracle suite — DuckDB).
+Each example batch runs ONE Spark job (hypothesis drives the data,
+not the job count).
+"""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.sampling import (
+    HASH_A1,
+    HASH_A2,
+    HASH_HALF,
+    HASH_MOD,
+    portable_split,
+)
+from frauddetection_spark.operators.textsim import P31, rolling_hash_sql
+
+TEXT = st.text(alphabet=string.printable.strip(), min_size=0, max_size=60)
+
+
+def _py_rolling_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % P31
+    return h
+
+
+def _py_split(key: int, train_pct: int = 80, seed: int = 12_345) -> str:
+    lo = key % HASH_HALF
+    hi = (key // HASH_HALF) % HASH_HALF
+    h = (lo * HASH_A1 + hi * HASH_A2 + seed) % HASH_MOD
+    return "train" if h < (HASH_MOD * train_pct) // 100 else "test"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TEXT, min_size=1, max_size=50))
+def test_rolling_hash_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = [r.h for r in df.select(F.expr(rolling_hash_sql("s")).alias("h")).collect()]
+    assert got == [_py_rolling_hash(t) for t in texts]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=50
+    )
+)
+def test_portable_split_matches_python(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = [
+        r.s for r in df.select(portable_split(F.col("k")).alias("s")).collect()
+    ]
+    assert got == [_py_split(k) for k in keys]
+
+
+def test_portable_split_ratio(spark):
+    # over a large sequential key range the hash split must land near
+    # the 80/20 target (multiplier is odd → full-period mod 2^32)
+    df = spark.range(0, 200_000).select(
+        portable_split(F.col("id")).alias("s")
+    )
+    frac = (
+        df.agg(F.avg((F.col("s") == "train").cast("double"))).first()[0]
+    )
+    assert 0.78 <= frac <= 0.82

@@ -502,3 +502,70 @@ def q_collect_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# M1/A1 — multi-scale windowed features in ONE pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multiscale_features",
+    oracle="""
+    WITH scaled AS (
+        SELECT e.user_id, s.scale,
+               CAST(floor(epoch(e.ts) / (s.scale * 604800))
+                    * (s.scale * 604800) AS BIGINT) AS window_start,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS scale) s
+    )
+    SELECT user_id, scale, window_start,
+           count(*) AS n,
+           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6) AS value_mean,
+           round(CAST(sum(cents * cents) AS DOUBLE) / count(*) / 10000
+                 - (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
+                   * (CAST(sum(cents) AS DOUBLE) / count(*) / 100), 6) + 0.0
+               AS value_var
+    FROM scaled
+    GROUP BY 1, 2, 3
+    ORDER BY user_id, scale, window_start
+    """,
+    survey="M1,A1,A2",
+)
+def q_multiscale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's central loop — `for scale in {1W,2W,3W,4W}:
+    re-group everything` (data_process.py:73-91) — collapsed into ONE
+    pass: explode a scale dimension, bucket by arithmetic epoch
+    division (window() durations must be literals; arithmetic
+    bucketing generalizes to a per-row scale), aggregate per (user,
+    scale, window). 4× the rows through one shuffle instead of 4
+    full re-scans; population variance via exact-int moments
+    (np.nanvar ddof=0 parity, SURVEY §7 watch-list #1)."""
+    e = t(spark, sf_dir, "events")
+    scaled = e.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(s) for s in (1, 2, 3, 4)])).alias("scale"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    ).withColumn(
+        "window_start",
+        (
+            F.floor(F.col("epoch_s") / (F.col("scale") * 604800))
+            * (F.col("scale") * 604800)
+        ).cast("bigint"),
+    )
+    n = F.count("*")
+    s1 = F.sum("cents").cast("double")
+    s2 = F.sum(F.col("cents") * F.col("cents")).cast("double")
+    return (
+        scaled.groupBy("user_id", "scale", "window_start")
+        .agg(
+            n.alias("n"),
+            r6(s1 / n / 100).alias("value_mean"),
+            # + 0.0 normalizes IEEE negative zero from the moment formula
+            (
+                r6(s2 / n / 10000 - (s1 / n / 100) * (s1 / n / 100)) + F.lit(0.0)
+            ).alias("value_var"),
+        )
+        .orderBy("user_id", "scale", "window_start")
+    )

@@ -38,9 +38,14 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="frauddetection-bench")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not first-touch costs.
+    # Warm the JVM + parquet footers + Arrow Python workers once so
+    # per-query numbers measure the plan, not first-touch costs.
     registry["q_scan_parquet"].fn(spark, sf_dir).collect()
+    import pandas as _pd
+
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

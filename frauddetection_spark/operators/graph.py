@@ -145,8 +145,15 @@ def common_neighbor_pairs(
         c = c.join(F.broadcast(keep), "ct")
 
     if strategy == "auto":
+        # the distinct contact set is re-read by whichever strategy
+        # runs — persist it so the stats probe and the chosen plan
+        # share one upstream scan (the JSON-extract over events is the
+        # expensive part, not the 10^4-row contact set)
+        c = c.persist()
         n_contacts = c.select("ct").distinct().count()
         strategy = "bitmask" if n_contacts <= BITMASK_MAX_CONTACTS else "inverted"
+        if strategy == "bitmask":
+            return _common_neighbors_bitmask(c, min_common, n_contacts)
 
     if strategy == "bitmask":
         return _common_neighbors_bitmask(c, min_common)
@@ -162,7 +169,9 @@ def common_neighbor_pairs(
     )
 
 
-def _common_neighbors_bitmask(c: DataFrame, min_common: int) -> DataFrame:
+def _common_neighbors_bitmask(
+    c: DataFrame, min_common: int, n_contacts: int | None = None
+) -> DataFrame:
     """Dense-domain strategy: contact sets as packed bit words.
 
     One small broadcast (contact → dense bit index), one groupBy(user)
@@ -178,9 +187,12 @@ def _common_neighbors_bitmask(c: DataFrame, min_common: int) -> DataFrame:
             F.row_number().over(Window.orderBy("ct")) - 1,
         )
     )
-    n_words = (
-        idx.agg((F.floor(F.max("idx") / 64) + 1).alias("w")).first()[0] or 1
-    )
+    if n_contacts is not None:
+        n_words = (n_contacts + 63) // 64
+    else:
+        n_words = (
+            idx.agg((F.floor(F.max("idx") / 64) + 1).alias("w")).first()[0] or 1
+        )
     masked = c.join(F.broadcast(idx), "ct").select(
         "u", (F.col("idx") / 64).cast("int").alias("w"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").alias("bit"),

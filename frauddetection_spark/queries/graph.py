@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.graph import (
     aggregate_messages,
+    clustering_coefficients,
     common_neighbor_pairs,
     degrees,
     edges_from_events,
@@ -255,3 +256,58 @@ def q_propagate_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient (reference per-slice feature)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_clustering_coeff",
+    oracle=f"""
+    WITH edges AS ({_SQL_EDGES}),
+    und AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src != dst GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcount AS (
+        SELECT node, count(*) AS triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS node, d.degree,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t ON d.node = t.node
+    ORDER BY d.node
+    """,
+    survey="J5,A2",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — the reference computes
+    this per user per window slice with networkx (nx.clustering,
+    data_process.py:147-148); here the whole graph's coefficients come
+    from one ordered wedge join + two aggregates (operators/graph.py::
+    clustering_coefficients), fully distributed."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    cc = clustering_coefficients(e)
+    return cc.select(
+        "node", "degree", "triangles", r6("clustering_coeff").alias("clustering_coeff")
+    ).orderBy("node")

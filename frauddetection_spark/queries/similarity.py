@@ -364,3 +364,32 @@ def q_ann_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.select(
         "id_a", "id_b", r6("cos").alias("cos"), r6("euclid").alias("euclid")
     ).orderBy("id_a", "id_b")
+
+
+@register("q_dedup_minhash_ml", oracle=None, survey="E2")
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via the MLlib path (SURVEY E2's alternate
+    route: HashingTF over shingle tokens → MinHashLSH →
+    approxSimilarityJoin on Jaccard distance ≤ 0.8). Engine-private
+    hash seeds → rows-only; the deterministic twin (q_dedup_minhash)
+    pins the semantics. Exercises the sparse-vector MLlib surface."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(t(spark, sf_dir, "documents"))
+    docs = sh.groupBy("doc_id").agg(
+        F.collect_list(F.col("shingle").cast("string")).alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            r6(1 - F.col("jaccard_dist")).alias("jaccard_approx"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )

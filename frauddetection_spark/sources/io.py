@@ -52,6 +52,17 @@ def write_bucketed(
     """Bucketed + sorted managed table (saveAsTable — bucketing
     metadata lives in the session catalog). Joins/aggregations on
     `bucket_by` between co-bucketed tables skip the shuffle."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # a managed-table location can outlive the catalog entry (new
+        # session, old warehouse dir) — clear both before writing
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+        if os.path.exists(loc):
+            import shutil
+
+            shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
     if sort_by:
         w = w.sortBy(sort_by)

@@ -91,3 +91,19 @@ def test_knn_is_symmetric_in_rank_quality(spark, sf_dir):
         F.max(F.when(F.col("rank") == 3, F.col("cos"))).alias("c3"),
     )
     assert per.filter(F.col("c1") < F.col("c3")).count() == 0
+
+
+def test_ivf_never_beats_exact(spark, sf_dir):
+    # an ANN rank-1 similarity can never exceed the exact rank-1
+    exact = (
+        REGISTRY["q_knn_cosine"].fn(spark, sf_dir)
+        .filter("rank = 1")
+        .select("vec_id", F.col("cos").alias("exact_cos"))
+    )
+    ivf = (
+        REGISTRY["q_ann_ivf"].fn(spark, sf_dir)
+        .filter("rank = 1")
+        .select("vec_id", F.col("cos").alias("ivf_cos"))
+    )
+    j = exact.join(ivf, "vec_id")
+    assert j.filter(F.col("ivf_cos") > F.col("exact_cos") + 1e-9).count() == 0

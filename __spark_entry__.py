@@ -18,9 +18,11 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 shape, SURVEY.md §2 A2) on sf0.001."""
+    """Flagship: the reference's entire per-user/per-week behavioral
+    ETL (data_process.py:114-158) as one declarative pass
+    (q_behavioral_features) on sf0.001."""
     registry = load_all()
-    return registry["q_groupby_agg"].fn(spark, _SMOKE_SF_DIR)
+    return registry["q_behavioral_features"].fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

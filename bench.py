@@ -18,6 +18,7 @@ from frauddetection_spark.session import get_spark
 # Headline set: one per operator family, weighted toward shuffle-heavy
 # shapes where the engine's plan quality actually matters.
 HEADLINE = [
+    "q_behavioral_features",
     "q_groupby_agg",
     "q_join_inner",
     "q_topk",

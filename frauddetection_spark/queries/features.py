@@ -569,3 +569,153 @@ def q_multiscale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "scale", "window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP — the reference's per-user/per-week ETL as ONE pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_behavioral_features",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               event_type,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               event_id,
+               json_extract_string(props, '$.k') AS contact
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, week,
+               epoch_s - lag(epoch_s) OVER (
+                   PARTITION BY user_id, week ORDER BY epoch_s, event_id
+               ) AS gap_s
+        FROM base
+    ),
+    gagg AS (
+        SELECT user_id, week,
+               CAST(sum(gap_s) AS BIGINT) AS gap_sum,
+               CAST(count(gap_s) AS BIGINT) AS gap_n
+        FROM gaps GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT user_id, week,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error,
+               count(DISTINCT contact) AS n_contacts,
+               count(DISTINCT hour) AS n_active_hours,
+               round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6)
+                   AS value_mean,
+               round(CAST(sum(cents * cents) AS DOUBLE) / count(*) / 10000
+                     - (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
+                       * (CAST(sum(cents) AS DOUBLE) / count(*) / 100), 6)
+                   + 0.0 AS value_var
+        FROM base GROUP BY 1, 2
+    ),
+    hour_mode AS (
+        SELECT user_id, week, hour AS peak_hour FROM (
+            SELECT user_id, week, hour, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY user_id, week
+                       ORDER BY count(*) DESC, hour
+                   ) AS rn
+            FROM base GROUP BY 1, 2, 3
+        ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.week, a.n_events, a.n_purchase, a.n_error,
+           a.n_contacts, a.n_active_hours, a.value_mean, a.value_var,
+           h.peak_hour,
+           round(CASE WHEN g.gap_n > 0
+                      THEN CAST(g.gap_sum AS DOUBLE) / g.gap_n
+                      ELSE 0.0 END, 6) AS mean_gap_s
+    FROM agg a
+    JOIN hour_mode h ON a.user_id = h.user_id AND a.week = h.week
+    JOIN gagg g ON a.user_id = g.user_id AND a.week = g.week
+    ORDER BY a.user_id, a.week
+    """,
+    survey="A1,A2,A3,A6,A8,P4,S5",
+)
+def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: the reference's entire per-slice feature loop
+    (data_process.py:114-158 — counts, duration stats, contact
+    nunique, hour distribution mode, inter-event gaps, computed
+    per-user per-week in nested python loops over materialized
+    slices) as ONE declarative pass: a window for gaps, one wide
+    grouped aggregation, one mode-ranking — ~3 shuffles total on
+    (user, week), whatever the number of weeks. The shape that turns
+    a driver-RAM pandas job into a 100-TB plan."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        week_str().alias("week"),
+        "event_type",
+        F.hour("ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "event_id",
+        F.get_json_object("props", "$.k").alias("contact"),
+    )
+    w_gap = Window.partitionBy("user_id", "week").orderBy("epoch_s", "event_id")
+    gaps = base.withColumn(
+        "gap_s", F.col("epoch_s") - F.lag("epoch_s").over(w_gap)
+    )
+    n = F.count("*")
+    s1 = F.sum("cents").cast("double")
+    s2 = F.sum(F.col("cents") * F.col("cents")).cast("double")
+    agg = gaps.groupBy("user_id", "week").agg(
+        n.alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_error"),
+        F.countDistinct("contact").alias("n_contacts"),
+        F.countDistinct("hour").alias("n_active_hours"),
+        r6(s1 / n / 100).alias("value_mean"),
+        (r6(s2 / n / 10000 - (s1 / n / 100) * (s1 / n / 100)) + F.lit(0.0)).alias(
+            "value_var"
+        ),
+        F.sum("gap_s").cast("bigint").alias("gap_sum"),
+        F.count("gap_s").cast("bigint").alias("gap_n"),
+    )
+    w_mode = Window.partitionBy("user_id", "week").orderBy(
+        F.col("c").desc(), F.col("hour")
+    )
+    hour_mode = (
+        base.groupBy("user_id", "week", "hour")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "week", F.col("hour").alias("peak_hour"))
+    )
+    return (
+        agg.join(hour_mode, ["user_id", "week"])
+        .select(
+            "user_id",
+            "week",
+            "n_events",
+            "n_purchase",
+            "n_error",
+            "n_contacts",
+            "n_active_hours",
+            "value_mean",
+            "value_var",
+            "peak_hour",
+            r6(
+                F.when(
+                    F.col("gap_n") > 0,
+                    F.col("gap_sum").cast("double") / F.col("gap_n"),
+                ).otherwise(0.0)
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("user_id", "week")
+    )

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: the properties that make these
+queries scale are asserted, not assumed. A change that silently turns
+a broadcast join into a sort-merge join, loses a parquet pushdown, or
+adds a shuffle to a map-only stage fails here before it costs hours on
+a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frauddetection_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_join_inner_broadcasts_dims(spark, sf_dir):
+    plan = _executed(REGISTRY["q_join_inner"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_agg_pushes_filter_and_prunes(spark, sf_dir):
+    df = REGISTRY["q_groupby_agg"].fn(spark, sf_dir)
+    plan = _optimized(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the scan must not read all 10 lineitem columns
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_partial_aggregation_is_map_side(spark, sf_dir):
+    # two HashAggregates around one Exchange = map-side combine
+    plan = _executed(REGISTRY["q_groupby_agg"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_quality_filter_is_map_only(spark, sf_dir):
+    # q_text_quality is pure per-row array math — no Exchange at all
+    # before the final presentation sort
+    plan = _executed(REGISTRY["q_text_quality"].fn(spark, sf_dir))
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_lang_id_profile_join_is_broadcast(spark, sf_dir):
+    plan = _executed(REGISTRY["q_lang_id"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_common_neighbor_bitmask_has_no_pair_shuffle(spark, sf_dir):
+    # dense-domain strategy: the pair join must be a nested-loop over
+    # broadcast masks, not an Exchange of 53M inverted-index rows
+    plan = _executed(REGISTRY["q_join_common_neighbor"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark, sf_dir):
+    df = REGISTRY["q_behavioral_features"].fn(spark, sf_dir)
+    df.count()  # materialize so AQE finalizes the physical plan
+    plan = _executed(df)
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan

@@ -66,7 +66,8 @@ def test_common_neighbor_bitmask_has_no_pair_shuffle(spark, sf_dir):
 
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
     df = REGISTRY["q_behavioral_features"].fn(spark, sf_dir)
-    df.count()  # materialize so AQE finalizes the physical plan
+    df.collect()  # materialize so AQE finalizes the physical plan
     plan = _executed(df)
     assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan
+    # codegen stages print as "*(n) Operator" in the final plan
+    assert "*(" in plan

@@ -852,3 +852,85 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# J3 — as-of join (purchase → last click attribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_asof_attribution",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+        SELECT p.event_id, p.user_id, p.epoch_s,
+               c.event_id AS click_event_id, c.epoch_s AS click_epoch_s,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.epoch_s DESC, c.event_id DESC
+               ) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.epoch_s <= p.epoch_s
+    )
+    SELECT event_id, user_id, epoch_s,
+           click_event_id, click_epoch_s,
+           epoch_s - click_epoch_s AS gap_s
+    FROM ranked WHERE rn = 1
+    ORDER BY event_id
+    """,
+    survey="J3",
+)
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the user's most recent
+    click at-or-before it (reference analogue: recall_rate's
+    'later event from the same counterparty' existence scan,
+    src/utils.py:180-187 — generalized to value-carrying as-of).
+
+    The oracle twin states the semantics as the naive inequality join
+    + argmax; the Spark plan is the union-tag-window form
+    (operators/asof.py) — ONE shuffle on user_id, linear in events,
+    no per-key pair explosion. Same answer, cluster-safe plan."""
+    from frauddetection_spark.operators.asof import asof_last_before
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "epoch_s"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id"),
+            "user_id",
+            "epoch_s",
+            F.col("event_id").alias("click_event_id"),
+            F.col("epoch_s").alias("click_epoch_s"),
+        )
+    )
+    out = asof_last_before(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="epoch_s",
+        right_cols=["click_event_id", "click_epoch_s"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "epoch_s",
+        F.col("asof_click_event_id").alias("click_event_id"),
+        F.col("asof_click_epoch_s").alias("click_epoch_s"),
+        (F.col("epoch_s") - F.col("asof_click_epoch_s")).alias("gap_s"),
+    ).orderBy("event_id")

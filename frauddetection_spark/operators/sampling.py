@@ -83,3 +83,30 @@ def normalized_probability(df: DataFrame, raw_col: str) -> DataFrame:
     return df.crossJoin(F.broadcast(total)).withColumn(
         "prob", F.col(raw_col).cast("double") / F.col("_total")
     ).drop("_total")
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    cents_col: str,
+    salt_col: Column,
+    n_salts: int = 8,
+):
+    """Skew-safe two-phase aggregation: groupBy(keys ⊕ salt) partial
+    sums, then groupBy(keys) recombine. A hot key's rows land on
+    n_salts reducers instead of one — the manual form of AQE's skew
+    split, usable when a single group exceeds one executor's memory
+    (e.g. one user with 10⁹ events at 100 TB).
+
+    Only algebraic aggregates recombine (sum/count/min/max); the
+    caller supplies an exact-int cents column per the determinism
+    policy. Returns (keys..., cents_sum, n)."""
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn("_salt", F.pmod(salt_col, F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(cents_col).alias("_s"), F.count("*").alias("_c")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_s").alias("cents_sum"), F.sum("_c").alias("n")
+    )

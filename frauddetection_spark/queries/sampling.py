@@ -270,3 +270,38 @@ def q_weighted_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.orderBy("draw_key").limit(50).select(
         "user_id", "label", "degree", "prob"
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-safe aggregation (salting) — semantics-preserving by oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="A2",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/sampling.py::
+    salted_sum_count) vs the oracle's PLAIN group-by — hash-matching
+    proves salting is semantics-preserving. event_type is the
+    demonstration hot key (5 values over 10⁵⁺ rows: exactly the
+    all-keys-are-hot shape where a single-phase agg funnels each key
+    through one reducer)."""
+    from frauddetection_spark.operators.sampling import salted_sum_count
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_sum_count(
+        e, ["event_type"], "cents", salt_col=F.col("event_id"), n_salts=8
+    )
+    return out.select(
+        "event_type", F.col("cents_sum").cast("bigint"), F.col("n")
+    ).orderBy("event_type")

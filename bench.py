@@ -48,14 +48,20 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Two timed runs per query, report the min: the shared host shows
+    # 2-5x run-to-run noise, and the steady-state plan cost is what the
+    # benchmark is meant to measure.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
-        start = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            start = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     out = {

@@ -189,3 +189,32 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_stream(
+    spark: SparkSession, sf_dir: str, labels: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the live event stream with a static
+    dimension (per-user labels). The static side re-resolves per
+    micro-batch; Spark broadcasts it when small — the standard pattern
+    for slowly-changing dims under streaming."""
+    return stream_events(spark, sf_dir).join(labels, "user_id", "left")
+
+
+def run_foreach_batch(
+    df: DataFrame, sink: list, output_mode: str = "update"
+) -> None:
+    """foreachBatch sink: hand each micro-batch DataFrame to arbitrary
+    batch logic (upserts, multi-sink fanout — everything writeStream
+    formats can't express). Bounded drain via availableNow."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink.append((batch_id, batch_df.count()))
+
+    q = (
+        df.writeStream.foreachBatch(handle)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -76,3 +76,29 @@ def test_stateful_running_totals(spark, sf_dir):
     )
     assert latest.exceptAll(want).count() == 0
     assert latest.count() == want.count()
+
+
+def test_stream_static_join_enriches(spark, sf_dir):
+    from frauddetection_spark.queries.sampling import _labels
+    from frauddetection_spark.streaming.windows import enriched_stream
+
+    labels = _labels(load_table(spark, sf_dir, "events"))
+    enriched = enriched_stream(spark, sf_dir, labels).groupBy("label").count()
+    run_to_memory(enriched, "t_enriched")
+    got = spark.table("t_enriched")
+    want = (
+        load_table(spark, sf_dir, "events")
+        .join(labels, "user_id", "left")
+        .groupBy("label")
+        .count()
+    )
+    assert got.exceptAll(want).count() == 0 and got.count() == want.count()
+
+
+def test_foreach_batch_sees_all_rows(spark, sf_dir):
+    from frauddetection_spark.streaming.windows import run_foreach_batch
+
+    sink = []
+    run_foreach_batch(stream_events(spark, sf_dir), sink, output_mode="append")
+    total = sum(n for _, n in sink)
+    assert total == load_table(spark, sf_dir, "events").count()

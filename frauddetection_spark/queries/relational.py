@@ -934,3 +934,44 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_click_epoch_s").alias("click_epoch_s"),
         (F.col("epoch_s") - F.col("asof_click_epoch_s")).alias("gap_s"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# A6/A13 — pivot (long → wide)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A6,A13",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot on a KNOWN value domain (reference: the 24-bin
+    hour distribution widened to columns, src/utils.py:94-106).
+    Passing explicit pivot values skips the extra distinct-values scan
+    Spark otherwise runs — at 100 TB always enumerate the domain."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    e = t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0)
+    )
+    return wide.select(
+        "user_id", *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds]
+    ).orderBy("user_id")

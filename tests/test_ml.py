@@ -47,3 +47,10 @@ def test_persistence_roundtrip(dataset, spark):
     a = model.transform(test).select("user_id", "prediction")
     b = restored.transform(test).select("user_id", "prediction")
     assert a.exceptAll(b).count() == 0
+
+
+def test_gbt_classifier_trains(dataset):
+    ds, cols = dataset
+    model = train(ds, cols, classifier="gbt")
+    metrics = evaluate(model, ds)
+    assert metrics["auc"] > 0.6, metrics

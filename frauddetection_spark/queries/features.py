@@ -47,13 +47,13 @@ def _counterparty(df: DataFrame) -> DataFrame:
         FROM events
     )
     SELECT event_id, user_id,
-           round(CAST(sum(vc) OVER w AS DOUBLE) / count(*) OVER w / 100, 6)
+           CAST(sum(vc) OVER w AS DOUBLE) / count(*) OVER w / 100
                AS week_avg_value,
            count(*) OVER w AS week_n_events,
-           round((sum(vc * vc) OVER w
-                  - CAST(sum(vc) OVER w * sum(vc) OVER w AS DOUBLE)
-                    / count(*) OVER w)
-                 / count(*) OVER w / 10000, 6) AS week_var_value
+           (CAST(sum(vc * vc) OVER w AS DOUBLE)
+            - CAST(sum(vc) OVER w * sum(vc) OVER w AS DOUBLE)
+              / count(*) OVER w)
+           / count(*) OVER w / 10000 AS week_var_value
     FROM e
     WINDOW w AS (PARTITION BY user_id, {_WEEK})
     """,
@@ -72,12 +72,14 @@ def q_window_agg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = F.sum("vc").over(w)
     svv = F.sum(F.col("vc") * F.col("vc")).over(w)
     n = F.count("*").over(w)
+    # unrounded: exact-int-derived doubles are bit-equal across engines;
+    # round(x, 6) itself diverges at .5e-6 boundaries (sf0.1 sweep)
     return e.select(
         "event_id",
         "user_id",
-        r6(sv.cast("double") / n / 100).alias("week_avg_value"),
+        (sv.cast("double") / n / 100).alias("week_avg_value"),
         n.alias("week_n_events"),
-        r6((svv - (sv * sv).cast("double") / n) / n / 10000).alias("week_var_value"),
+        ((svv.cast("double") - (sv * sv).cast("double") / n) / n / 10000).alias("week_var_value"),
     )
 
 
@@ -91,15 +93,20 @@ def q_window_agg_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_day AS (
         SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-               avg(value) AS day_avg,
-               quantile_cont(value, 0.5) AS day_median,
+               CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS DOUBLE) / count(*) / 100 * 1000000)
+                    AS BIGINT) AS day_avg_q,
+               CAST(round(quantile_cont(value, 0.5) * 1000000)
+                    AS BIGINT) AS day_med_q,
                count(*) AS day_n
         FROM events GROUP BY user_id, day
     )
     SELECT user_id,
-           round(avg(day_avg), 6) AS mean_of_day_means,
-           round(avg(day_median), 6) AS mean_of_day_medians,
-           round(avg(day_n), 6) AS mean_daily_events,
+           CAST(sum(day_avg_q) AS DOUBLE) / count(*) / 1000000
+               AS mean_of_day_means,
+           CAST(sum(day_med_q) AS DOUBLE) / count(*) / 1000000
+               AS mean_of_day_medians,
+           CAST(sum(day_n) AS DOUBLE) / count(*) AS mean_daily_events,
            count(*) AS n_active_days
     FROM per_day GROUP BY user_id ORDER BY user_id
     """,
@@ -111,18 +118,35 @@ def q_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(user); both levels partial-aggregate map-side and the outer
     reuses the inner's hash partitioning on user_id (no extra shuffle
     of the full fact)."""
+    # Per-day stats are quantized to fixed-point int64 (millionths)
+    # before the outer mean: a float sum over per-day doubles is
+    # summation-order-dependent across engines, an int sum is not.
     e = t(spark, sf_dir, "events").withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     per_day = e.groupBy("user_id", "day").agg(
-        F.avg("value").alias("day_avg"),
-        F.percentile("value", 0.5).alias("day_median"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count("*")
+            / 100
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("day_avg_q"),
+        F.round(F.percentile("value", 0.5) * 1_000_000)
+        .cast("bigint")
+        .alias("day_med_q"),
         F.count("*").alias("day_n"),
     )
+    n = F.count("*")
     return (
         per_day.groupBy("user_id")
         .agg(
-            r6(F.avg("day_avg")).alias("mean_of_day_means"),
-            r6(F.avg("day_median")).alias("mean_of_day_medians"),
-            r6(F.avg("day_n")).alias("mean_daily_events"),
+            (F.sum("day_avg_q").cast("double") / n / 1_000_000).alias(
+                "mean_of_day_means"
+            ),
+            (F.sum("day_med_q").cast("double") / n / 1_000_000).alias(
+                "mean_of_day_medians"
+            ),
+            (F.sum("day_n").cast("double") / n).alias("mean_daily_events"),
             F.count("*").alias("n_active_days"),
         )
         .orderBy("user_id")
@@ -521,10 +545,10 @@ def q_collect_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, scale, window_start,
            count(*) AS n,
-           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6) AS value_mean,
-           round(CAST(sum(cents * cents) AS DOUBLE) / count(*) / 10000
-                 - (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
-                   * (CAST(sum(cents) AS DOUBLE) / count(*) / 100), 6) + 0.0
+           CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS value_mean,
+           CAST(sum(cents * cents) AS DOUBLE) / count(*) / 10000
+               - (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
+                 * (CAST(sum(cents) AS DOUBLE) / count(*) / 100) + 0.0
                AS value_var
     FROM scaled
     GROUP BY 1, 2, 3
@@ -561,10 +585,10 @@ def q_multiscale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled.groupBy("user_id", "scale", "window_start")
         .agg(
             n.alias("n"),
-            r6(s1 / n / 100).alias("value_mean"),
-            # + 0.0 normalizes IEEE negative zero from the moment formula
+            (s1 / n / 100).alias("value_mean"),
+            # unrounded (exact-int-derived); + 0.0 normalizes IEEE -0.0
             (
-                r6(s2 / n / 10000 - (s1 / n / 100) * (s1 / n / 100)) + F.lit(0.0)
+                s2 / n / 10000 - (s1 / n / 100) * (s1 / n / 100) + F.lit(0.0)
             ).alias("value_var"),
         )
         .orderBy("user_id", "scale", "window_start")
@@ -612,11 +636,10 @@ def q_multiscale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_error,
                count(DISTINCT contact) AS n_contacts,
                count(DISTINCT hour) AS n_active_hours,
-               round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 6)
-                   AS value_mean,
-               round(CAST(sum(cents * cents) AS DOUBLE) / count(*) / 10000
-                     - (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
-                       * (CAST(sum(cents) AS DOUBLE) / count(*) / 100), 6)
+               CAST(sum(cents) AS DOUBLE) / count(*) / 100 AS value_mean,
+               CAST(sum(cents * cents) AS DOUBLE) / count(*) / 10000
+                   - (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
+                     * (CAST(sum(cents) AS DOUBLE) / count(*) / 100)
                    + 0.0 AS value_var
         FROM base GROUP BY 1, 2
     ),
@@ -633,9 +656,9 @@ def q_multiscale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.user_id, a.week, a.n_events, a.n_purchase, a.n_error,
            a.n_contacts, a.n_active_hours, a.value_mean, a.value_var,
            h.peak_hour,
-           round(CASE WHEN g.gap_n > 0
-                      THEN CAST(g.gap_sum AS DOUBLE) / g.gap_n
-                      ELSE 0.0 END, 6) AS mean_gap_s
+           CASE WHEN g.gap_n > 0
+                THEN CAST(g.gap_sum AS DOUBLE) / g.gap_n
+                ELSE 0.0 END AS mean_gap_s
     FROM agg a
     JOIN hour_mode h ON a.user_id = h.user_id AND a.week = h.week
     JOIN gagg g ON a.user_id = g.user_id AND a.week = g.week
@@ -680,8 +703,10 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_error"),
         F.countDistinct("contact").alias("n_contacts"),
         F.countDistinct("hour").alias("n_active_hours"),
-        r6(s1 / n / 100).alias("value_mean"),
-        (r6(s2 / n / 10000 - (s1 / n / 100) * (s1 / n / 100)) + F.lit(0.0)).alias(
+        # unrounded: exact-int-derived doubles are bit-equal across
+        # engines; round(x, 6) itself diverges at .5e-6 boundaries
+        (s1 / n / 100).alias("value_mean"),
+        (s2 / n / 10000 - (s1 / n / 100) * (s1 / n / 100) + F.lit(0.0)).alias(
             "value_var"
         ),
         F.sum("gap_s").cast("bigint").alias("gap_sum"),
@@ -710,12 +735,10 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_mean",
             "value_var",
             "peak_hour",
-            r6(
-                F.when(
-                    F.col("gap_n") > 0,
-                    F.col("gap_sum").cast("double") / F.col("gap_n"),
-                ).otherwise(0.0)
-            ).alias("mean_gap_s"),
+            F.when(
+                F.col("gap_n") > 0,
+                F.col("gap_sum").cast("double") / F.col("gap_n"),
+            ).otherwise(0.0).alias("mean_gap_s"),
         )
         .orderBy("user_id", "week")
     )

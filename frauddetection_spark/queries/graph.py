@@ -98,13 +98,14 @@ def q_join_common_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH edges AS ({_SQL_EDGES}),
     node_vals AS (
         SELECT user_id AS id,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                   / count(*) / 100 AS val
+               CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS DOUBLE) / count(*) / 100 * 1000000)
+                    AS BIGINT) AS val_q
         FROM events GROUP BY user_id
     )
     SELECT e.dst AS node,
-           round(sum(v.val), 6) AS msg_sum,
-           round(sum(v.val) / count(*), 6) AS msg_avg,
+           CAST(sum(v.val_q) AS DOUBLE) / 1000000 AS msg_sum,
+           CAST(sum(v.val_q) AS DOUBLE) / count(*) / 1000000 AS msg_avg,
            count(*) AS n_msgs
     FROM edges e JOIN node_vals v ON e.src = v.id
     GROUP BY e.dst ORDER BY node
@@ -119,22 +120,26 @@ def q_graph_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     GraphFrames-style aggregateMessages primitive."""
     events = t(spark, sf_dir, "events")
     e = edges_from_events(events)
+    # node values quantized to int64 millionths: summing doubles across
+    # neighbors is summation-order-dependent; summing ints is not
     node_vals = (
         events.groupBy(F.col("user_id").alias("id"))
         .agg(
-            (
+            F.round(
                 F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
                 / F.count("*")
                 / 100
-            ).alias("val")
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("val_q")
         )
     )
-    agg = aggregate_messages(e, node_vals, id_col="id", value_col="val")
-    # msg_avg recomputed as sum/count for cross-engine determinism
+    agg = aggregate_messages(e, node_vals, id_col="id", value_col="val_q")
     return agg.select(
         "node",
-        r6("msg_sum").alias("msg_sum"),
-        r6(F.col("msg_sum") / F.col("n_msgs")).alias("msg_avg"),
+        (F.col("msg_sum").cast("double") / 1_000_000).alias("msg_sum"),
+        (F.col("msg_sum").cast("double") / F.col("n_msgs") / 1_000_000).alias("msg_avg"),
         "n_msgs",
     ).orderBy("node")
 
@@ -193,13 +198,15 @@ def q_neighbor_avg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH edges AS ({_SQL_EDGES}),
     vals AS (
         SELECT user_id AS id,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                   / count(*) / 100 AS val
+               CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS DOUBLE) / count(*) / 100 * 1000000)
+                    AS BIGINT) AS val_q
         FROM events GROUP BY user_id
     ),
     r1 AS (
         SELECT e.dst AS id,
-               CAST(round(sum(v.val) / count(*) * 1000000) AS BIGINT) AS h1q
+               CAST(round(CAST(sum(v.val_q) AS DOUBLE) / count(*))
+                    AS BIGINT) AS h1q
         FROM edges e JOIN vals v ON e.src = v.id
         GROUP BY e.dst
     ),
@@ -210,8 +217,8 @@ def q_neighbor_avg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.dst
     )
     SELECT r1.id AS node,
-           round(CAST(r1.h1q AS DOUBLE) / 1000000, 6) AS h1,
-           round(r2.h2, 6) AS h2
+           CAST(r1.h1q AS DOUBLE) / 1000000 AS h1,
+           r2.h2 AS h2
     FROM r1 LEFT JOIN r2 ON r1.id = r2.id
     ORDER BY node
     """,
@@ -226,18 +233,23 @@ def q_propagate_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-round cost model the 100-TB path checkpoints between."""
     events = t(spark, sf_dir, "events")
     e = edges_from_events(events)
+    # quantize at every level: int sums are order-independent, and
+    # scale-0 rounding of identical doubles is exact in both engines
     vals = events.groupBy(F.col("user_id").alias("id")).agg(
-        (
+        F.round(
             F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
             / F.count("*")
             / 100
-        ).alias("val")
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("val_q")
     )
     r1 = (
         e.join(vals.withColumnRenamed("id", "src"), "src")
         .groupBy(F.col("dst").alias("id"))
         .agg(
-            F.round(F.sum("val") / F.count("*") * 1_000_000)
+            F.round(F.sum("val_q").cast("double") / F.count("*"))
             .cast("bigint")
             .alias("h1q")
         )
@@ -251,8 +263,8 @@ def q_propagate_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1.join(r2, "id", "left")
         .select(
             F.col("id").alias("node"),
-            r6(F.col("h1q").cast("double") / 1_000_000).alias("h1"),
-            r6("h2").alias("h2"),
+            (F.col("h1q").cast("double") / 1_000_000).alias("h1"),
+            F.col("h2").alias("h2"),
         )
         .orderBy("node")
     )

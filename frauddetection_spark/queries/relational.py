@@ -417,13 +417,13 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, l_linestatus,
            CAST(sum(q) AS DOUBLE) AS sum_qty,
-           round(CAST(sum(pc) AS DOUBLE) / 100, 6) AS sum_base_price,
-           round(CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000, 6) AS sum_disc_price,
-           round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS avg_qty,
-           round(CAST(sum(pc) AS DOUBLE) / count(*) / 100, 6) AS avg_price,
-           round(CAST(sum(dc) AS DOUBLE) / count(*) / 100, 6) AS avg_disc,
-           round((sum(q * q) - CAST(sum(q) * sum(q) AS DOUBLE) / count(*))
-                 / count(*), 6) AS var_qty,
+           CAST(sum(pc) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(pc * (100 - dc)) AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(sum(q) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(pc) AS DOUBLE) / count(*) / 100 AS avg_price,
+           CAST(sum(dc) AS DOUBLE) / count(*) / 100 AS avg_disc,
+           (CAST(sum(q * q) AS DOUBLE)
+            - CAST(sum(q) * sum(q) AS DOUBLE) / count(*)) / count(*) AS var_qty,
            count(*) AS count_order
     FROM li
     GROUP BY l_returnflag, l_linestatus
@@ -455,13 +455,24 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # no round(): every value is an identical-IEEE-ops function
+            # of exact int64 sums, so the doubles are bit-equal across
+            # engines — while round(x, 6) itself DIVERGES at .5e-6
+            # boundaries (Spark BigDecimal HALF_UP vs DuckDB float
+            # multiply). Found by the sf0.1 oracle sweep.
             F.sum("q").cast("double").alias("sum_qty"),
-            r6(F.sum("pc").cast("double") / 100).alias("sum_base_price"),
-            r6(F.sum(F.col("pc") * (100 - F.col("dc"))).cast("double") / 10000).alias("sum_disc_price"),
-            r6(F.sum("q").cast("double") / n).alias("avg_qty"),
-            r6(F.sum("pc").cast("double") / n / 100).alias("avg_price"),
-            r6(F.sum("dc").cast("double") / n / 100).alias("avg_disc"),
-            r6((F.sum(F.col("q") * F.col("q")) - (F.sum("q") * F.sum("q")).cast("double") / n) / n).alias("var_qty"),
+            (F.sum("pc").cast("double") / 100).alias("sum_base_price"),
+            (F.sum(F.col("pc") * (100 - F.col("dc"))).cast("double") / 10000).alias("sum_disc_price"),
+            (F.sum("q").cast("double") / n).alias("avg_qty"),
+            (F.sum("pc").cast("double") / n / 100).alias("avg_price"),
+            (F.sum("dc").cast("double") / n / 100).alias("avg_disc"),
+            (
+                (
+                    F.sum(F.col("q") * F.col("q")).cast("double")
+                    - (F.sum("q") * F.sum("q")).cast("double") / n
+                )
+                / n
+            ).alias("var_qty"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

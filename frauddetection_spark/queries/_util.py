@@ -14,8 +14,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def r6(c: Column | str) -> Column:
-    """Round a float column to 6 decimals (summation-order tolerance —
-    both oracle twins round identically, SURVEY.md §5)."""
+    """Round a float column to 6 decimals in BOTH twins.
+
+    CAVEAT (sf0.1 sweep finding): round(x, 6) is itself a divergence
+    source — Spark (BigDecimal HALF_UP) and DuckDB (float multiply)
+    disagree at .5e-6 boundaries even on identical doubles. Prefer:
+    exact-int-derived values → emit UNROUNDED (identical doubles
+    format identically); order-dependent float sums → quantize
+    intermediates to int64 (scale-0 rounding IS exact in both
+    engines). r6 remains only where an expression's value is identical
+    across engines and far from boundaries in the test data; verify
+    any new use at sf0.1, not just sf0.01."""
     return F.round(F.col(c) if isinstance(c, str) else c, 6)
 
 

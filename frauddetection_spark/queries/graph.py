@@ -323,3 +323,97 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         "node", "degree", "triangles", r6("clustering_coeff").alias("clustering_coeff")
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# J5 — edge-weighted message passing (u_mul_e)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_aggregate_weighted",
+    oracle=f"""
+    WITH pair_events AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purchase,
+               count(*) AS n
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    weighted_edges AS (
+        SELECT src, dst,
+               CASE WHEN 2 * n_purchase >= n THEN 1 ELSE -1 END AS w
+        FROM pair_events
+    ),
+    node_vals AS (
+        SELECT user_id AS id,
+               CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT))
+                               AS DOUBLE) / count(*) / 100 * 1000000)
+                    AS BIGINT) AS val_q
+        FROM events GROUP BY user_id
+    )
+    SELECT e.dst AS node,
+           CAST(sum(e.w * v.val_q) AS DOUBLE) / 1000000 AS wmsg_sum,
+           CAST(sum(CASE WHEN e.w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos_edges,
+           count(*) AS n_msgs
+    FROM weighted_edges e JOIN node_vals v ON e.src = v.id
+    GROUP BY e.dst ORDER BY node
+    """,
+    survey="J5,P9",
+)
+def q_graph_aggregate_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted message passing — DGL's update_all(u_mul_e, sum)
+    with learned edge gates (new_model_2.py:27-30,156-161; signed
+    calltype weights data_process.py:102-106 / B9). Edge weight ±1 by
+    the pair's majority event type (deterministic integer rule); the
+    message is weight × quantized source value. Same two-shuffle
+    join+agg shape as the unweighted form, with the weight living as
+    an edge-table column — 'edge data' in the engine is just columns
+    on the edge list."""
+    events = t(spark, sf_dir, "events")
+    pair = (
+        events.filter(F.get_json_object("props", "$.k").isNotNull())
+        .groupBy(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n_purchase"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+    weighted = pair.select(
+        "src",
+        "dst",
+        F.when(2 * F.col("n_purchase") >= F.col("n"), 1).otherwise(-1).alias("w"),
+    )
+    node_vals = events.groupBy(F.col("user_id").alias("id")).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count("*")
+            / 100
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("val_q")
+    )
+    msgs = weighted.join(node_vals.withColumnRenamed("id", "src"), "src")
+    return (
+        msgs.groupBy(F.col("dst").alias("node"))
+        .agg(
+            (F.sum(F.col("w") * F.col("val_q")).cast("double") / 1_000_000).alias(
+                "wmsg_sum"
+            ),
+            F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos_edges"),
+            F.count("*").alias("n_msgs"),
+        )
+        .orderBy("node")
+    )

@@ -200,3 +200,67 @@ def train_and_evaluate(
     dataset.persist()
     model = train(dataset, cols, classifier=classifier)
     return evaluate(model, dataset)
+
+
+def train_weighted(
+    dataset: DataFrame,
+    feature_cols: list[str],
+    spark: SparkSession,
+    sf_dir: str,
+):
+    """M4 with R2's sampling distribution as weightCol: instead of the
+    reference's per-batch weighted draws (np.random.choice(p=node_prob),
+    new_train_1.py:156 — a driver-side RNG loop), the weights enter the
+    loss directly and training stays one distributed fit."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    from frauddetection_spark.queries.sampling import q_sampling_weights
+
+    weights = q_sampling_weights(spark, sf_dir).select(
+        "user_id", F.col("prob").alias("weight")
+    )
+    ds = dataset.join(weights, "user_id", "left").na.fill({"weight": 0.0})
+    asm = VectorAssembler(
+        inputCols=feature_cols, outputCol="raw_features", handleInvalid="keep"
+    )
+    scaler = StandardScaler(inputCol="raw_features", outputCol="features")
+    clf = LogisticRegression(
+        featuresCol="features", labelCol="label", weightCol="weight"
+    )
+    pipe = Pipeline(stages=[asm, scaler, clf])
+    return pipe.fit(ds.filter(F.col("split") == "train").na.fill(0.0)), ds
+
+
+def train_with_validation(dataset: DataFrame, feature_cols: list[str]):
+    """M6: best-by-validation selection (reference: checkpoint best
+    val-AUC then restore, new_train_3.py:207-215,231-238) via
+    TrainValidationSplit over a small regularization grid — model
+    selection and persistence handled by MLlib instead of a manual
+    checkpoint loop."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    asm = VectorAssembler(
+        inputCols=feature_cols, outputCol="raw_features", handleInvalid="keep"
+    )
+    scaler = StandardScaler(inputCol="raw_features", outputCol="features")
+    clf = LogisticRegression(featuresCol="features", labelCol="label")
+    pipe = Pipeline(stages=[asm, scaler, clf])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(clf.regParam, [0.0, 0.01, 0.1])
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol="label"),
+        trainRatio=0.75,
+        seed=42,
+    )
+    return tvs.fit(dataset.filter(F.col("split") == "train").na.fill(0.0))

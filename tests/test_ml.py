@@ -54,3 +54,22 @@ def test_gbt_classifier_trains(dataset):
     model = train(ds, cols, classifier="gbt")
     metrics = evaluate(model, ds)
     assert metrics["auc"] > 0.6, metrics
+
+
+def test_weighted_training(dataset, spark, sf_dir):
+    from frauddetection_spark.ml.pipeline import train_weighted
+
+    ds, cols = dataset
+    model, weighted_ds = train_weighted(ds, cols, spark, sf_dir)
+    metrics = evaluate(model, weighted_ds)
+    assert metrics["auc"] > 0.6, metrics
+
+
+def test_validation_split_selects_model(dataset):
+    from frauddetection_spark.ml.pipeline import train_with_validation
+
+    ds, cols = dataset
+    tvs_model = train_with_validation(ds, cols)
+    assert len(tvs_model.validationMetrics) == 3
+    best = evaluate(tvs_model.bestModel, ds)
+    assert best["auc"] > 0.6, best

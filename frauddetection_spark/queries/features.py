@@ -742,3 +742,55 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "week")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis — ordered event-sequence conversion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+           CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+    survey="A8,P9",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: users whose FIRST signup precedes
+    their first subsequent click precedes their first subsequent
+    purchase — sequence analytics over event streams (the behavioral-
+    order primitive behind the reference's callback-rate features,
+    src/utils.py:180-210, generalized to N stages). One conditional-
+    min aggregation per user, one global rollup: two shuffles, no
+    self-joins, no explosion at any scale."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step1 = F.col("t_signup").isNotNull()
+    step2 = step1 & (F.col("t_click") > F.col("t_signup"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(step1.cast("int")).cast("bigint").alias("n_signup"),
+        F.sum(step2.cast("int")).cast("bigint").alias("n_signup_click"),
+        F.sum(step3.cast("int")).cast("bigint").alias("n_full_funnel"),
+    )

@@ -298,3 +298,48 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_FP_SPARK).alias("fingerprint"),
         F.length("text").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# E4 — n-gram extraction via the MLlib feature path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ngrams",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        FROM documents
+    ),
+    ng AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok
+    )
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM ng GROUP BY bigram
+    HAVING count(*) >= 20
+    ORDER BY bigram
+    """,
+    survey="E4",
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts through the MLlib feature path
+    (Tokenizer → NGram — the ml.feature route SURVEY E4 names), then
+    plain explode + groupBy. NGram is deterministic, so even the
+    MLlib-transformer output oracle-checks. Frequent-n-gram mining is
+    the vocabulary-induction primitive for tokenizer training."""
+    from pyspark.ml.feature import NGram, Tokenizer
+
+    docs = t(spark, sf_dir, "documents")
+    tok = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
+    ng = NGram(n=2, inputCol="toks", outputCol="bigrams").transform(tok)
+    return (
+        ng.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n") >= 20)
+        .orderBy("bigram")
+    )

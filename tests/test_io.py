@@ -75,3 +75,23 @@ def test_csv_roundtrip_exact(spark, sf_dir, tmp_path):
         F.sum(F.unix_timestamp("ts")).alias("ts_sum"),
     ).first()
     assert (a.n, a.cents, a.ts_sum) == (b.n, b.cents, b.ts_sum)
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    from frauddetection_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1"
+    )
+    want = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count()
+    assert {(r.l_returnflag, r.n) for r in got.collect()} == {
+        (r.l_returnflag, r["count"]) for r in want.collect()
+    }
+
+
+def test_load_table_rejects_unknown(spark, sf_dir):
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        load_table(spark, sf_dir, "nonexistent_table")

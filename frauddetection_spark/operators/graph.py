@@ -131,9 +131,13 @@ def common_neighbor_pairs(
       aggregate at plan time — an engine CBO decision driven by a
       data statistic, not a guess).
 
-    Both strategies are semantically identical; the oracle twin pins
-    the semantics.
+    Both strategies are semantically identical for min_common ≥ 1 (the
+    join-based inverted path cannot observe zero-overlap pairs, so
+    min_common=0 is rejected rather than silently strategy-dependent);
+    the oracle twin pins the semantics.
     """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1 (0 would be strategy-dependent)")
     c = contacts.select(F.col("user").alias("u"), F.col("contact").alias("ct")).distinct()
     if max_contact_degree is not None:
         keep = (
@@ -148,7 +152,9 @@ def common_neighbor_pairs(
         # the distinct contact set is re-read by whichever strategy
         # runs — persist it so the stats probe and the chosen plan
         # share one upstream scan (the JSON-extract over events is the
-        # expensive part, not the 10^4-row contact set)
+        # expensive part, not the 10^4-row contact set). The cache is
+        # deliberately not unpersisted here: the returned plan still
+        # references it; Spark's LRU reclaims it under pressure.
         c = c.persist()
         n_contacts = c.select("ct").distinct().count()
         strategy = "bitmask" if n_contacts <= BITMASK_MAX_CONTACTS else "inverted"
@@ -188,7 +194,7 @@ def _common_neighbors_bitmask(
         )
     )
     if n_contacts is not None:
-        n_words = (n_contacts + 63) // 64
+        n_words = max(1, (n_contacts + 63) // 64)
     else:
         n_words = (
             idx.agg((F.floor(F.max("idx") / 64) + 1).alias("w")).first()[0] or 1

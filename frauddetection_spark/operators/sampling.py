@@ -34,10 +34,15 @@ HASH_MOD = 1 << 32
 
 
 def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Column:
-    """'train'/'test' by multiplicative hash — reproducible anywhere."""
+    """'train'/'test' by multiplicative hash — reproducible anywhere.
+
+    The high half is an arithmetic right shift (k >> 31) — exact
+    floor division by 2³¹ for the FULL signed int64 range in Spark,
+    DuckDB, and Python alike. A float floor-div here silently corrupts
+    keys ≥ 2⁵³ (double precision), which a code review caught."""
     k = key.cast("bigint")
     lo = F.pmod(k, F.lit(HASH_HALF))
-    hi = F.pmod(F.floor(k / HASH_HALF).cast("bigint"), F.lit(HASH_HALF))
+    hi = F.pmod(F.shiftright(k, 31), F.lit(HASH_HALF))
     h = F.pmod(lo * HASH_A1 + hi * HASH_A2 + seed, F.lit(HASH_MOD))
     return F.when(h < (HASH_MOD * train_pct) // 100, F.lit("train")).otherwise(
         F.lit("test")
@@ -45,15 +50,12 @@ def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Colu
 
 
 def sql_portable_split(key: str, train_pct: int = 80, seed: int = 12_345) -> str:
-    """DuckDB twin of :func:`portable_split` (DuckDB // floors like
-    Spark's floor-div; both pmods are on non-negative operands)."""
+    """DuckDB twin of :func:`portable_split` (DuckDB's ``>>`` on
+    BIGINT is the same arithmetic floor shift)."""
     thresh = (HASH_MOD * train_pct) // 100
     k = f"CAST({key} AS BIGINT)"
     lo = f"(({k} % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
-    hi = (
-        f"((CAST(floor({k} / {HASH_HALF}) AS BIGINT) % {HASH_HALF})"
-        f" + {HASH_HALF}) % {HASH_HALF}"
-    )
+    hi = f"((({k} >> 31) % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
     return (
         f"CASE WHEN ((({lo}) * {HASH_A1} + ({hi}) * {HASH_A2} + {seed})"
         f" % {HASH_MOD}) < {thresh} THEN 'train' ELSE 'test' END"

@@ -238,27 +238,23 @@ def exact_jaccard(
 
 # --- SimHash -----------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 30 informative bits: token hashes are mod P31 < 2^30, so bits 30+
+# of h are always zero — a wider signature would carry dead bits
+# (code-review finding; the oracle twin shares the constant).
+SIMHASH_BITS = 30
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """Per-doc 32-bit SimHash over whitespace tokens weighted by count.
+    """Per-doc 30-bit SimHash over whitespace tokens weighted by count.
 
-    token → rolling hash → per-bit ±count contributions (32 parallel
-    sum-aggregates over array elements — stays columnar, one shuffle on
-    doc_id) → sign → packed bigint. Returns (doc_id, simhash)."""
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
-    )
-    th = (
-        tok.select("token")
-        .distinct()
-        .withColumn("h", F.expr(rolling_hash_sql("token")))
-    )
+    token → rolling hash (via the shared token_hashes dictionary) →
+    per-bit ±count contributions (parallel sum-aggregates — stays
+    columnar, one shuffle on doc_id) → sign → packed bigint.
+    Returns (doc_id, simhash)."""
     toks = (
-        tok.groupBy("doc_id", "token")
+        token_hashes(docs)
+        .groupBy("doc_id", "h")
         .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(th), "token")
     )
     contrib = toks.select(
         "doc_id",

@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 QUANT = 10_000
 
 
+def _quant_np(m):
+    """numpy fixed-point quantization matching Spark/DuckDB round()
+    (half away from zero, NOT numpy's half-to-even)."""
+    import numpy as np
+
+    s = m.astype("float64") * QUANT
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype("int64")
+
+
 def quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Add int64 fixed-point vector `qv` and its exact squared norm
     `n2` (map-only; |x|·QUANT ≤ ~10⁸ keeps x² sums far inside int64)."""
@@ -95,12 +104,7 @@ def knn_topk_bruteforce(
         StructType,
     )
 
-    def _quant(m):
-        s = m.astype(np.float64) * QUANT
-        return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(
-            np.int64
-        )
-
+    _quant = _quant_np
     rows = emb.select("vec_id", vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = _quant(np.array([r[1] for r in rows]))
@@ -167,12 +171,7 @@ def neardup_pairs_bruteforce(
         StructType,
     )
 
-    def _quant(m):
-        s = m.astype(np.float64) * QUANT
-        return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(
-            np.int64
-        )
-
+    _quant = _quant_np
     rows = emb.select("vec_id", vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = _quant(np.array([r[1] for r in rows]))

@@ -80,7 +80,7 @@ def test_simhash_bit_width(spark, sf_dir):
         .agg(F.min("simhash"), F.max("simhash"))
         .first()
     )
-    assert row[0] >= 0 and row[1] < (1 << 32)
+    assert row[0] >= 0 and row[1] < (1 << 30)
 
 
 def test_knn_is_symmetric_in_rank_quality(spark, sf_dir):
@@ -107,3 +107,41 @@ def test_ivf_never_beats_exact(spark, sf_dir):
     )
     j = exact.join(ivf, "vec_id")
     assert j.filter(F.col("ivf_cos") > F.col("exact_cos") + 1e-9).count() == 0
+
+
+def test_asof_carries_latest_row_atomically(spark):
+    # code-review regression: a NULL in the latest right row must be
+    # carried as NULL (not back-filled from an older row), and columns
+    # must never mix across right rows
+    from frauddetection_spark.operators.asof import asof_last_before
+
+    left = spark.createDataFrame([(1, 3, 100)], ["k", "ts", "event_id"])
+    right = spark.createDataFrame(
+        [(1, 1, 1, 5, 7), (1, 2, 2, None, 9)],
+        "k long, ts long, event_id long, v long, w long",
+    )
+    out = asof_last_before(
+        left, right, key="k", ts="ts", right_cols=["v", "w"]
+    ).collect()[0]
+    assert out.asof_v is None  # latest row's NULL, not the older 5
+    assert out.asof_w == 9  # same (latest) row's w
+
+
+def test_asof_rejects_column_collision(spark):
+    from frauddetection_spark.operators.asof import asof_last_before
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 3, 10)], ["k", "ts", "price"])
+    right = spark.createDataFrame([(1, 1, 20)], ["k", "ts", "price"])
+    with _pytest.raises(ValueError):
+        asof_last_before(left, right, key="k", ts="ts", right_cols=["price"])
+
+
+def test_common_neighbors_rejects_min_common_zero(spark, sf_dir):
+    from frauddetection_spark.operators.graph import common_neighbor_pairs
+    from frauddetection_spark.sources.tables import load_table
+    import pytest as _pytest
+
+    contacts = spark.createDataFrame([(1, 2)], ["user", "contact"])
+    with _pytest.raises(ValueError):
+        common_neighbor_pairs(contacts, min_common=0)

@@ -102,3 +102,32 @@ def test_foreach_batch_sees_all_rows(spark, sf_dir):
     run_foreach_batch(stream_events(spark, sf_dir), sink, output_mode="append")
     total = sum(n for _, n in sink)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_checkpoint_recovery(spark, sf_dir, tmp_path):
+    # a checkpointed query drains, stops, and a restart from the same
+    # checkpoint reprocesses nothing (offsets are durable)
+    from frauddetection_spark.streaming.windows import tumbling_counts
+
+    ckpt = str(tmp_path / "ckpt")
+    df = tumbling_counts(stream_events(spark, sf_dir))
+
+    def run_once(name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    q1 = run_once("t_ckpt_a")
+    n1 = spark.table("t_ckpt_a").count()
+    assert n1 > 0
+    # restart: same checkpoint, no new files → zero new input rows
+    q2 = run_once("t_ckpt_b")
+    progress = q2.lastProgress
+    assert progress is None or progress["numInputRows"] == 0

@@ -166,7 +166,7 @@ def q_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id, hour_of_day
     )
     SELECT user_id, hour_of_day,
-           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id), 6) AS share
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id) AS share
     FROM c ORDER BY user_id, hour_of_day
     """,
     survey="A6",
@@ -184,7 +184,7 @@ def q_histogram_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "user_id",
             "hour_of_day",
-            r6(F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
+            (F.col("n").cast("double") / F.sum("n").over(w)).alias("share"),
         )
         .orderBy("user_id", "hour_of_day")
     )
@@ -260,7 +260,7 @@ def q_share_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6, 6) AS mean_gap_sec,
+           CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1e6 AS mean_gap_sec,
            count(gap_us) AS n_gaps
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY user_id ORDER BY user_id
@@ -282,7 +282,7 @@ def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         g.groupBy("user_id")
         .agg(
-            r6(F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6).alias("mean_gap_sec"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us") / 1e6).alias("mean_gap_sec"),
             F.count("gap_us").alias("n_gaps"),
         )
         .orderBy("user_id")
@@ -310,8 +310,8 @@ def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sets
     )
     SELECT user_id, week,
-           round(CAST(len(list_intersect(cur, prev)) AS DOUBLE)
-                 / len(list_distinct(cur || prev)), 6) AS jaccard,
+           CAST(len(list_intersect(cur, prev)) AS DOUBLE)
+               / len(list_distinct(cur || prev)) AS jaccard,
            CAST(len(cur) AS BIGINT) AS n_contacts
     FROM lagged WHERE prev IS NOT NULL
     ORDER BY user_id, week
@@ -338,7 +338,7 @@ def q_jaccard_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "user_id",
         "week",
-        r6(
+        (
             F.size(F.array_intersect("cur", "prev")).cast("double")
             / F.size(F.array_union("cur", "prev"))
         ).alias("jaccard"),
@@ -366,10 +366,10 @@ def q_jaccard_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c WINDOW w AS (PARTITION BY c_nationkey)
     )
     SELECT c_custkey, c_nationkey,
-           round(CASE WHEN svv - CAST(sv * sv AS DOUBLE) / n > 0
-                      THEN (bc - CAST(sv AS DOUBLE) / n)
-                           / sqrt((svv - CAST(sv * sv AS DOUBLE) / n) / n)
-                      ELSE 0.0 END, 6) AS acctbal_z
+           CASE WHEN svv - CAST(sv * sv AS DOUBLE) / n > 0
+                THEN (bc - CAST(sv AS DOUBLE) / n)
+                     / sqrt((svv - CAST(sv * sv AS DOUBLE) / n) / n)
+                ELSE 0.0 END AS acctbal_z
     FROM s ORDER BY c_custkey
     """,
     survey="A10",
@@ -391,7 +391,7 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        r6(F.when(var > 0, z).otherwise(F.lit(0.0))).alias("acctbal_z"),
+        F.when(var > 0, z).otherwise(F.lit(0.0)).alias("acctbal_z"),
     ).orderBy("c_custkey")
 
 
@@ -405,11 +405,11 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT event_type, count(*) AS n,
-               round(avg(CASE WHEN value > 150 THEN 1.0 ELSE 0.0 END), 6) AS high_rate
+               avg(CASE WHEN value > 150 THEN 1.0 ELSE 0.0 END) AS high_rate
         FROM events GROUP BY event_type
     )
     SELECT event_type, n, high_rate,
-           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS type_share
+           CAST(n AS DOUBLE) / sum(n) OVER () AS type_share
     FROM c ORDER BY event_type
     """,
     survey="A11",
@@ -422,14 +422,14 @@ def q_class_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     c = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        r6(F.avg(F.when(F.col("value") > 150, 1.0).otherwise(0.0))).alias("high_rate"),
+        F.avg(F.when(F.col("value") > 150, 1.0).otherwise(0.0)).alias("high_rate"),
     )
     return (
         c.select(
             "event_type",
             "n",
             "high_rate",
-            r6(F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
+            (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
                 "type_share"
             ),
         )
@@ -448,12 +448,14 @@ def q_class_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH users AS (SELECT DISTINCT user_id FROM events),
     weeks AS (SELECT DISTINCT {_WEEK} AS week FROM events),
     counts AS (
-        SELECT user_id, {_WEEK} AS week, count(*) AS n, sum(value) AS sum_value
+        SELECT user_id, {_WEEK} AS week, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                   AS sum_value
         FROM events GROUP BY user_id, week
     )
     SELECT u.user_id, w.week,
            CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
-           round(coalesce(c.sum_value, 0.0), 6) AS sum_value
+           coalesce(c.sum_value, 0.0) AS sum_value
     FROM users u CROSS JOIN weeks w
     LEFT JOIN counts c ON c.user_id = u.user_id AND c.week = w.week
     ORDER BY u.user_id, w.week
@@ -469,7 +471,11 @@ def q_dense_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = e.select("user_id").distinct()
     weeks = e.select("week").distinct()
     counts = e.groupBy("user_id", "week").agg(
-        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / 100
+        ).alias("sum_value"),
     )
     spine = users.crossJoin(F.broadcast(weeks))
     return (
@@ -478,7 +484,7 @@ def q_dense_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "week",
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
-            r6(F.coalesce("sum_value", F.lit(0.0))).alias("sum_value"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         )
         .orderBy("user_id", "week")
     )

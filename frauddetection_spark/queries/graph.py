@@ -160,7 +160,7 @@ def q_graph_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     deg AS (SELECT src AS node, count(*) AS degree FROM und GROUP BY src)
     SELECT u.src AS node,
-           round(CAST(sum(d.degree) AS DOUBLE) / count(*), 6) AS neighbor_avg_degree,
+           CAST(sum(d.degree) AS DOUBLE) / count(*) AS neighbor_avg_degree,
            count(*) AS n_neighbors
     FROM und u JOIN deg d ON u.dst = d.node
     GROUP BY u.src ORDER BY node
@@ -180,7 +180,7 @@ def q_neighbor_avg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.join(deg.select(F.col("node").alias("dst"), "degree"), "dst")
         .groupBy(F.col("src").alias("node"))
         .agg(
-            r6(F.sum("degree").cast("double") / F.count("*")).alias("neighbor_avg_degree"),
+            (F.sum("degree").cast("double") / F.count("*")).alias("neighbor_avg_degree"),
             F.count("*").alias("n_neighbors"),
         )
         .orderBy("node")
@@ -303,10 +303,10 @@ def q_propagate_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.node AS node, d.degree,
            CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
-           round(CASE WHEN d.degree >= 2
-                      THEN CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
-                           / (d.degree * (d.degree - 1))
-                      ELSE 0.0 END, 6) AS clustering_coeff
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * coalesce(t.triangles, 0) AS DOUBLE)
+                     / (d.degree * (d.degree - 1))
+                ELSE 0.0 END AS clustering_coeff
     FROM deg d LEFT JOIN tcount t ON d.node = t.node
     ORDER BY d.node
     """,
@@ -321,7 +321,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_from_events(t(spark, sf_dir, "events"))
     cc = clustering_coefficients(e)
     return cc.select(
-        "node", "degree", "triangles", r6("clustering_coeff").alias("clustering_coeff")
+        "node", "degree", "triangles", "clustering_coeff"
     ).orderBy("node")
 
 

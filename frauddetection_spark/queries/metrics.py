@@ -94,9 +94,9 @@ def q_metric_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tp AS BIGINT) AS tp,
            CAST(fp AS BIGINT) AS fp,
            CAST(fn AS BIGINT) AS fn,
-           round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
-           round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
-           round(CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0), 6) AS f1
+           CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision,
+           CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall,
+           CAST(2 * tp AS DOUBLE) / nullif(2 * tp + fp + fn, 0) AS f1
     FROM per ORDER BY cls
     """,
     survey="M5",
@@ -131,9 +131,9 @@ def q_metric_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "fp",
         "fn",
-        r6(tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision"),
-        r6(tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall"),
-        r6((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
+        (tp.cast("double") / F.nullif(tp + fp, F.lit(0))).alias("precision"),
+        (tp.cast("double") / F.nullif(tp + fn, F.lit(0))).alias("recall"),
+        ((2 * tp).cast("double") / F.nullif(2 * tp + fp + fn, F.lit(0))).alias("f1"),
     ).orderBy("cls")
 
 
@@ -159,8 +159,8 @@ def q_metric_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked
     )
     SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-           round((r_pos - n_pos * (n_pos + 1) / 2.0)
-                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc
+           (r_pos - n_pos * (n_pos + 1) / 2.0)
+               / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
     FROM agg
     """,
     survey="M5",
@@ -190,7 +190,7 @@ def q_metric_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n_pos").cast("bigint").alias("n_pos"),
         F.col("n_neg").cast("bigint").alias("n_neg"),
-        r6(
+        (
             (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
             / (F.col("n_pos").cast("double") * F.col("n_neg"))
         ).alias("auc"),
@@ -218,9 +218,8 @@ def q_metric_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                label
         FROM ranked
     )
-    SELECT round(CAST(sum(CASE WHEN label = 1 THEN prec_q ELSE 0 END)
-                      AS DOUBLE)
-                 / sum(label) / 1000000000, 6) AS average_precision,
+    SELECT CAST(sum(CASE WHEN label = 1 THEN prec_q ELSE 0 END) AS DOUBLE)
+               / sum(label) / 1000000000 AS average_precision,
            CAST(sum(label) AS BIGINT) AS n_pos
     FROM terms
     """,
@@ -245,7 +244,7 @@ def q_metric_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prec_q"),
     )
     return terms.agg(
-        r6(
+        (
             F.sum(F.when(F.col("label") == 1, F.col("prec_q")).otherwise(0)).cast("double")
             / F.sum("label")
             / 1_000_000_000

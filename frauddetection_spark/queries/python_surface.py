@@ -37,9 +37,9 @@ from frauddetection_spark.queries._util import r6, t
         FROM c GROUP BY user_id
     )
     SELECT c.event_id, c.user_id,
-           round(CASE WHEN m.var > 0
-                      THEN (c.cents - m.mu) / sqrt(m.var)
-                      ELSE 0 END, 6) AS zscore
+           CASE WHEN m.var > 0
+                THEN (c.cents - m.mu) / sqrt(m.var)
+                ELSE 0 END AS zscore
     FROM c JOIN m ON c.user_id = m.user_id
     ORDER BY event_id
     """,
@@ -54,7 +54,7 @@ def q_pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = t(spark, sf_dir, "events")
     return (
         zscore_per_user(events)
-        .select("event_id", "user_id", r6("zscore").alias("zscore"))
+        .select("event_id", "user_id", "zscore")
         .orderBy("event_id")
     )
 

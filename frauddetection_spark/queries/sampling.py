@@ -126,8 +126,7 @@ _SQL_EDGES = """
         FROM nodes n JOIN rates r ON n.label = r.label
     )
     SELECT user_id, label, degree,
-           round(CAST(raw AS DOUBLE)
-                 / (SELECT sum(raw) FROM raw), 6) AS prob
+           CAST(raw AS DOUBLE) / (SELECT sum(raw) FROM raw) AS prob
     FROM raw ORDER BY user_id
     """,
     survey="R2",
@@ -167,7 +166,7 @@ def q_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         normalized_probability(raw, "raw")
-        .select("user_id", "label", "degree", r6("prob").alias("prob"))
+        .select("user_id", "label", "degree", "prob")
         .orderBy("user_id")
     )
 
@@ -207,7 +206,7 @@ def q_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM classed c JOIN cc k ON c.edge_class = k.edge_class
     )
     SELECT src, dst, edge_class,
-           round(CAST(raw AS DOUBLE) / (SELECT sum(raw) FROM raw), 6) AS prob
+           CAST(raw AS DOUBLE) / (SELECT sum(raw) FROM raw) AS prob
     FROM raw ORDER BY src, dst
     """,
     survey="R3,J7,P9,A11",
@@ -246,7 +245,7 @@ def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst", "edge_class", "raw")
     return (
         normalized_probability(raw, "raw")
-        .select("src", "dst", "edge_class", r6("prob").alias("prob"))
+        .select("src", "dst", "edge_class", "prob")
         .orderBy("src", "dst")
     )
 

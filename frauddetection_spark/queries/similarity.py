@@ -85,8 +85,8 @@ _SQL_JACCARD_TAIL = f"""
         GROUP BY 1, 2
     )
     SELECT m.doc_a, m.doc_b, m.n_common,
-           round(CAST(m.n_common AS DOUBLE)
-                 / (sa.n + sb.n - m.n_common), 6) AS jaccard
+           CAST(m.n_common AS DOUBLE)
+               / (sa.n + sb.n - m.n_common) AS jaccard
     FROM common m
     JOIN sz sa ON m.doc_a = sa.doc_id
     JOIN sz sb ON m.doc_b = sb.doc_id
@@ -107,8 +107,8 @@ _SQL_JACCARD_TAIL = f"""
         GROUP BY 1, 2
     )
     SELECT m.doc_a, m.doc_b, m.n_common,
-           round(CAST(m.n_common AS DOUBLE)
-                 / (sa.n + sb.n - m.n_common), 6) AS jaccard
+           CAST(m.n_common AS DOUBLE)
+               / (sa.n + sb.n - m.n_common) AS jaccard
     FROM common m
     JOIN sz sa ON m.doc_a = sa.doc_id
     JOIN sz sb ON m.doc_b = sb.doc_id
@@ -150,7 +150,7 @@ def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         jac.filter(F.col("jaccard") >= JACCARD_MIN)
-        .select("doc_a", "doc_b", "n_common", r6("jaccard").alias("jaccard"))
+        .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -205,7 +205,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact_jaccard(cands, sh)
         .filter(F.col("jaccard") >= JACCARD_MIN)
-        .select("doc_a", "doc_b", "n_common", r6("jaccard").alias("jaccard"))
+        .select("doc_a", "doc_b", "n_common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -270,7 +270,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY vec_id ORDER BY cos DESC, neighbor
         ) AS rank FROM cos
     )
-    SELECT vec_id, rank, neighbor, round(cos, 6) AS cos
+    SELECT vec_id, rank, neighbor, cos
     FROM ranked WHERE rank <= {KNN_K}
     ORDER BY vec_id, rank
     """,
@@ -284,9 +284,9 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant (q_ann_lsh_ml) with this as the in-bucket
     rerank."""
     knn = knn_topk_bruteforce(spark, t(spark, sf_dir, "embeddings"), k=KNN_K)
-    return knn.select(
-        "vec_id", "rank", "neighbor", r6("cos").alias("cos")
-    ).orderBy("vec_id", "rank")
+    return knn.select("vec_id", "rank", "neighbor", "cos").orderBy(
+        "vec_id", "rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +302,7 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {SQL_COS} AS cos
         FROM q a JOIN q b ON a.vec_id < b.vec_id
     )
-    SELECT id_a, id_b, round(cos, 6) AS cos
+    SELECT id_a, id_b, cos
     FROM cos WHERE cos >= {NEARDUP_COS}
     ORDER BY id_a, id_b
     """,
@@ -314,9 +314,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = neardup_pairs_bruteforce(
         spark, t(spark, sf_dir, "embeddings"), NEARDUP_COS
     )
-    return pairs.select("id_a", "id_b", r6("cos").alias("cos")).orderBy(
-        "id_a", "id_b"
-    )
+    return pairs.select("id_a", "id_b", "cos").orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -423,7 +421,7 @@ N_CENTROIDS = 16
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor, {SQL_COS} AS cos
         FROM qa a JOIN qa b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
     )
-    SELECT vec_id, rank, neighbor, round(cos, 6) AS cos FROM (
+    SELECT vec_id, rank, neighbor, cos FROM (
         SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY cos DESC, neighbor
         ) AS rank FROM pairs
@@ -486,6 +484,6 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "rank", "neighbor", r6("cos").alias("cos"))
+        .select("vec_id", "rank", "neighbor", "cos")
         .orderBy("vec_id", "rank")
     )

@@ -48,7 +48,7 @@ def _tokens(col: str = "text") -> F.Column:
            count(DISTINCT doc_id) AS n_docs,
            count(*) AS n_tokens,
            count(DISTINCT token) AS n_distinct_tokens,
-           round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 6)
+           CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id)
                AS avg_tokens_per_doc
     FROM tok GROUP BY lang ORDER BY lang
     """,
@@ -65,7 +65,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_tokens"),
             F.countDistinct("token").alias("n_distinct_tokens"),
-            r6(F.count("*").cast("double") / F.countDistinct("doc_id")).alias(
+            (F.count("*").cast("double") / F.countDistinct("doc_id")).alias(
                 "avg_tokens_per_doc"
             ),
         )
@@ -93,9 +93,9 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, lang, n_chars, n_tokens,
-           round(CAST(token_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
-           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS uniq_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
            CAST(n_tokens >= 5 AND n_tokens <= 1000
                 AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.2
                 AS INTEGER) AS passes_filter
@@ -130,11 +130,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         "n_tokens",
-        r6(F.col("token_chars").cast("double") / F.col("n_tokens")).alias(
+        (F.col("token_chars").cast("double") / F.col("n_tokens")).alias(
             "avg_token_len"
         ),
-        r6(uniq).alias("uniq_ratio"),
-        r6(F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+        uniq.alias("uniq_ratio"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
             "stopword_ratio"
         ),
         (

@@ -202,19 +202,21 @@ def q_histogram_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k,
                count(*) AS n_cp
         FROM events GROUP BY user_id, k
-    ), tot AS (
-        SELECT user_id, sum(n_cp) AS n_total FROM per_cp GROUP BY user_id
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(sum(n_cp) AS BIGINT) AS n_total,
+               CAST(sum(n_cp * n_cp) AS BIGINT) AS sum_sq,
+               count(*) AS n
+        FROM per_cp GROUP BY user_id
     )
-    SELECT p.user_id,
-           round(sum(CAST(n_cp AS DOUBLE) / n_total) / count(*), 6) AS mean_share,
-           round((sum((CAST(n_cp AS DOUBLE) / n_total)
-                      * (CAST(n_cp AS DOUBLE) / n_total))
-                  - sum(CAST(n_cp AS DOUBLE) / n_total)
-                    * sum(CAST(n_cp AS DOUBLE) / n_total) / count(*))
-                 / count(*), 6) AS var_share,
-           count(*) AS n_counterparties
-    FROM per_cp p JOIN tot USING (user_id)
-    GROUP BY p.user_id ORDER BY p.user_id
+    SELECT user_id,
+           1.0 / n AS mean_share,
+           (CAST(sum_sq AS DOUBLE)
+            / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))
+            - 1.0 / n) / n AS var_share,
+           n AS n_counterparties
+    FROM agg ORDER BY user_id
     """,
     survey="A7",
 )
@@ -225,23 +227,31 @@ def q_share_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/utils.py:213-224 — live semantics per SURVEY B8). Two-level
     aggregate; the share denominator is a window sum over the already-
     aggregated (user, counterparty) frame."""
+    # Shares sum to 1 by construction, so mean_share ≡ 1/n and the
+    # dispersion reduces to exact integers: var = (Σn_cp²/n_total² −
+    # 1/n)/n — no float sums anywhere, and no window pass (one fewer
+    # shuffle than the share-materializing form).
     e = _counterparty(t(spark, sf_dir, "events"))
     per_cp = e.groupBy("user_id", "k").agg(F.count("*").alias("n_cp"))
-    w = Window.partitionBy("user_id")
-    shares = per_cp.withColumn(
-        "share", F.col("n_cp").cast("double") / F.sum("n_cp").over(w)
+    agg = per_cp.groupBy("user_id").agg(
+        F.sum("n_cp").cast("bigint").alias("n_total"),
+        F.sum(F.col("n_cp") * F.col("n_cp")).cast("bigint").alias("sum_sq"),
+        F.count("*").alias("n"),
     )
-    s, n = F.sum("share"), F.count("*")
-    svv = F.sum(F.col("share") * F.col("share"))
-    return (
-        shares.groupBy("user_id")
-        .agg(
-            r6(F.sum("share") / F.count("*")).alias("mean_share"),
-            r6((svv - s * s / n) / n).alias("var_share"),
-            F.count("*").alias("n_counterparties"),
-        )
-        .orderBy("user_id")
-    )
+    n = F.col("n")
+    return agg.select(
+        "user_id",
+        (F.lit(1.0) / n).alias("mean_share"),
+        (
+            (
+                F.col("sum_sq").cast("double")
+                / (F.col("n_total").cast("double") * F.col("n_total").cast("double"))
+                - F.lit(1.0) / n
+            )
+            / n
+        ).alias("var_share"),
+        n.alias("n_counterparties"),
+    ).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

@@ -105,10 +105,12 @@ def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            CAST(coalesce(o.n_big, 0) AS BIGINT) AS n_big_orders,
-           round(coalesce(o.sum_big, 0.0), 6) AS sum_big_totalprice
+           coalesce(o.sum_big, 0.0) AS sum_big_totalprice
     FROM customer c
     LEFT JOIN (
-        SELECT o_custkey, count(*) AS n_big, sum(o_totalprice) AS sum_big
+        SELECT o_custkey, count(*) AS n_big,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS sum_big
         FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
     ) o ON c.c_custkey = o.o_custkey
     """,
@@ -123,13 +125,19 @@ def q_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 400000)
         .groupBy("o_custkey")
-        .agg(F.count("*").alias("n_big"), F.sum("o_totalprice").alias("sum_big"))
+        .agg(
+            F.count("*").alias("n_big"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+                / 100
+            ).alias("sum_big"),
+        )
     )
     j = c.join(o, c.c_custkey == o.o_custkey, "left")
     return j.select(
         "c_custkey",
         F.coalesce(F.col("n_big"), F.lit(0)).cast("bigint").alias("n_big_orders"),
-        r6(F.coalesce(F.col("sum_big"), F.lit(0.0))).alias("sum_big_totalprice"),
+        F.coalesce(F.col("sum_big"), F.lit(0.0)).alias("sum_big_totalprice"),
     )
 
 

@@ -290,3 +290,61 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    component(v) = min node id reachable from v. Returns
+    (node, component).
+
+    Each round: label'(v) = min(label(v), min over neighbors of
+    label(u)) — one join + groupBy-min per round over the undirected
+    edge list; rounds = graph diameter (typically ≪ 20 on real
+    graphs). Convergence is checked with a changed-row count; frames
+    are persisted per round to cut lineage (same discipline as M2
+    propagation). Deterministic fixpoint ⇒ oracle-verifiable even
+    though the algorithm is iterative driver-side control flow.
+    """
+    und = mirror(edges)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .union(und.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("component").alias("c_src")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("c_src").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from frauddetection_spark.operators.graph import (
     aggregate_messages,
     clustering_coefficients,
+    connected_components,
     common_neighbor_pairs,
     degrees,
     edges_from_events,
@@ -417,3 +418,46 @@ def q_graph_aggregate_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (iterative, oracle-checked fixpoint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_connected_components",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_SQL_EDGES}),
+    und AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst, src FROM edges
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM und
+        UNION
+        SELECT DISTINCT dst AS node FROM und
+    ),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, und.dst
+        FROM reach JOIN und ON und.src = reach.r
+    )
+    SELECT node, min(r) AS component
+    FROM reach GROUP BY node ORDER BY node
+    """,
+    survey="J5,M2",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the events graph — the engine's
+    iterative-algorithm surface (driver-side loop of join+groupBy-min
+    rounds with convergence detection, operators/graph.py::
+    connected_components). component = min reachable node id, a
+    deterministic fixpoint, so the oracle can verify it via a
+    recursive-CTE transitive closure. The closure is O(n·reach) and
+    only viable at oracle scale; the propagation loop is
+    O(diameter · |E|) and is the 100-TB path."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    return connected_components(e).orderBy("node")

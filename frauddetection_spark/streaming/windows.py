@@ -218,3 +218,45 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's clicks within the preceding `horizon` — the streaming form
+    of as-of attribution (operators/asof.py is the batch form). Both
+    sides are watermarked, so join state for a purchase/click is
+    dropped once the other stream's watermark passes its interval:
+    bounded state, the requirement for stream-stream joins at scale."""
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "purchase_id",
+        purchases.user_id.alias("user_id"),
+        "p_ts",
+        "click_id",
+        "c_ts",
+    )

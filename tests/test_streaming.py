@@ -131,3 +131,30 @@ def test_checkpoint_recovery(spark, sf_dir, tmp_path):
     q2 = run_once("t_ckpt_b")
     progress = q2.lastProgress
     assert progress is None or progress["numInputRows"] == 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    from frauddetection_spark.streaming.windows import (
+        stream_stream_attribution,
+    )
+
+    got = None
+    df = stream_stream_attribution(spark, sf_dir)
+    run_to_memory(df, "t_ss_join", output_mode="append")
+    got = spark.table("t_ss_join")
+    # batch equivalent: purchases x clicks same user within 1 hour before
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id", "ts AS p_ts"
+    )
+    c = e.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS c_ts"
+    )
+    want = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= F.expr("p_ts - INTERVAL 1 HOUR")),
+    ).select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0

@@ -62,6 +62,30 @@ def sql_portable_split(key: str, train_pct: int = 80, seed: int = 12_345) -> str
     )
 
 
+def portable_uniform_keep(key: Column, keep_pct: int = 10, seed: int = 777) -> Column:
+    """Boolean: keep ~keep_pct% of rows as a pure function of the key —
+    the R4 uniform subsample. Same exact-int64 multiplicative hash as
+    :func:`portable_split`, so membership is reproducible on any engine
+    and any cluster size (no RNG state, no coordination)."""
+    k = key.cast("bigint")
+    lo = F.pmod(k, F.lit(HASH_HALF))
+    hi = F.pmod(F.shiftright(k, 31), F.lit(HASH_HALF))
+    h = F.pmod(lo * HASH_A1 + hi * HASH_A2 + seed, F.lit(HASH_MOD))
+    return h < (HASH_MOD * keep_pct) // 100
+
+
+def sql_portable_uniform_keep(key: str, keep_pct: int = 10, seed: int = 777) -> str:
+    """DuckDB twin of :func:`portable_uniform_keep`."""
+    thresh = (HASH_MOD * keep_pct) // 100
+    k = f"CAST({key} AS BIGINT)"
+    lo = f"(({k} % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
+    hi = f"((({k} >> 31) % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
+    return (
+        f"((({lo}) * {HASH_A1} + ({hi}) * {HASH_A2} + {seed})"
+        f" % {HASH_MOD}) < {thresh}"
+    )
+
+
 def xxhash_split(key: Column, train_pct: int = 80, seed: int = 42) -> Column:
     """Production split: xxhash64 — not oracle-portable (DuckDB has no
     xxhash64), declared rows-only."""

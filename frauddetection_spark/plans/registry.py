@@ -63,8 +63,56 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
     return wrap
 
 
+# Explicit presentation order. The round driver evaluates only the FIRST
+# 50 entries of ``queries()`` — round 1 wasted the window on three
+# redundant grouping-set variants while every similarity/text/metric/
+# sampling/streaming query went unchecked. The first 50 names below are
+# chosen so that EVERY SURVEY.md §2 row family has at least one
+# oracle-checked representative inside the window (pinned by
+# tests/test_plans.py::test_driver_window_covers_all_families);
+# redundant variants and rows-only checks sit below the fold.
+_PRIORITY: tuple[str, ...] = (
+    # relational core (S/P)
+    "q_scan_parquet", "q_ts_parts", "q_filter_compound", "q_null_fill",
+    "q_key_range", "q_string_funcs", "q_case_when", "q_math_funcs",
+    "q_scan_csv",
+    # joins (J)
+    "q_join_inner", "q_join_existence", "q_join_anti", "q_join_semi",
+    # core aggregation / set ops (A/U)
+    "q_groupby_agg", "q_count_distinct", "q_median", "q_topk", "q_rollup",
+    "q_union_mirror", "q_dedup_exact", "q_set_ops", "q_json_extract",
+    # LLM-pipeline: dedup / similarity (E1-E3)
+    "q_dedup_hash", "q_dedup_minhash", "q_simhash", "q_shingle_jaccard",
+    "q_knn_cosine", "q_ann_ivf",
+    # LLM-pipeline: text (E4-E5)
+    "q_token_stats", "q_text_quality",
+    # eval metrics (M5)
+    "q_metric_confusion", "q_metric_auc",
+    # sampling (R)
+    "q_split_stratified", "q_sampling_weights", "q_edge_weights",
+    "q_uniform_sample",
+    # behavioral features (A1..A13, M1)
+    "q_window_agg_transform", "q_two_level_agg", "q_share_dispersion",
+    "q_multiscale_features", "q_behavioral_features", "q_jaccard_lag",
+    "q_dense_spine", "q_collect_series",
+    # graph (J4/J5/M2)
+    "q_graph_aggregate", "q_propagate_2round",
+    # streaming twins (E7) + python surface (E8)
+    "q_tumbling_counts", "q_session_stats",
+    "q_pandas_udf_zscore", "q_doc_stats_mapinpandas",
+)
+
+DRIVER_WINDOW = 50
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (idempotent) and return the catalog."""
+    """Import every query module (idempotent) and return the catalog,
+    reordered so `_PRIORITY` comes first (driver-window placement)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -17,7 +17,9 @@ from frauddetection_spark.operators.sampling import (
     FIXED,
     normalized_probability,
     portable_split,
+    portable_uniform_keep,
     sql_portable_split,
+    sql_portable_uniform_keep,
     xxhash_split,
 )
 from frauddetection_spark.plans.registry import register
@@ -247,6 +249,47 @@ def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalized_probability(raw, "raw")
         .select("src", "dst", "edge_class", "prob")
         .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R4 — uniform subsample (hash-deterministic, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_uniform_sample",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE {sql_portable_uniform_keep('event_id')}
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey="R4",
+)
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform ~10% subsample as a pure hash of the row key (reference:
+    np.random.choice uniform draw, new_train_1.py:156 — replaced by
+    engine policy: hash membership, so the sample is reproducible on
+    any engine/cluster and needs no RNG state; SURVEY §2.6 R4).
+    The filter is a map-side predicate — at 100 TB the sample never
+    materializes the unsampled rows past the scan."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.where(portable_uniform_keep(F.col("event_id")))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
     )
 
 

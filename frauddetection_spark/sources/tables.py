@@ -109,6 +109,31 @@ SCHEMAS: dict[str, StructType] = {
 
 TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
 
+# Runtime-settable confs the engine's read path depends on. The driver
+# harness (and any downstream user) may hand us a PLAIN SparkSession
+# without the repo's session factory, so every read entry point applies
+# these defensively — both are runtime-settable on a live session:
+#  - nanosAsLong: events.parquet carries INT64 TIMESTAMP(NANOS); without
+#    this flag a vanilla session dies with PARQUET_TYPE_ILLEGAL before
+#    any query runs (round-1 driver failure mode).
+#  - UTC session timezone: keeps timestamp rendering/extraction identical
+#    across Spark and the DuckDB oracle regardless of host timezone.
+_REQUIRED_CONFS: tuple[tuple[str, str], ...] = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Apply the runtime confs any session needs to read our tables."""
+    for key, value in _REQUIRED_CONFS:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Best effort: if a conf became static in some future Spark,
+            # the subsequent read will raise a clear error anyway.
+            pass
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table with its pinned schema.
@@ -120,6 +145,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     expected = {f.name: f.dataType for f in SCHEMAS[name].fields}
     got = {f.name: f.dataType for f in df.schema.fields}

@@ -56,6 +56,9 @@ def stream_events(
 
     Explicit schema (streaming sources cannot infer), nanos→micros
     conversion identical to the batch loader."""
+    from ..sources.tables import ensure_read_confs
+
+    ensure_read_confs(spark)  # plain driver sessions lack nanosAsLong/UTC
     reader = (
         spark.readStream.schema(_RAW_EVENTS)
         .option("pathGlobFilter", "events.parquet")

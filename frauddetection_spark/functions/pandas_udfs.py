@@ -54,8 +54,12 @@ def log1p_value(v: pd.Series) -> pd.Series:
 @F.pandas_udf(DoubleType())
 def exact_mean(v: pd.Series) -> float:
     """Group mean via exact-cents accumulation (twin: the engine's
-    cents-sum/count — queries/_util.py::cents)."""
-    cents = np.rint(v.to_numpy() * 100).astype(np.int64)
+    cents-sum/count — queries/_util.py::cents). Cents use the shared
+    half-away-from-zero kernel, NOT np.rint (half-to-even would break
+    parity for values landing exactly on .5 cents)."""
+    from frauddetection_spark.operators.vectors import round_half_away_np
+
+    cents = round_half_away_np(v.to_numpy(), 100)
     return float(cents.sum()) / len(cents) / 100.0
 
 
@@ -75,7 +79,9 @@ def zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     μ and σ are derived from Σc and Σc² (int64 cents), so the result
     is bit-identical to the SQL formula in q_pandas_udf_zscore's
     oracle twin — the determinism policy survives the Python hop."""
-    c = np.rint(pdf["value"].to_numpy() * 100).astype(np.int64)
+    from frauddetection_spark.operators.vectors import round_half_away_np
+
+    c = round_half_away_np(pdf["value"].to_numpy(), 100)
     n = len(c)
     s1, s2 = int(c.sum()), int((c * c).sum())
     mu = s1 / n

@@ -103,6 +103,12 @@ def aggregate_messages(
 
 
 BITMASK_MAX_CONTACTS = 4096  # 64 int64 words
+# The bitmask pair join is a nested loop over user pairs — O(|users|²)
+# REGARDLESS of how small the masks are. 8192 users ≈ 3.4e7 pair
+# evaluations (cheap codegen popcounts, sub-second on one executor);
+# beyond that the quadratic pair space dominates any Σd² the inverted
+# index would pay, so auto must refuse bitmask on user count alone.
+BITMASK_MAX_USERS = 8192
 
 
 def common_neighbor_pairs(
@@ -110,26 +116,35 @@ def common_neighbor_pairs(
     min_common: int = 1,
     max_contact_degree: int | None = None,
     strategy: str = "auto",
+    n_contacts: int | None = None,
+    n_users: int | None = None,
 ) -> DataFrame:
     """Pairs of users sharing ≥ min_common contacts (buildLSN,
     data_process.py:20-48, live k=1 at :219-220). The reference's
     O(n²·m) python loop, decorrelated. Two physical strategies:
 
-    - ``inverted``: self-join on contact + pair-count — the sparse
-      path. Cost is Σ_c d(c)² intermediate rows, so it explodes when
-      contacts are hubs; `max_contact_degree` prunes hubs (documented
-      semantic deviation — configurable, off by default for parity).
-    - ``bitmask``: when the distinct-contact domain is small (≤4096),
-      encode each user's contact set as packed int64 words (bit_or
-      aggregate) and count pair overlaps with `bit_count(a & b)` —
-      no per-contact pair explosion at all; the pair space is the
-      user×user broadcast nested loop over tiny mask rows. This is
-      exactly the dense-domain regime where the inverted index is
-      quadratic-per-hub: 100 contacts shared by ~700 users each is
-      53M join rows inverted vs 1.1M cheap bitwise pairs masked.
-    - ``auto``: pick by a distinct-contact count (one cheap scalar
-      aggregate at plan time — an engine CBO decision driven by a
-      data statistic, not a guess).
+    - ``inverted``: self-join on contact + pair-count — the sparse,
+      scale-default path. Cost is Σ_c d(c)² intermediate rows, so it
+      explodes when contacts are hubs; `max_contact_degree` prunes hubs
+      (documented semantic deviation — configurable, off by default for
+      parity).
+    - ``bitmask``: when the distinct-contact domain is small (≤4096)
+      AND the user count is small (≤8192), encode each user's contact
+      set as packed int64 words (bit_or aggregate) and count pair
+      overlaps with `bit_count(a & b)` — no per-contact pair explosion
+      at all; the pair space is the user×user nested loop over tiny
+      mask rows. This is exactly the dense-domain regime where the
+      inverted index is quadratic-per-hub: 100 contacts shared by ~700
+      users each is 53M join rows inverted vs 1.1M masked pairs. The
+      user-count bound matters as much as the domain bound: the nested
+      loop is O(|users|²) no matter how dense the domain is.
+    - ``auto``: pick from (distinct contacts, distinct users) — an
+      engine CBO decision driven by data statistics. If the caller
+      already knows the stats (catalog / ANALYZE / prior round), pass
+      ``n_contacts``/``n_users`` and NO probe job runs; otherwise one
+      single-pass aggregate probe runs at plan-construction time
+      (documented cost — the one query path that is not job-free at
+      construction unless stats are injected).
 
     Both strategies are semantically identical for min_common ≥ 1 (the
     join-based inverted path cannot observe zero-overlap pairs, so
@@ -149,20 +164,26 @@ def common_neighbor_pairs(
         c = c.join(F.broadcast(keep), "ct")
 
     if strategy == "auto":
-        # the distinct contact set is re-read by whichever strategy
-        # runs — persist it so the stats probe and the chosen plan
-        # share one upstream scan (the JSON-extract over events is the
-        # expensive part, not the 10^4-row contact set). The cache is
-        # deliberately not unpersisted here: the returned plan still
-        # references it; Spark's LRU reclaims it under pressure.
-        c = c.persist()
-        n_contacts = c.select("ct").distinct().count()
-        strategy = "bitmask" if n_contacts <= BITMASK_MAX_CONTACTS else "inverted"
-        if strategy == "bitmask":
-            return _common_neighbors_bitmask(c, min_common, n_contacts)
+        if n_contacts is None or n_users is None:
+            # one probe job, both stats in a single pass over c. Persist
+            # FIRST so the probe's scan (typically a JSON extract over
+            # events — the expensive part) fills the cache the chosen
+            # plan then reuses; both strategies read c at least twice.
+            c = c.persist()
+            stats = c.agg(
+                F.countDistinct("ct").alias("nc"),
+                F.countDistinct("u").alias("nu"),
+            ).first()
+            n_contacts = stats["nc"] if n_contacts is None else n_contacts
+            n_users = stats["nu"] if n_users is None else n_users
+        strategy = (
+            "bitmask"
+            if n_contacts <= BITMASK_MAX_CONTACTS and n_users <= BITMASK_MAX_USERS
+            else "inverted"
+        )
 
     if strategy == "bitmask":
-        return _common_neighbors_bitmask(c, min_common)
+        return _common_neighbors_bitmask(c, min_common, n_contacts)
 
     a = c.select(F.col("u").alias("user_a"), "ct")
     b = c.select(F.col("u").alias("user_b"), "ct")
@@ -175,6 +196,41 @@ def common_neighbor_pairs(
     )
 
 
+def _dense_index(values: DataFrame, col: str) -> DataFrame:
+    """(value → contiguous 0-based index) without a global-window sort.
+
+    Two-phase zipWithIndex in DataFrame form: range-partition by value,
+    rank locally, then add per-partition offsets (prefix sum over the
+    tiny per-partition size table). The only single-partition window
+    runs over #partitions rows — bounded by cluster shape, not data —
+    unlike a bare ``row_number().over(Window.orderBy(...))`` which
+    funnels every row through one task. Because range partitions are
+    ordered and disjoint, local rank + offset equals the global rank,
+    independent of where the sampled partition bounds land.
+    """
+    parts = values.repartitionByRange(8, col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_r", F.row_number().over(Window.partitionBy("_pid").orderBy(col))
+    )
+    sizes = local.groupBy("_pid").agg(F.max("_r").alias("_n"))
+    offs = sizes.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return local.join(F.broadcast(offs), "_pid").select(
+        F.col(col), (F.col("_r") - 1 + F.col("_off")).cast("bigint").alias("idx")
+    )
+
+
 def _common_neighbors_bitmask(
     c: DataFrame, min_common: int, n_contacts: int | None = None
 ) -> DataFrame:
@@ -183,19 +239,30 @@ def _common_neighbors_bitmask(
     One small broadcast (contact → dense bit index), one groupBy(user)
     bit_or to build masks, then a self nested-loop join over mask rows
     with pure codegen popcounts. No Σd² blowup: work is
-    O(|users|²·words), independent of hub degrees.
+    O(|users|²·words), independent of hub degrees — which is why the
+    caller bounds |users| (BITMASK_MAX_USERS) before picking this path.
     """
-    idx = (
-        c.select("ct")
-        .distinct()
-        .withColumn(
-            "idx",
-            F.row_number().over(Window.orderBy("ct")) - 1,
-        )
-    )
+    # the distinct contact set feeds both the index build and the mask
+    # build — persist the (≤ MAX_USERS × MAX_CONTACTS distinct) frame so
+    # the upstream scan (typically a JSON extract over events) runs once
+    from pyspark import StorageLevel
+
+    if c.storageLevel == StorageLevel.NONE:
+        c = c.persist()
     if n_contacts is not None:
+        # domain known ≤ BITMASK_MAX_CONTACTS: a single window over
+        # ≤4096 rows is bounded by construction and cheaper than the
+        # two-phase range-partitioned index (no sampling pass/shuffle)
+        idx = (
+            c.select("ct")
+            .distinct()
+            .withColumn("idx", F.row_number().over(Window.orderBy("ct")) - 1)
+        )
         n_words = max(1, (n_contacts + 63) // 64)
     else:
+        # domain size unknown (direct strategy="bitmask" call): use the
+        # scalable two-phase index — no single-partition funnel
+        idx = _dense_index(c.select("ct").distinct(), "ct")
         n_words = (
             idx.agg((F.floor(F.max("idx") / 64) + 1).alias("w")).first()[0] or 1
         )
@@ -347,4 +414,14 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # exhausted max_iterations while labels were still moving: the
+        # graph diameter exceeds the round budget (e.g. a long path
+        # component) and the labels are NOT a fixpoint. Silent return
+        # here would hand wrong components downstream.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iterations (rounds needed = graph diameter)"
+        )
     return labels

@@ -21,13 +21,20 @@ from pyspark.sql import functions as F
 QUANT = 10_000
 
 
-def _quant_np(m):
-    """numpy fixed-point quantization matching Spark/DuckDB round()
-    (half away from zero, NOT numpy's half-to-even)."""
+def round_half_away_np(arr, scale: int = 1):
+    """THE numpy fixed-point kernel for the whole engine: round half
+    AWAY FROM ZERO (matching Spark/DuckDB ``round()``), never
+    ``np.rint``/``round`` (half-to-even) — a .5-cent value would
+    silently diverge between the Python path and the JVM/oracle."""
     import numpy as np
 
-    s = m.astype("float64") * QUANT
+    s = np.asarray(arr, dtype="float64") * scale
     return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype("int64")
+
+
+def _quant_np(m):
+    """Fixed-point embedding quantization (×QUANT), half away from zero."""
+    return round_half_away_np(m, QUANT)
 
 
 def quantize(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -74,25 +81,68 @@ def cosine_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+# Block count for the block-nested-loop kNN. Pair compute is O(n²·d)
+# regardless (exact all-pairs); blocks only control distribution:
+# 2·B·n rows are shuffled and each of the B² kernel calls handles an
+# (n/B)×(n/B) tile. Raise B so a tile's int64 matrices fit an
+# executor's Arrow batch comfortably (tile rows ≈ n/B).
+KNN_BLOCKS = 4
+
+
+def _block_pairs_cogrouped(emb: DataFrame, vec_col: str, n_blocks: int):
+    """Replicate both sides over (left_block, right_block) keys and
+    cogroup — the distributed block nested loop. Every (a, b) vector
+    pair meets in EXACTLY ONE kernel call: (block(a), block(b)).
+
+    This is the scale-out replacement for the round-1 driver-collect +
+    sc.broadcast kernel: nothing touches the driver, the plan is fully
+    lazy (zero jobs at construction), and each kernel sees two bounded
+    pandas frames. Replication cost is n_blocks× each side — the
+    standard block-nested-loop trade for exact all-pairs work.
+    """
+    base = emb.select("vec_id", vec_col)
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    all_blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    # left side: rows of block lb, replicated once per right block rb
+    left = base.withColumn("lb", blk).withColumn(
+        "rb", F.explode(all_blocks)
+    )
+    # right side: rows of block rb, replicated once per left block lb.
+    # Columns are RENAMED (r_vec_id / r_vec): cogrouping a frame with
+    # itself hits a Catalyst self-join attribute-dedup quirk where the
+    # UDF's right-side inputs stay bound to the LEFT's expression ids
+    # and the right child's payload gets column-pruned away (KeyError
+    # in the kernel under count()); distinct names force distinct
+    # attributes.
+    right = (
+        emb.select(
+            F.col("vec_id").alias("r_vec_id"), F.col(vec_col).alias("r_vec")
+        )
+        .withColumn("rb", F.pmod(F.col("r_vec_id"), F.lit(n_blocks)).cast("int"))
+        .withColumn("lb", F.explode(all_blocks))
+    )
+    return left.groupBy("lb", "rb").cogroup(right.groupBy("lb", "rb"))
+
+
 def knn_topk_bruteforce(
     spark, emb: DataFrame, k: int = 3, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Exact top-k cosine neighbors via a numpy int64-matmul kernel.
+    """Exact top-k cosine neighbors via a distributed numpy int64
+    kernel (block nested loop, `_block_pairs_cogrouped`).
 
-    Same algorithm as `cosine_pairs` + window top-k, radically cheaper
-    physically: the right side is a broadcast (n×d int64 matrix, a few
-    MB for ≤10⁵ vectors), each Arrow batch of left rows does one BLAS-
-    free exact integer matmul, and top-k happens *inside the kernel* —
-    so the job never materializes the n² pair rows and never shuffles
-    them into a window. Integer dot products are order-independent ⇒
-    results stay bit-identical to the SQL/DuckDB formulation.
+    Each kernel call does one BLAS-free exact integer matmul for its
+    block tile and keeps only the tile-local top-k, so the n² pair
+    space is never materialized as rows; a final per-vector window
+    merges the B tile top-ks into the global top-k. Integer dot
+    products are order-independent ⇒ results stay bit-identical to the
+    SQL/DuckDB formulation. Rounding matches Spark/DuckDB round()
+    (half away from zero), not numpy's half-to-even.
 
-    Rounding matches Spark/DuckDB round() (half away from zero), not
-    numpy's half-to-even.
-
-    Scale: right side must fit an executor (~10⁵×64 int64 = 50 MB);
-    beyond that, LSH/IVF bucketing bounds each kernel call to one
-    bucket (q_ann_lsh_ml shape) with this same kernel as the rerank.
+    Scale: exact all-pairs is O(n²·d) compute by definition — this
+    distributes it evenly with no driver participation. For corpus
+    sizes where n² itself is the problem, use the bucketed paths
+    (q_ann_lsh_ml / q_ann_ivf), which reuse the same quantized
+    arithmetic inside buckets.
     """
     import numpy as np
     import pandas as pd
@@ -105,63 +155,62 @@ def knn_topk_bruteforce(
     )
 
     _quant = _quant_np
-    rows = emb.select("vec_id", vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    Q = _quant(np.array([r[1] for r in rows]))
-    n2 = (Q * Q).sum(axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_q = spark.sparkContext.broadcast(Q)
-    b_n2 = spark.sparkContext.broadcast(n2)
 
-    schema = StructType(
+    tile_schema = StructType(
         [
             StructField("vec_id", LongType()),
-            StructField("rank", IntegerType()),
             StructField("neighbor", LongType()),
             StructField("cos", DoubleType()),
         ]
     )
 
-    def kernel(batches):
-        ids_r, Qr, n2r = b_ids.value, b_q.value, b_n2.value
-        for pdf in batches:
-            qa = _quant(np.stack(pdf[vec_col].to_numpy()))
-            na = (qa * qa).sum(axis=1)
-            dots = qa @ Qr.T  # exact int64
-            cos = dots / np.sqrt(
-                na[:, None].astype(np.float64) * n2r[None, :].astype(np.float64)
-            )
-            out_id, out_rank, out_nb, out_cos = [], [], [], []
-            for i, vid in enumerate(pdf["vec_id"].to_numpy()):
-                row = cos[i]
-                # exclude self; order by (cos desc, neighbor asc)
-                mask = ids_r != vid
-                order = np.lexsort((ids_r[mask], -row[mask]))[:k]
-                cand_ids = ids_r[mask][order]
-                cand_cos = row[mask][order]
-                out_id.extend([vid] * len(order))
-                out_rank.extend(range(1, len(order) + 1))
-                out_nb.extend(cand_ids.tolist())
-                out_cos.extend(cand_cos.tolist())
-            yield pd.DataFrame(
-                {
-                    "vec_id": out_id,
-                    "rank": np.array(out_rank, dtype=np.int32),
-                    "neighbor": out_nb,
-                    "cos": out_cos,
-                }
-            )
+    def kernel(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor": [], "cos": []}
+            ).astype({"vec_id": "int64", "neighbor": "int64", "cos": "float64"})
+        qa = _quant(np.stack(left[vec_col].to_numpy()))
+        qb = _quant(np.stack(right["r_vec"].to_numpy()))
+        na = (qa * qa).sum(axis=1)
+        nb = (qb * qb).sum(axis=1)
+        aids = left["vec_id"].to_numpy()
+        bids = right["r_vec_id"].to_numpy()
+        cos = (qa @ qb.T) / np.sqrt(
+            na[:, None].astype(np.float64) * nb[None, :].astype(np.float64)
+        )
+        out_id, out_nb, out_cos = [], [], []
+        for i, vid in enumerate(aids):
+            row = cos[i]
+            mask = bids != vid  # exclude self
+            order = np.lexsort((bids[mask], -row[mask]))[:k]
+            out_id.extend([vid] * len(order))
+            out_nb.extend(bids[mask][order].tolist())
+            out_cos.extend(row[mask][order].tolist())
+        return pd.DataFrame(
+            {"vec_id": out_id, "neighbor": out_nb, "cos": out_cos}
+        )
 
-    return emb.select("vec_id", vec_col).mapInPandas(kernel, schema=schema)
+    tiles = _block_pairs_cogrouped(emb, vec_col, KNN_BLOCKS).applyInPandas(
+        kernel, schema=tile_schema
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor")
+    return (
+        tiles.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor", "cos")
+    )
 
 
 def neardup_pairs_bruteforce(
     spark, emb: DataFrame, threshold: float, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Unordered pairs with cosine ≥ threshold, same broadcast
-    int64-matmul kernel as `knn_topk_bruteforce` — pairs above
-    threshold are emitted inside the kernel, so the n² space is never
-    materialized as rows."""
+    """Unordered pairs with cosine ≥ threshold — same distributed
+    block-nested-loop kernel as `knn_topk_bruteforce`; qualifying pairs
+    are emitted inside the kernel (id_a < id_b appears in exactly one
+    tile), so the n² space is never materialized and no merge window
+    is needed."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -172,11 +221,6 @@ def neardup_pairs_bruteforce(
     )
 
     _quant = _quant_np
-    rows = emb.select("vec_id", vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    Q = _quant(np.array([r[1] for r in rows]))
-    n2 = (Q * Q).sum(axis=1)
-    b = spark.sparkContext.broadcast((ids, Q, n2))
 
     schema = StructType(
         [
@@ -186,27 +230,29 @@ def neardup_pairs_bruteforce(
         ]
     )
 
-    def kernel(batches):
-        ids_r, Qr, n2r = b.value
-        for pdf in batches:
-            qa = _quant(np.stack(pdf[vec_col].to_numpy()))
-            na = (qa * qa).sum(axis=1)
-            aids = pdf["vec_id"].to_numpy()
-            cos = (qa @ Qr.T) / np.sqrt(
-                na[:, None].astype(np.float64) * n2r[None, :].astype(np.float64)
+    def kernel(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
             )
-            # unordered pairs: keep id_a < id_b only
-            keep = (cos >= threshold) & (aids[:, None] < ids_r[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "id_a": aids[ai],
-                    "id_b": ids_r[bi],
-                    "cos": cos[ai, bi],
-                }
-            )
+        qa = _quant(np.stack(left[vec_col].to_numpy()))
+        qb = _quant(np.stack(right["r_vec"].to_numpy()))
+        na = (qa * qa).sum(axis=1)
+        nb = (qb * qb).sum(axis=1)
+        aids = left["vec_id"].to_numpy()
+        bids = right["r_vec_id"].to_numpy()
+        cos = (qa @ qb.T) / np.sqrt(
+            na[:, None].astype(np.float64) * nb[None, :].astype(np.float64)
+        )
+        keep = (cos >= threshold) & (aids[:, None] < bids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"id_a": aids[ai], "id_b": bids[bi], "cos": cos[ai, bi]}
+        )
 
-    return emb.select("vec_id", vec_col).mapInPandas(kernel, schema=schema)
+    return _block_pairs_cogrouped(emb, vec_col, KNN_BLOCKS).applyInPandas(
+        kernel, schema=schema
+    )
 
 
 # DuckDB twin of quantize(): (vec_id, qv, n2)
@@ -227,3 +273,240 @@ SQL_COS = (
     " x -> x[1] * x[2])) AS DOUBLE)"
     " / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))"
 )
+
+
+# --- IVF: learned codebook + multi-probe search -----------------------------
+
+EMB_DIM = 64  # embeddings table dimension (asserted in quantize callers)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate kNN with a LEARNED codebook, fully deterministic
+    and oracle-expressible.
+
+    Codebook: Lloyd iterations seeded with the n_centroids lowest
+    vec_ids. Each iteration assigns every vector to its max-cosine
+    centroid (ties → lower cid) and re-estimates centroids as the
+    requantized elementwise mean ``round(sum/count)`` — int64 sums and
+    one IEEE double division keep both engines bit-identical. Clusters
+    that lose all members drop out (deterministically, in both twins).
+
+    Search: every vector's top-``nprobe`` centroids are probed; the
+    candidate set is vectors HOMED (rank-1) in a probed bucket, then
+    exact quantized-cosine rerank picks top-k. A candidate pair meets
+    through exactly one bucket (home is unique), so no dedup shuffle.
+
+    Scale: assignment is a broadcast of the tiny codebook (n·n_centroids
+    row expansion, map-side); centroid update shuffles n·d rows per
+    iteration; search joins on bucket — pair space ~n²·nprobe/B instead
+    of n². At 100 TB seed with k-means|| samples instead of low ids and
+    run assignment only (codebook trained on a sample).
+    """
+    from pyspark.sql import Window
+
+    q = quantize(emb, vec_col).select("vec_id", "qv", "n2")
+
+    def score(frame, cent):
+        dot = F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cqv"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            frame.crossJoin(F.broadcast(cent))
+            .withColumn("dot", dot)
+            .select(
+                "vec_id",
+                "cid",
+                (
+                    F.col("dot").cast("double")
+                    / F.sqrt(
+                        F.col("n2").cast("double") * F.col("cn2").cast("double")
+                    )
+                ).alias("ccos"),
+            )
+        )
+
+    cent = q.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("cqv"),
+        F.col("n2").alias("cn2"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    for _ in range(iters):
+        assign = (
+            score(q, cent)
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        comp = (
+            q.join(assign, "vec_id")
+            .select("cid", F.posexplode("qv").alias("dim", "xv"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.round(
+                    F.sum("xv").cast("double") / F.count("*")
+                ).cast("bigint").alias("cv")
+            )
+        )
+        cent = (
+            comp.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cqv")
+            )
+            .withColumn(
+                "cn2",
+                F.aggregate(
+                    "cqv", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+                ),
+            )
+            .select("cid", "cqv", "cn2")
+        )
+
+    ranked = score(q, cent).withColumn("crank", F.row_number().over(w_assign))
+    home = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("r_vec_id"), F.col("cid").alias("bucket")
+    )
+    probes = ranked.filter(F.col("crank") <= nprobe).select(
+        "vec_id", F.col("cid").alias("bucket")
+    )
+    qa = q.join(probes, "vec_id")
+    qb = q.select(
+        F.col("vec_id").alias("r_vec_id"),
+        F.col("qv").alias("r_qv"),
+        F.col("n2").alias("r_n2"),
+    ).join(home, "r_vec_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("r_qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        qa.join(qb, "bucket")
+        .filter(F.col("vec_id") != F.col("r_vec_id"))
+        .withColumn("dot", dot)
+        .select(
+            "vec_id",
+            F.col("r_vec_id").alias("neighbor"),
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("n2").cast("double") * F.col("r_n2").cast("double"))
+            ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor", "cos")
+    )
+
+
+def sql_ivf(
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB twin of :func:`ivf_topk` — the same Lloyd iterations as
+    chained CTEs. Centroid means are generated per-dimension (the SQL
+    is synthesized for the fixed embedding dim), packed back into a
+    list; all arithmetic mirrors the Spark side exactly."""
+    cos_expr = (
+        "CAST(list_sum(list_transform(list_zip(q.qv, c.cqv),"
+        " x -> x[1] * x[2])) AS DOUBLE)"
+        " / sqrt(CAST(q.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE))"
+    )
+    mean_terms = ", ".join(
+        f"CAST(round(CAST(sum(qv[{j}]) AS DOUBLE) / count(*)) AS BIGINT)"
+        for j in range(1, dim + 1)
+    )
+    n2_terms = " + ".join(f"cqv[{j}] * cqv[{j}]" for j in range(1, dim + 1))
+    ctes = [
+        f"q AS ({SQL_QUANTIZED})",
+        f"cent0 AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM q"
+        f" WHERE vec_id < {n_centroids})",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""score{i} AS (
+    SELECT q.vec_id, c.cid, {cos_expr} AS ccos
+    FROM q CROSS JOIN cent{i} c
+)"""
+        )
+        ctes.append(
+            f"""assign{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        FROM score{i}) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""csum{i} AS (
+    SELECT a.cid, list_value({mean_terms}) AS cqv
+    FROM assign{i} a JOIN q USING (vec_id) GROUP BY a.cid
+)"""
+        )
+        ctes.append(
+            f"cent{i + 1} AS (SELECT cid, cqv,"
+            f" CAST({n2_terms} AS BIGINT) AS cn2 FROM csum{i})"
+        )
+    final = f"cent{iters}"
+    ctes.append(
+        f"""scoref AS (
+    SELECT q.vec_id, c.cid, {cos_expr} AS ccos
+    FROM q CROSS JOIN {final} c
+)"""
+    )
+    ctes.append(
+        """rankedf AS (
+    SELECT vec_id, cid, row_number() OVER (
+        PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank
+    FROM scoref
+)"""
+    )
+    ctes.append(
+        "home AS (SELECT vec_id AS r_vec_id, cid AS bucket"
+        " FROM rankedf WHERE crank = 1)"
+    )
+    ctes.append(
+        f"probes AS (SELECT vec_id, cid AS bucket FROM rankedf"
+        f" WHERE crank <= {nprobe})"
+    )
+    pair_cos = (
+        "CAST(list_sum(list_transform(list_zip(a.qv, b.qv),"
+        " x -> x[1] * x[2])) AS DOUBLE)"
+        " / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))"
+    )
+    ctes.append(
+        f"""cands AS (
+    SELECT a.vec_id, b.vec_id AS neighbor, {pair_cos} AS cos
+    FROM (SELECT q.*, p.bucket FROM q JOIN probes p USING (vec_id)) a
+    JOIN (SELECT q.vec_id, q.qv, q.n2, h.bucket
+          FROM q JOIN home h ON q.vec_id = h.r_vec_id) b
+      ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, rank, neighbor, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cos DESC, neighbor) AS rank
+        FROM cands
+    ) WHERE rank <= {k}
+    ORDER BY vec_id, rank
+    """

@@ -18,6 +18,10 @@ from frauddetection_spark.operators.graph import (
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
+# per-sf_dir memo of (n_distinct_contacts, n_distinct_users) for the
+# common-neighbor strategy pick: probe once, reuse like catalog stats
+_CN_STATS: dict[str, tuple[int, int]] = {}
+
 # DuckDB twin of edges_from_events
 _SQL_EDGES = """
         SELECT DISTINCT user_id AS src,
@@ -79,11 +83,26 @@ def q_join_common_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (data_process.py:20-48). The reference's O(n²·set-intersect)
     loop is one inverted-index self-join + aggregate: one shuffle on
     contact, one on the pair key. Hub-contact pruning available via
-    operators.graph.common_neighbor_pairs(max_contact_degree=...)."""
+    operators.graph.common_neighbor_pairs(max_contact_degree=...).
+
+    Strategy stats (distinct contacts / users) are probed once per
+    sf_dir and memoized — the ANALYZE-once/reuse-from-catalog pattern;
+    repeat constructions are probe-free."""
     e = edges_from_events(t(spark, sf_dir, "events"))
     contacts = e.select(F.col("src").alias("user"), F.col("dst").alias("contact"))
+    stats = _CN_STATS.get(sf_dir)
+    if stats is None:
+        d = contacts.distinct()
+        row = d.agg(
+            F.countDistinct("contact").alias("nc"),
+            F.countDistinct("user").alias("nu"),
+        ).first()
+        stats = (int(row["nc"]), int(row["nu"]))
+        _CN_STATS[sf_dir] = stats
     return (
-        common_neighbor_pairs(contacts, min_common=5)
+        common_neighbor_pairs(
+            contacts, min_common=5, n_contacts=stats[0], n_users=stats[1]
+        )
         .orderBy("user_a", "user_b")
     )
 

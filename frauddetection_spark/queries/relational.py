@@ -778,21 +778,42 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source with a REQUIRED explicit schema (reference:
     pd.read_csv with inference, data_process.py:53-55 — engine policy
-    §1.2: never infer). The query re-exports events to CSV once (temp
-    dir keyed by sf), reads it back through sources/io.py::read_csv,
-    and aggregates; the oracle runs on the original parquet — matching
-    hashes prove the interchange is lossless."""
+    §1.2: never infer). The CSV copy of events is materialized once per
+    sf by DuckDB on the driver (pure-Python prep — constructing this
+    query runs ZERO Spark jobs); Spark reads it back through
+    sources/io.py::read_csv and aggregates, while the oracle runs on
+    the original parquet — matching hashes prove the interchange is
+    lossless. (The Spark CSV *sink* is exercised in tests/test_io.py.)"""
     import os
     import tempfile
 
-    from frauddetection_spark.sources.io import export_csv, read_csv
+    from frauddetection_spark.sources.io import read_csv
     from frauddetection_spark.sources.tables import SCHEMAS
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"fd_spark_csv_{tag}", "events")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        export_csv(t(spark, sf_dir, "events"), path)
-    csv = read_csv(spark, path, SCHEMAS["events"])
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        import duckdb
+
+        os.makedirs(path, exist_ok=True)
+        con = duckdb.connect()
+        # CAST ts to micros — DuckDB would print TIMESTAMP_NS with nine
+        # fraction digits, which Spark's CSV parser rejects; micros is
+        # the same truncation the parquet loader applies.
+        con.execute(
+            f"""
+            COPY (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                         event_type, value, props
+                  FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}'))
+            TO '{os.path.join(path, "part-0.csv")}' (FORMAT CSV, HEADER)
+            """
+        )
+        con.close()
+        open(marker, "w").close()
+    # escape='"': DuckDB writes RFC-4180 doubled quotes; Spark's
+    # backslash default would leave embedded quotes in string fields
+    csv = read_csv(spark, path, SCHEMAS["events"], escape='"')
     return (
         csv.groupBy("event_type")
         .agg(

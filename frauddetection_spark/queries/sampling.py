@@ -151,17 +151,23 @@ def q_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     nodes = labels.join(deg, "user_id", "left").na.fill({"degree": 0})
-    total = nodes.count()
-    rates = nodes.groupBy("label").agg(F.count("*").alias("n_class"))
+    # class table with the grand total attached via broadcast 1-row
+    # aggregate — NOT a driver-side .count() (which would execute the
+    # whole upstream plan eagerly at query-construction time)
+    rates = (
+        nodes.groupBy("label")
+        .agg(F.count("*").alias("n_class"))
+        .crossJoin(F.broadcast(nodes.agg(F.count("*").alias("n_total"))))
+    )
     raw = (
         nodes.join(F.broadcast(rates), "label")
         .withColumn(
             "raw",
             (F.round(F.sqrt(F.col("degree") + 1) * FIXED).cast("bigint"))
             * (
-                F.round(F.lit(float(total)) / F.col("n_class") * FIXED).cast(
-                    "bigint"
-                )
+                F.round(
+                    F.col("n_total").cast("double") / F.col("n_class") * FIXED
+                ).cast("bigint")
             ),
         )
         .select("user_id", "label", "degree", "raw")
@@ -239,11 +245,17 @@ def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("y_src") == 0) & (F.col("y_dst") == 0), "homo_benign")
         .otherwise("hetero"),
     ).select("src", "dst", "edge_class")
-    total = classed.count()
-    cc = classed.groupBy("edge_class").agg(F.count("*").alias("n_class"))
+    # grand total via broadcast 1-row aggregate, not an eager .count()
+    cc = (
+        classed.groupBy("edge_class")
+        .agg(F.count("*").alias("n_class"))
+        .crossJoin(F.broadcast(classed.agg(F.count("*").alias("n_total"))))
+    )
     raw = classed.join(F.broadcast(cc), "edge_class").withColumn(
         "raw",
-        F.round(F.lit(float(total)) / F.col("n_class") * FIXED).cast("bigint"),
+        F.round(
+            F.col("n_total").cast("double") / F.col("n_class") * FIXED
+        ).cast("bigint"),
     ).select("src", "dst", "edge_class", "raw")
     return (
         normalized_probability(raw, "raw")

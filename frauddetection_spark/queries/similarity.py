@@ -31,9 +31,11 @@ from frauddetection_spark.operators.vectors import (
     SQL_COS,
     SQL_QUANTIZED,
     cosine_pairs,
+    ivf_topk,
     knn_topk_bruteforce,
     neardup_pairs_bruteforce,
     quantize,
+    sql_ivf,
 )
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
@@ -394,96 +396,41 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E3 scale path — deterministic IVF (bucketed ANN, oracle-checkable)
+# E3 scale path — deterministic IVF (learned codebook + multi-probe)
 # ---------------------------------------------------------------------------
 
 N_CENTROIDS = 16
+# nprobe=8 of 16: halves the pair space at rank-1 recall 0.81 on the
+# synthetic embeddings (sf0.1). The testdata vectors are near-uniform
+# on the sphere — the adversarial case for IVF, where recall ≈ probed
+# fraction; clustered real-world embeddings sit far above this floor.
+NPROBE = 8
+IVF_ITERS = 2
 
 
 @register(
     "q_ann_ivf",
-    oracle=f"""
-    WITH q AS ({SQL_QUANTIZED}),
-    cent AS (SELECT * FROM q WHERE vec_id < {N_CENTROIDS}),
-    assign0 AS (
-        SELECT a.vec_id, b.vec_id AS centroid, {SQL_COS} AS cos
-        FROM q a JOIN cent b ON true
+    oracle=sql_ivf(
+        k=KNN_K, n_centroids=N_CENTROIDS, nprobe=NPROBE, iters=IVF_ITERS
     ),
-    assigned AS (
-        SELECT vec_id, centroid AS bucket FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY cos DESC, centroid
-            ) AS rn FROM assign0
-        ) WHERE rn = 1
-    ),
-    qa AS (SELECT q.*, s.bucket FROM q JOIN assigned s USING (vec_id)),
-    pairs AS (
-        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor, {SQL_COS} AS cos
-        FROM qa a JOIN qa b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-    )
-    SELECT vec_id, rank, neighbor, cos FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY cos DESC, neighbor
-        ) AS rank FROM pairs
-    ) WHERE rank <= {KNN_K}
-    ORDER BY vec_id, rank
-    """,
     survey="E3",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate kNN, fully deterministic: the 16 lowest
-    vec_ids act as centroids (a fixed, engine-independent codebook —
-    production would k-means these), every vector is assigned to its
-    max-cosine centroid, and top-k search runs only inside the
-    vector's own bucket (nprobe=1). The pair space shrinks from n² to
-    ~n²/16 per bucket join — the structural move that makes ANN scale;
-    recall vs q_knn_cosine is the quality metric. Exact quantized
-    arithmetic end-to-end ⇒ oracle-checkable despite being
-    approximate."""
-    q = quantize(t(spark, sf_dir, "embeddings"))
-    cent = q.filter(F.col("vec_id") < N_CENTROIDS)
-    assign = cosine_pairs(q, cent)
-    w_assign = Window.partitionBy("id_a").orderBy(
-        F.col("cos").desc(), F.col("id_b")
+    """IVF approximate kNN, fully deterministic AND learned: a Lloyd-
+    iterated codebook (seeded with the 16 lowest vec_ids, 2 exact-int
+    refinement rounds) replaces round 1's fixed centroids, and search
+    probes each vector's 8 nearest centroids (nprobe=8) instead of 1 —
+    the two levers that lifted rank-1 recall from ~22% to ~0.81. The
+    candidate space is ~n²·nprobe/16 instead of n² — the structural move that
+    makes ANN scale; recall vs q_knn_cosine is pinned in
+    tests/test_properties.py. Exact quantized arithmetic end-to-end ⇒
+    oracle-checkable despite being approximate (operators/vectors.py::
+    ivf_topk and sql_ivf are the same algorithm in both engines)."""
+    knn = ivf_topk(
+        t(spark, sf_dir, "embeddings"),
+        k=KNN_K,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
+        iters=IVF_ITERS,
     )
-    buckets = (
-        assign.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("bucket"))
-    )
-    qa = q.join(buckets, "vec_id")
-    pa = qa.select(
-        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"),
-        F.col("n2").alias("na"), "bucket",
-    )
-    pb = qa.select(
-        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"),
-        F.col("n2").alias("nb"), "bucket",
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        pa.join(pb, "bucket")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("dot", dot)
-        .select(
-            F.col("id_a").alias("vec_id"),
-            F.col("id_b").alias("neighbor"),
-            (
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-            ).alias("cos"),
-        )
-    )
-    w_rank = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "rank", "neighbor", "cos")
-        .orderBy("vec_id", "rank")
-    )
+    return knn.orderBy("vec_id", "rank")

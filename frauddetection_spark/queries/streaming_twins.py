@@ -104,7 +104,7 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_stats",
     oracle=f"""
     WITH ordered AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CAST(round(value * 100) AS BIGINT) AS cents,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
@@ -120,7 +120,7 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
         SELECT user_id, ts, cents,
                sum(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING
                ) AS session_id
         FROM marked
@@ -143,9 +143,12 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both forms shuffle once on user_id."""
     e = t(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # (ts, event_id) is a TOTAL order: a ts-only running sum would make
+    # session assignment tie-order-dependent (nondeterministic in both
+    # engines) for duplicate timestamps at a session boundary.
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     marked = (

@@ -331,10 +331,15 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain explode + groupBy. NGram is deterministic, so even the
     MLlib-transformer output oracle-checks. Frequent-n-gram mining is
     the vocabulary-induction primitive for tokenizer training."""
-    from pyspark.ml.feature import NGram, Tokenizer
+    from pyspark.ml.feature import NGram, RegexTokenizer
 
     docs = t(spark, sf_dir, "documents")
-    tok = Tokenizer(inputCol="text", outputCol="toks").transform(docs)
+    # RegexTokenizer with \s+: plain Tokenizer (String.split("\\s"))
+    # emits EMPTY tokens for consecutive whitespace, diverging from the
+    # oracle's string_split_regex(text, '\s+') semantics.
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern=r"\s+", toLowercase=True
+    ).transform(docs)
     ng = NGram(n=2, inputCol="toks", outputCol="bigrams").transform(tok)
     return (
         ng.select("doc_id", F.explode("bigrams").alias("bigram"))

@@ -75,7 +75,15 @@ def export_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
-def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, **options: str
+) -> DataFrame:
     """CSV scan with a REQUIRED explicit schema (S1; never infer —
-    inference is a full scan at 100 TB and is type-unstable)."""
-    return spark.read.schema(schema).option("header", "true").csv(path)
+    inference is a full scan at 100 TB and is type-unstable).
+
+    Extra reader options pass through — e.g. ``escape='"'`` for
+    RFC-4180 files (doubled quotes) vs Spark's backslash default."""
+    reader = spark.read.schema(schema).option("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)

@@ -135,18 +135,68 @@ def ensure_read_confs(spark: SparkSession) -> None:
             pass
 
 
+# footer-schema memo: path → raw Spark schema. Testdata is immutable;
+# re-reading footers on every plan construction costs a Spark job each
+# time (ParquetFileFormat.inferSchema), which this eliminates entirely.
+_RAW_SCHEMA_CACHE: dict[str, StructType] = {}
+
+
+def _arrow_to_spark(arrow_type) -> object:
+    """Map the physical arrow types our tables use to Spark types.
+    timestamp[ns] maps to LongType — the nanosAsLong representation the
+    rest of the loader converts with `div 1000`."""
+    import pyarrow as pa
+
+    if pa.types.is_int32(arrow_type):
+        return IntegerType()
+    if pa.types.is_int64(arrow_type):
+        return LongType()
+    if pa.types.is_float64(arrow_type):
+        return DoubleType()
+    if pa.types.is_float32(arrow_type):
+        return FloatType()
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return StringType()
+    if pa.types.is_timestamp(arrow_type):
+        if arrow_type.unit == "ns":
+            return LongType()
+        return TimestampType()
+    if pa.types.is_list(arrow_type) or pa.types.is_large_list(arrow_type):
+        return ArrayType(_arrow_to_spark(arrow_type.value_type))
+    raise TypeError(f"unmapped arrow type {arrow_type}")
+
+
+def _raw_schema(path: str) -> StructType:
+    """Physical schema from the parquet footer — a driver-side pyarrow
+    metadata read (NO Spark job), memoized per path. Handing Spark an
+    explicit schema skips its schema-inference job at plan time; at
+    100 TB that job is a full footer sweep across every file."""
+    cached = _RAW_SCHEMA_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    arrow = pq.read_schema(path)
+    raw = StructType(
+        [StructField(f.name, _arrow_to_spark(f.type), True) for f in arrow]
+    )
+    _RAW_SCHEMA_CACHE[path] = raw
+    return raw
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table with its pinned schema.
 
-    Parquet is self-describing, so we read natively (keeps row-group
-    min/max pruning and column pruning) and verify the arriving schema
-    matches the pinned one, rather than forcing a cast that could mask
-    upstream drift.
+    The physical schema comes from a driver-side footer read (memoized;
+    no Spark job) and is verified against the pinned one — a mismatch
+    fails loudly at plan time rather than silently coercing.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     ensure_read_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw = _raw_schema(path)
+    df = spark.read.schema(raw).parquet(path)
     expected = {f.name: f.dataType for f in SCHEMAS[name].fields}
     got = {f.name: f.dataType for f in df.schema.fields}
     if set(expected) - set(got):

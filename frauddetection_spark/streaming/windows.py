@@ -148,11 +148,18 @@ _RUNNING_SCHEMA = StructType(
 
 
 def _running_totals_fn(key, pdf_iter: Iterator[pd.DataFrame], state):
-    """Per-user running (count, exact-cents sum) across micro-batches."""
+    """Per-user running (count, exact-cents sum) across micro-batches.
+
+    Quantize PER ROW then sum ints — rounding a float sum of the whole
+    micro-batch once would accumulate float error (and use Python
+    banker's rounding), diverging from the batch twin's
+    sum(round(value*100)) on large batches."""
+    from frauddetection_spark.operators.vectors import round_half_away_np
+
     n, cents = state.get() if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        cents += int(round(float(pdf["value"].sum()) * 100))
+        cents += int(round_half_away_np(pdf["value"].to_numpy(), 100).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "value_total": [cents / 100.0]}

@@ -105,3 +105,70 @@ def test_driver_window_covers_all_families():
 
     # the window should not waste slots on rows-only checks
     assert len(oracle_window(names[:DRIVER_WINDOW])) >= 48
+
+
+def test_common_neighbor_auto_refuses_bitmask_on_many_users(spark):
+    """The bitmask pair join is O(|users|^2): auto must fall back to the
+    inverted index when the user count exceeds BITMASK_MAX_USERS, even
+    if the contact domain is tiny (the round-1 heuristic keyed only on
+    domain size — the scale-killer regime)."""
+    from frauddetection_spark.operators.graph import (
+        BITMASK_MAX_USERS,
+        common_neighbor_pairs,
+    )
+
+    n_users = BITMASK_MAX_USERS + 100
+    contacts = spark.range(n_users).select(
+        F.col("id").alias("user"), (F.col("id") % 10).alias("contact")
+    )
+    df = common_neighbor_pairs(contacts, min_common=1)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" not in plan  # inverted path chosen
+    # small-user frame still picks bitmask
+    small = spark.range(100).select(
+        F.col("id").alias("user"), (F.col("id") % 10).alias("contact")
+    )
+    df2 = common_neighbor_pairs(small, min_common=1)
+    plan2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" in plan2
+
+
+def test_common_neighbor_injected_stats_skip_probe(spark):
+    """Passing n_contacts/n_users means NO probe job at construction."""
+    from frauddetection_spark.operators.graph import common_neighbor_pairs
+
+    contacts = spark.range(50).select(
+        F.col("id").alias("user"), (F.col("id") % 5).alias("contact")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = common_neighbor_pairs(contacts, min_common=1, n_contacts=5, n_users=50)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "stat injection must not run a Spark job"
+    assert df.count() > 0
+
+
+def test_query_construction_runs_no_jobs(spark, sf_dir):
+    """Constructing a query DataFrame must be pure plan building — no
+    Spark jobs (no eager probes, no side-effect writes, no schema
+    inference). Documented exceptions:
+    - q_join_common_neighbor: ONE-TIME memoized stats probe per sf_dir
+      (CBO pattern) — warmed before the assert;
+    - q_connected_components: iterative fixpoint, executes by nature;
+    - q_ann_lsh_ml / q_dedup_minhash_ml: MLlib .fit() is execution."""
+    iterative = {"q_connected_components", "q_ann_lsh_ml", "q_dedup_minhash_ml"}
+    reg = load_all()
+    # warm the memoized probe + CSV materialization outside the assert
+    reg["q_join_common_neighbor"].fn(spark, sf_dir)
+    reg["q_scan_csv"].fn(spark, sf_dir)
+    tracker = spark.sparkContext.statusTracker()
+    offenders = []
+    for name, spec in reg.items():
+        if name in iterative:
+            continue
+        before = len(tracker.getJobIdsForGroup(None))
+        spec.fn(spark, sf_dir)
+        after = len(tracker.getJobIdsForGroup(None))
+        if after != before:
+            offenders.append((name, after - before))
+    assert not offenders, f"construction triggered jobs: {offenders}"

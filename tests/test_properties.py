@@ -109,6 +109,27 @@ def test_ivf_never_beats_exact(spark, sf_dir):
     assert j.filter(F.col("ivf_cos") > F.col("exact_cos") + 1e-9).count() == 0
 
 
+def test_ivf_rank1_recall(spark, sf_dir):
+    """ANN soundness: the learned-codebook + nprobe=8 IVF must find the
+    true nearest neighbor for ≥80% of vectors (VERDICT r1 item 6; was
+    ~22% with fixed centroids at nprobe=1). The synthetic embeddings
+    are near-uniform — IVF's adversarial case — so this is a floor."""
+    exact = (
+        REGISTRY["q_knn_cosine"].fn(spark, sf_dir)
+        .filter("rank = 1")
+        .select("vec_id", F.col("neighbor").alias("nn_exact"))
+    )
+    ivf = (
+        REGISTRY["q_ann_ivf"].fn(spark, sf_dir)
+        .filter("rank = 1")
+        .select("vec_id", F.col("neighbor").alias("nn_ivf"))
+    )
+    j = exact.join(ivf, "vec_id", "left")
+    tot = j.count()
+    hit = j.filter(F.col("nn_ivf") == F.col("nn_exact")).count()
+    assert hit / tot >= 0.8, f"rank-1 recall {hit}/{tot} = {hit / tot:.3f}"
+
+
 def test_asof_carries_latest_row_atomically(spark):
     # code-review regression: a NULL in the latest right row must be
     # carried as NULL (not back-filled from an older row), and columns

@@ -129,3 +129,68 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-expressible."""
     media = with_media_column(t(spark, sf_dir, "documents"))
     return decode_media(media, fake=True).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M1 hook — broadcast-weights model scoring (torch-compatible interface)
+# ---------------------------------------------------------------------------
+
+# fixed demo scorer: tanh(w1·f1 + w2·f2 + b) over two per-user features
+_W1, _W2, _B = 0.3, -0.2, 0.1
+
+
+@register(
+    "q_model_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT user_id,
+               CAST(count(*) AS DOUBLE) / 100 AS f_rate,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100 AS f_mean
+        FROM events GROUP BY user_id
+    ),
+    lin AS (
+        SELECT user_id, f_rate, f_mean,
+               {_W1} * f_rate + {_W2} * f_mean + {_B} AS z
+        FROM feats
+    )
+    SELECT user_id,
+           round(f_rate, 6) AS f_rate,
+           round(f_mean, 6) AS f_mean,
+           round((exp(2 * z) - 1) / (exp(2 * z) + 1), 6) AS score
+    FROM lin ORDER BY user_id
+    """,
+    survey="M1,E8",
+)
+def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model scoring through the M1 torch hook (functions/torch_hook.py):
+    per-user features stay cluster-resident, the (tiny) weight vector is
+    broadcast, and a mapInPandas forward pass appends the score — the
+    migration path for the reference's trained MultiLstm
+    (src/layers.py:9-69, driver-scored at main.py:128-142). Here the
+    forward is the deterministic numpy reference (tanh(Xw+b)); the
+    oracle evaluates the same closed form in SQL ((e^{{2z}}-1)/(e^{{2z}}+1)
+    — DuckDB has no tanh), with r6 rounding absorbing libm 1-ulp drift
+    per the engine's transcendental policy. A real torch module uses
+    torch_hook.torch_forward with identical plumbing."""
+    import numpy as np
+
+    from frauddetection_spark.functions.torch_hook import score_batches
+
+    events = t(spark, sf_dir, "events")
+    feats = events.groupBy("user_id").agg(
+        (F.count("*").cast("double") / 100).alias("f_rate"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / F.count("*")
+            / 100
+        ).alias("f_mean"),
+    )
+    weights = {"w": np.array([_W1, _W2]), "b": _B}
+    scored = score_batches(feats, ["f_rate", "f_mean"], weights)
+    return scored.select(
+        "user_id",
+        r6("f_rate").alias("f_rate"),
+        r6("f_mean").alias("f_mean"),
+        r6("score").alias("score"),
+    ).orderBy("user_id")

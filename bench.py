@@ -71,6 +71,35 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+
+    # Round-over-round regression report (stderr): compare against the
+    # newest BENCH_r*.json the driver recorded. Host noise is ±50%
+    # between invocations, so only flag >2x as a real regression.
+    import glob
+
+    prior_files = sorted(glob.glob("BENCH_r*.json"))
+    if prior_files:
+        try:
+            with open(prior_files[-1]) as f:
+                prior = json.load(f)
+            # driver wraps our JSON line under "parsed"
+            prior = prior.get("parsed", prior)
+            pq = prior.get("queries", {})
+            for name, sec in timings.items():
+                old = pq.get(name)
+                if old and sec > 2 * old:
+                    print(
+                        f"# REGRESSION {name}: {sec}s vs {old}s in "
+                        f"{prior_files[-1]} (>2x)",
+                        file=sys.stderr,
+                    )
+            print(
+                f"# vs {prior_files[-1]}: total {out['value']}s"
+                f" (prior {prior.get('value')}s)",
+                file=sys.stderr,
+            )
+        except (OSError, ValueError):
+            pass
     print(json.dumps(out))
 
 

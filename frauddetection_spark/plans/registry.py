@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.similarity",
     "frauddetection_spark.queries.streaming_twins",
     "frauddetection_spark.queries.python_surface",
+    "frauddetection_spark.queries.llm_pipeline",
 )
 
 

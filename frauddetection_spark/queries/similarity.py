@@ -77,27 +77,6 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E2 — exact shingle Jaccard (full inverted index)
 # ---------------------------------------------------------------------------
 
-_SQL_JACCARD_TAIL = f"""
-    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    common AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS n_common
-        FROM cand c
-        JOIN sh x ON x.doc_id = c.doc_a
-        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-        GROUP BY 1, 2
-    )
-    SELECT m.doc_a, m.doc_b, m.n_common,
-           CAST(m.n_common AS DOUBLE)
-               / (sa.n + sb.n - m.n_common) AS jaccard
-    FROM common m
-    JOIN sz sa ON m.doc_a = sa.doc_id
-    JOIN sz sb ON m.doc_b = sb.doc_id
-    WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common)
-          >= {JACCARD_MIN}
-    ORDER BY doc_a, doc_b
-"""
-
-
 @register(
     "q_shingle_jaccard",
     oracle=f"""
@@ -166,10 +145,12 @@ _SQL_MINHASH_PARAMS = ",\n        ".join(
 )
 
 
-@register(
-    "q_dedup_minhash",
-    oracle=f"""
-    WITH sh AS ({SQL_WORD_SHINGLES}),
+def sql_minhash_pair_ctes() -> str:
+    """CTE chain ``sh … dup`` ending in ``dup(doc_a, doc_b, n_common,
+    jaccard)`` — the MinHash-LSH near-dup pairs with exact-Jaccard
+    rerank ≥ JACCARD_MIN. Shared by q_dedup_minhash's oracle and the
+    dup-group-resolution oracle (queries/llm_pipeline.py)."""
+    return f"""sh AS ({SQL_WORD_SHINGLES}),
     params(i, a, b) AS (VALUES
         {_SQL_MINHASH_PARAMS}
     ),
@@ -190,7 +171,32 @@ _SQL_MINHASH_PARAMS = ",\n        ".join(
         JOIN bands b ON a.band = b.band AND a.key = b.key
                     AND a.doc_id < b.doc_id
     ),
-    {_SQL_JACCARD_TAIL}
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT m.doc_a, m.doc_b, m.n_common,
+               CAST(m.n_common AS DOUBLE)
+                   / (sa.n + sb.n - m.n_common) AS jaccard
+        FROM common m
+        JOIN sz sa ON m.doc_a = sa.doc_id
+        JOIN sz sb ON m.doc_b = sb.doc_id
+        WHERE CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common)
+              >= {JACCARD_MIN}
+    )"""
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {sql_minhash_pair_ctes()}
+    SELECT doc_a, doc_b, n_common, jaccard
+    FROM dup ORDER BY doc_a, doc_b
     """,
     survey="E2",
 )

@@ -156,7 +156,12 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
       (CBO pattern) — warmed before the assert;
     - q_connected_components: iterative fixpoint, executes by nature;
     - q_ann_lsh_ml / q_dedup_minhash_ml: MLlib .fit() is execution."""
-    iterative = {"q_connected_components", "q_ann_lsh_ml", "q_dedup_minhash_ml"}
+    iterative = {
+        "q_connected_components",
+        "q_ann_lsh_ml",
+        "q_dedup_minhash_ml",
+        "q_dedup_groups",  # connected-components step is iterative
+    }
     reg = load_all()
     # warm the memoized probe + CSV materialization outside the assert
     reg["q_join_common_neighbor"].fn(spark, sf_dir)

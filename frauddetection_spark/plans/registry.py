@@ -83,7 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_groupby_agg", "q_count_distinct", "q_median", "q_topk", "q_rollup",
     "q_union_mirror", "q_dedup_exact", "q_set_ops", "q_json_extract",
     # LLM-pipeline: dedup / similarity (E1-E3)
-    "q_dedup_hash", "q_dedup_minhash", "q_simhash", "q_shingle_jaccard",
+    # (q_simhash demoted below the fold: E2 keeps q_dedup_minhash +
+    # q_shingle_jaccard, the latter also the J4 inverted-index rep)
+    "q_dedup_hash", "q_dedup_minhash", "q_shingle_jaccard",
     "q_knn_cosine", "q_ann_ivf",
     # LLM-pipeline: text (E4-E5)
     "q_token_stats", "q_text_quality",
@@ -92,14 +94,17 @@ _PRIORITY: tuple[str, ...] = (
     # sampling (R)
     "q_split_stratified", "q_sampling_weights", "q_edge_weights",
     "q_uniform_sample",
+    # LLM-pipeline: packing / weighting / dup-resolution
+    "q_tfidf", "q_dedup_groups",
     # behavioral features (A1..A13, M1)
     "q_window_agg_transform", "q_two_level_agg", "q_share_dispersion",
     "q_multiscale_features", "q_behavioral_features", "q_jaccard_lag",
     "q_dense_spine", "q_collect_series",
     # graph (J4/J5/M2)
     "q_graph_aggregate", "q_propagate_2round",
-    # streaming twins (E7) + python surface (E8)
-    "q_tumbling_counts", "q_session_stats",
+    # streaming twin (E7; q_tumbling_counts below the fold — A1 has 3
+    # other in-window reps and E7 keeps the richer session query)
+    "q_session_stats",
     "q_pandas_udf_zscore", "q_doc_stats_mapinpandas",
 )
 

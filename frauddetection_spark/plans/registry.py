@@ -105,7 +105,9 @@ _PRIORITY: tuple[str, ...] = (
     # streaming twin (E7; q_tumbling_counts below the fold — A1 has 3
     # other in-window reps and E7 keeps the richer session query)
     "q_session_stats",
-    "q_pandas_udf_zscore", "q_doc_stats_mapinpandas",
+    "q_pandas_udf_zscore",
+    # M7 viz counterpart (rows-only — PCA eigen-solver is engine-private)
+    "q_viz_projection",
 )
 
 DRIVER_WINDOW = 50

@@ -308,3 +308,365 @@ import dataclasses as _dc  # noqa: E402
 _REG["q_dedup_groups"] = _dc.replace(
     _REG["q_dedup_groups"], oracle=_dedup_groups_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram overlap against a held-out set
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 97  # benchmark stand-in: doc_id % 97 == 0
+CONTAM_RATE = 0.2
+
+
+def _decontaminate_oracle() -> str:
+    from frauddetection_spark.operators.textsim import SQL_WORD_SHINGLES
+
+    return f"""
+    WITH sh AS ({SQL_WORD_SHINGLES}),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    train AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    per AS (
+        SELECT t.doc_id,
+               count(*) AS n_shingles,
+               count(b.shingle) AS n_overlap
+        FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, CAST(n_overlap AS BIGINT) AS n_overlap,
+           n_overlap * 1.0 / n_shingles AS overlap_rate,
+           CAST(n_overlap * 1.0 / n_shingles >= {CONTAM_RATE} AS BIGINT)
+               AS contaminated
+    FROM per ORDER BY doc_id
+    """
+
+
+@register(
+    "q_decontaminate",
+    oracle=None,  # late-bound below (needs textsim's shingle CTE)
+    survey="E2,E4",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents whose word
+    3-shingle sets overlap a benchmark set (stand-in: doc_id %
+    {BENCH_MOD} == 0) above CONTAM_RATE — the standard n-gram-overlap
+    decontamination pass a pretraining pipeline runs before training.
+    Shingles are the int64 keys from operators/textsim (8-byte
+    shuffles). Scale: the benchmark side is tiny relative to the
+    corpus — broadcast it; the train side never shuffles (map-side
+    hash-semi-join + per-doc partial aggregation)."""
+    from frauddetection_spark.operators.textsim import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+    per = (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+    )
+    rate = F.col("n_overlap") / F.col("n_shingles")
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        rate.alias("overlap_rate"),
+        (rate >= CONTAM_RATE).cast("bigint").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+_REG["q_decontaminate"] = _dc.replace(
+    _REG["q_decontaminate"], oracle=_decontaminate_oracle()
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules: repetition + shape heuristics per document
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 20
+MIN_DISTINCT_FRAC = 0.4
+MAX_TOP_FRAC = 0.2
+
+
+@register(
+    "q_quality_rules",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    per AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS top_count,
+               CAST(sum(c * length(token)) AS BIGINT) AS char_sum
+        FROM tf GROUP BY 1
+    ),
+    bg AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               count(DISTINCT bigram) AS n_distinct_bigrams
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+            FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+                  FROM documents)
+        ) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_words, p.n_distinct,
+           p.n_distinct * 1.0 / p.n_words AS distinct_frac,
+           p.top_count * 1.0 / p.n_words AS top_word_frac,
+           (b.n_bigrams - b.n_distinct_bigrams) * 1.0 / b.n_bigrams
+               AS dup_bigram_frac,
+           p.char_sum * 1.0 / p.n_words AS mean_word_len,
+           CAST(p.n_words >= {MIN_WORDS}
+                AND p.n_distinct * 1.0 / p.n_words >= {MIN_DISTINCT_FRAC}
+                AND p.top_count * 1.0 / p.n_words <= {MAX_TOP_FRAC}
+                AS BIGINT) AS passes
+    FROM per p JOIN bg b ON p.doc_id = b.doc_id
+    ORDER BY p.doc_id
+    """,
+    survey="E5,E4",
+)
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition and shape heuristics per document:
+    distinct-word fraction, top-word fraction, duplicate-bigram
+    fraction, mean word length, and a composite pass flag — the
+    rule-based quality gate that runs before any model-based filter.
+    All ratios are int/int divisions of identical integers in both
+    engines (exact doubles, no rounding needed). Scale: one shuffle on
+    doc_id; every aggregate is partial-aggregated map-side."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_count"),
+        F.sum(F.col("c") * F.length("token")).cast("bigint").alias("char_sum"),
+    )
+    toks = F.split("text", r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    bg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size(bigrams).cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams))
+            .cast("bigint")
+            .alias("n_distinct_bigrams"),
+        )
+    )
+    distinct_frac = F.col("n_distinct") / F.col("n_words")
+    top_frac = F.col("top_count") / F.col("n_words")
+    return (
+        per.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            distinct_frac.alias("distinct_frac"),
+            top_frac.alias("top_word_frac"),
+            (
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                / F.col("n_bigrams")
+            ).alias("dup_bigram_frac"),
+            (F.col("char_sum") / F.col("n_words")).alias("mean_word_len"),
+            (
+                (F.col("n_words") >= MIN_WORDS)
+                & (distinct_frac >= MIN_DISTINCT_FRAC)
+                & (top_frac <= MAX_TOP_FRAC)
+            )
+            .cast("bigint")
+            .alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixing: temperature-weighted source sampling weights
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+
+
+@register(
+    "q_domain_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT *, pow(n_docs * 1.0 / (SELECT sum(n_docs) FROM per),
+                      {MIX_ALPHA}) AS wt
+        FROM per
+    )
+    SELECT source, n_docs, n_chars,
+           round(wt / (SELECT sum(wt) FROM w), 6) AS mix_weight
+    FROM w ORDER BY source
+    """,
+    survey="R2,E5",
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixing (w_s ∝ p_s^0.7, the multilingual
+    /domain rebalancing rule): per-source document share raised to
+    α < 1 flattens head domains and up-weights the tail — the sampling
+    distribution a pretraining data loader consumes. Totals attach as
+    broadcast 1-row aggregates (no driver .count()); r6 absorbs pow()
+    libm drift per the transcendental policy. Scale: |sources| rows
+    after one partial-aggregated shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("tot_docs"))
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wt", F.pow(F.col("n_docs") / F.col("tot_docs"), MIX_ALPHA)
+    )
+    wsum = w.agg(F.sum("wt").alias("wt_sum"))
+    return (
+        w.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            r6(F.col("wt") / F.col("wt_sum")).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization: symmetric int8 with reconstruction error
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, x,
+               list_aggregate(list_transform(x, e -> abs(e)), 'max') / 127
+                   AS scale
+        FROM v
+    ),
+    e AS (
+        SELECT vec_id, scale,
+               list_transform(x, e -> round(e / scale) * scale - e) AS err
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(sqrt(list_aggregate(list_transform(err, d -> d * d),
+                                     'sum')), 6) AS l2_err,
+           round(list_aggregate(list_transform(err, d -> abs(d)), 'max'), 6)
+               AS max_abs_err
+    FROM e ORDER BY vec_id
+    """,
+    survey="E3",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127,
+    q = round(x/scale)) with exact reconstruction-error stats — the
+    4× embedding-store compression an ANN serving tier applies before
+    indexing. Map-only (zero shuffles at any scale); the elementwise
+    math stays in codegen'd higher-order functions, no Python. round()
+    at scale 0 is exact in both engines; r6 absorbs sqrt() libm drift
+    on the error norms. All-zero vectors (scale = 0) are excluded —
+    they quantize trivially and would divide by zero."""
+    e = t(spark, sf_dir, "embeddings")
+    x = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    s = e.select(
+        "vec_id",
+        x.alias("x"),
+        (F.array_max(F.expr("transform(embedding, v -> abs(CAST(v AS DOUBLE)))")) / 127).alias(
+            "scale"
+        ),
+    ).filter(F.col("scale") > 0)
+    err = F.expr("transform(x, v -> round(v / scale) * scale - v)")
+    return (
+        s.withColumn("err", err)
+        .select(
+            "vec_id",
+            r6("scale").alias("scale"),
+            r6(
+                F.sqrt(F.expr("aggregate(err, 0D, (acc, d) -> acc + d * d)"))
+            ).alias("l2_err"),
+            r6(F.array_max(F.expr("transform(err, d -> abs(d))"))).alias(
+                "max_abs_err"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7 counterpart: 2-D visualization projection of the embedding space
+# ---------------------------------------------------------------------------
+
+
+@register("q_viz_projection", oracle=None, survey="M7")
+def q_viz_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plot-ready 2-D embedding projection (vec_id, label, px, py) —
+    the distributed counterpart of the reference's driver-side t-SNE
+    scatter (Code for Amazon and Yelp/new_train_1.py:183-197). t-SNE
+    is inherently a single-node iterative layout; the engine policy
+    maps the *capability* (project high-dim embeddings to 2-D for
+    inspection, colored by label) to MLlib PCA: covariance is
+    tree-aggregated (64×64 — constant-size regardless of row count),
+    the eigendecomposition is O(d³) on the driver, and the projection
+    is a map-only matrix multiply. Sign-fixed so each component's
+    largest-|loading| entry is positive (eigenvector sign is the one
+    nondeterminism in PCA) ⇒ deterministic output; eigen-solver
+    round-off is engine-private ⇒ rows-only check (no SQL oracle)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        array_to_vector(
+            F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        ).alias("features"),
+    )
+    model = PCA(k=2, inputCol="features", outputCol="proj").fit(e)
+    pc = model.pc.toArray()  # d x 2, driver-local
+    signs = [
+        1.0 if pc[abs(pc[:, j]).argmax(), j] >= 0 else -1.0 for j in range(2)
+    ]
+    proj = vector_to_array(F.col("proj"))
+    return (
+        model.transform(e)
+        .select(
+            "vec_id",
+            "label",
+            r6(proj[0] * signs[0]).alias("px"),
+            r6(proj[1] * signs[1]).alias("py"),
+        )
+        .orderBy("vec_id")
+    )

@@ -828,6 +828,89 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2/P7 — hive-partitioned layout with planning-time partition pruning
+# ---------------------------------------------------------------------------
+
+PRUNE_TYPES = ("purchase", "signup")
+
+
+@register(
+    "q_scan_partitioned",
+    oracle=f"""
+    SELECT event_type, user_id,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN {PRUNE_TYPES}
+    GROUP BY 1, 2 ORDER BY event_type, user_id
+    """,
+    survey="S2,P7",
+)
+def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a hive-partitioned parquet layout (dir/event_type=…/)
+    with a partition-key filter: the IN-list never touches data files
+    of other partitions — pruning happens at planning time from the
+    directory listing (`PartitionFilters` in the scan node; pinned by
+    tests/test_plans.py). This is THE layout decision that makes
+    100 TB scans affordable: a partition-pruned query reads
+    |matching partitions| ∝ selectivity, not the table. The layout is
+    materialized once per sf by DuckDB on the driver (PARTITION_BY
+    COPY — constructing this query runs zero Spark jobs); the oracle
+    runs on the original parquet, so matching hashes also prove the
+    partitioned round-trip is lossless."""
+    import os
+    import tempfile
+
+    from frauddetection_spark.sources.io import read_partitioned
+    from frauddetection_spark.sources.tables import SCHEMAS, ensure_read_confs
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"fd_spark_part_{tag}", "events_by_type"
+    )
+    marker = os.path.join(path, "_FD_DONE")
+    if not os.path.exists(marker):
+        import duckdb
+
+        os.makedirs(path, exist_ok=True)
+        con = duckdb.connect()
+        # micros ts (same truncation as the parquet loader) — the
+        # partitioned copy must not reintroduce the NANOS landmine
+        con.execute(
+            f"""
+            COPY (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                         value, props, event_type
+                  FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}'))
+            TO '{path}'
+            (FORMAT PARQUET, PARTITION_BY (event_type),
+             OVERWRITE_OR_IGNORE)
+            """
+        )
+        con.close()
+        open(marker, "w").close()
+    ensure_read_confs(spark)
+    from pyspark.sql.types import StructType
+
+    base = SCHEMAS["events"]
+    part_schema = StructType(
+        [f for f in base.fields if f.name != "event_type"]
+        + [base["event_type"]]
+    )
+    part = read_partitioned(spark, path, part_schema)
+    return (
+        part.filter(F.col("event_type").isin(*PRUNE_TYPES))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A15 — cube / grouping sets
 # ---------------------------------------------------------------------------
 

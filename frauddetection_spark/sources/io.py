@@ -35,10 +35,18 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
-def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+def read_partitioned(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
     """Read back a partitioned layout; partition columns come from the
-    directory structure and filters on them prune at planning time."""
-    return spark.read.parquet(path)
+    directory structure and filters on them prune at planning time.
+    Pass an explicit `schema` (partition column included, matched by
+    name) to skip footer-based inference — inference can launch a
+    Spark job at plan-construction time."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def write_bucketed(

@@ -185,6 +185,22 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exactly-once delivery from an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    key and drops redeliveries, holding per-key state only until the
+    watermark passes the first arrival's event time — bounded state,
+    unlike a plain dropDuplicates whose key set grows forever on an
+    unbounded stream. This is the ingestion-side dedup every
+    at-least-once bus (Kafka, Kinesis) needs in front of the batch
+    exact-dedup pass (queries/similarity.py::q_dedup_hash).
+    Batch twin: DISTINCT ON (key) — pinned in tests/test_streaming.py
+    by draining a deliberately doubled stream."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> None:

@@ -64,6 +64,31 @@ def test_common_neighbor_bitmask_has_no_pair_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_scan_partitioned_prunes_partitions(spark, sf_dir):
+    # the IN-list filter must land in PartitionFilters (planning-time
+    # directory pruning), NOT as a data filter over all partitions
+    df = REGISTRY["q_scan_partitioned"].fn(spark, sf_dir)
+    plan = _optimized(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0], pf
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark shingle set is tiny relative to the corpus: the
+    # overlap join must broadcast it, never shuffle the train side
+    plan = _executed(REGISTRY["q_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embed_quantize_is_map_only(spark, sf_dir):
+    # per-vector quantization is elementwise — no Exchange before the
+    # presentation sort, and no Python (all higher-order functions)
+    plan = _executed(REGISTRY["q_embed_quantize"].fn(spark, sf_dir))
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
     df = REGISTRY["q_behavioral_features"].fn(spark, sf_dir)
     df.collect()  # materialize so AQE finalizes the physical plan

@@ -58,6 +58,27 @@ def test_session_stream_matches_batch_islands(spark, sf_dir):
     assert got.exceptAll(want).count() == 0
 
 
+def test_dedup_stream_exactly_once(spark, sf_dir):
+    """A doubled stream (simulated at-least-once redelivery) drained
+    through dropDuplicatesWithinWatermark must emit each event exactly
+    once — count and key set equal to the batch table's."""
+    from frauddetection_spark.streaming.windows import dedup_stream
+
+    s = stream_events(spark, sf_dir)
+    doubled = s.unionByName(stream_events(spark, sf_dir))
+    run_to_memory(
+        dedup_stream(doubled).select("event_id", "user_id", "event_type"),
+        "t_dedup_stream",
+        output_mode="append",
+    )
+    got = spark.table("t_dedup_stream")
+    want = load_table(spark, sf_dir, "events")
+    assert got.count() == want.count()
+    assert (
+        got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+    )
+
+
 def test_stateful_running_totals(spark, sf_dir):
     got = _drain(spark, sf_dir, running_totals, "t_running", mode="update")
     # one final state per user; totals must equal the batch aggregate

@@ -29,6 +29,10 @@ HEADLINE = [
     "q_dense_spine",
     "q_knn_cosine",
     "q_token_stats",
+    # LLM-pipeline heavies (added round 2 — totals are not comparable
+    # to BENCH_r01.json's 11-query total; per-query times are)
+    "q_dedup_minhash",
+    "q_tfidf",
 ]
 
 

@@ -138,40 +138,49 @@ SQL_WORD_SHINGLES = SQL_WORD_SHINGLES.replace(
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """MinHash over (doc_id, shingle:int64): sig_i = min over shingles
-    of (a_i·shingle + b_i) mod p, i ∈ [0, N_HASHES). Returns
-    (doc_id, i, sig).
+    of (a_i·shingle + b_i) mod p, i ∈ [0, N_HASHES). Returns the WIDE
+    form (doc_id, sigs: array<bigint>[N_HASHES]).
 
-    explode×16 then groupBy-min — partial aggregation (map-side
-    combine) makes this one small shuffle keyed on (doc_id, i)."""
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b")
-            )
-            for i, a, b in HASH_PARAMS
-        ]
-    )
+    All 16 permutation minima are aggregate columns of ONE groupBy on
+    doc_id — the shuffle moves |docs| rows of 16 int64s. The previous
+    shape (explode ×16 → groupBy (doc_id, i)) shuffled 16× the rows
+    and needed a SECOND shuffle to band them; at corpus scale the
+    explode was the dominant stage of the whole dedup pipeline.
+    Per-shingle CPU is identical (16 mod-muls either way, folded into
+    map-side partial mins)."""
+    mins = [
+        F.min((F.lit(a) * F.col("shingle") + F.lit(b)) % P_MH).alias(f"s{i}")
+        for i, a, b in HASH_PARAMS
+    ]
     return (
-        shingles.select("doc_id", "shingle", F.explode(params).alias("p"))
-        .groupBy("doc_id", F.col("p.i").alias("i"))
-        .agg(
-            F.min((F.col("p.a") * F.col("shingle") + F.col("p.b")) % P_MH).alias(
-                "sig"
-            )
+        shingles.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"s{i}" for i in range(N_HASHES)]).alias("sigs"),
         )
     )
 
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
-    """Band keys: band = i div BAND_ROWS, key = Σ sig·31^(i mod r) —
-    an order-sensitive exact-int combine (max < 2^48, no overflow).
-    Returns (doc_id, band, key)."""
-    w = F.pow(F.lit(31.0), (F.col("i") % BAND_ROWS)).cast("bigint")
-    return (
-        sigs.withColumn("band", (F.col("i") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sum(F.col("sig") * w).alias("key"))
-    )
+    """Band keys from wide signatures: key_b = Σ_r sigs[b·r + r]·31^r
+    (order-sensitive exact-int combine, max < 2^48 — no overflow).
+    Returns (doc_id, band, key).
+
+    Pure map-side (explode of BANDS per-row structs) — banding adds
+    ZERO shuffles on top of the signature aggregation."""
+    entries = []
+    for b in range(N_HASHES // BAND_ROWS):
+        key: Column | None = None
+        for r in range(BAND_ROWS):
+            term = F.col("sigs")[b * BAND_ROWS + r] * (31**r)
+            key = term if key is None else key + term
+        entries.append(
+            F.struct(F.lit(b).cast("int").alias("band"), key.alias("key"))
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.key")
 
 
 def lsh_candidates(

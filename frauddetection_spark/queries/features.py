@@ -810,3 +810,107 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(step2.cast("int")).cast("bigint").alias("n_signup_click"),
         F.sum(step3.cast("int")).cast("bigint").alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A1/A8 — event-time RANGE frame: 7-day trailing activity per event
+# ---------------------------------------------------------------------------
+
+TRAIL_S = 7 * 86400
+
+
+@register(
+    "q_trailing_range",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_7d,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN {TRAIL_S} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    survey="A1,A8",
+)
+def q_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event 7-day trailing count + exact-cents sum via an
+    event-time RANGE frame — the value-based frame (peers included by
+    time distance, not row position) that ROWS frames can't express:
+    the standard 'activity in the last N days as of each event'
+    feature. Deterministic despite timestamp ties because RANGE frames
+    are value-based — tied seconds see identical frames in any engine.
+    Scale: one shuffle on user_id; per-partition state is the sliding
+    frame, O(events in 7 days) per user."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-TRAIL_S, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_7d"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# A10/A14 — distribution ranks: decile, percent_rank, cume_dist per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_user_deciles",
+    oracle="""
+    WITH per AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_total
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, cents_total,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM per
+    WINDOW w AS (ORDER BY cents_total, user_id)
+    ORDER BY user_id
+    """,
+    survey="A10,A14",
+)
+def q_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spend-distribution ranks per user: decile bucket,
+    percent_rank, cume_dist over a TOTAL order (cents, user_id) — the
+    rank-transform feature family (deterministic because ties are
+    broken by key, and the rank inputs are exact int64 cents).
+    Scale: a global ORDER BY is a single-reducer sort at the window —
+    fine at |users| cardinality after per-user aggregation (the heavy
+    input was already reduced by the groupBy); for rank transforms
+    over raw event grain, switch to approx quantile cutpoints
+    (q_median_approx's sketch) instead."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_total")
+    )
+    w = Window.orderBy("cents_total", "user_id")
+    return per.select(
+        "user_id",
+        "cents_total",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("user_id")

@@ -188,15 +188,22 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)))
     — the classic term-weighting pass for retrieval-based filtering and
     topic tagging. The corpus size N attaches via broadcast 1-row
-    aggregate (never a driver .count()); df is one shuffle on token,
-    the ranking one shuffle on doc. r6 rounding absorbs ln() libm
-    1-ulp drift per the transcendental policy."""
+    aggregate (never a driver .count()); df aggregates the TF relation
+    (one row per (doc, token)) with a plain count — no second tokenize
+    scan, no count-distinct exchange — and, being |vocab|-sized,
+    broadcasts into the join; the ranking is one shuffle on doc_id.
+    At 100 TB, persist/checkpoint the TF relation so the df branch
+    reuses it instead of re-exploding the corpus. r6 rounding absorbs
+    ln() libm 1-ulp drift per the transcendental policy."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived from tf (already one row per (doc, token)): a plain
+    # count, NOT a second tokenize scan + count-distinct over tok —
+    # at 100 TB that second explode would double the heaviest stage
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(df, "token")

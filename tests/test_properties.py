@@ -166,3 +166,60 @@ def test_common_neighbors_rejects_min_common_zero(spark, sf_dir):
     contacts = spark.createDataFrame([(1, 2)], ["user", "contact"])
     with _pytest.raises(ValueError):
         common_neighbor_pairs(contacts, min_common=0)
+
+
+def test_pack_sequences_bin_bound(spark, sf_dir):
+    """Contiguous-fill packing: a bin's token total can exceed the
+    target only by its last doc's tokens (the overflow bound), and
+    totals per bucket must equal the corpus's token count (nothing
+    dropped or double-packed)."""
+    from frauddetection_spark.queries.llm_pipeline import (
+        PACK_TARGET_TOKENS,
+    )
+
+    packed = REGISTRY["q_pack_sequences"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", r"\s+")))
+    ).first()[0]
+    assert sum(r.total_tokens for r in packed) == total_tokens
+    for r in packed:
+        # bin starts strictly inside [seq_id*target, (seq_id+1)*target)
+        # => total < target + max single doc; loose but real bound:
+        assert r.total_tokens < 2 * PACK_TARGET_TOKENS + 200
+
+
+def test_embed_quantize_error_bound(spark, sf_dir):
+    """int8 symmetric quantization: per-element error ≤ scale/2 (both
+    columns carry r6 display rounding → ±5e-7 slack each)."""
+    rows = REGISTRY["q_embed_quantize"].fn(spark, sf_dir).collect()
+    assert rows, "no vectors quantized"
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-6, r
+
+
+def test_decontaminate_excludes_benchmark(spark, sf_dir):
+    """Benchmark documents must not appear as train rows, and overlap
+    counts/rates must be sane."""
+    from frauddetection_spark.queries.llm_pipeline import BENCH_MOD
+
+    rows = REGISTRY["q_decontaminate"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_id % BENCH_MOD != 0
+        assert 0 <= r.n_overlap <= r.n_shingles
+        assert 0.0 <= r.overlap_rate <= 1.0
+
+
+def test_dedup_groups_partition_docs(spark, sf_dir):
+    """Dup-group resolution is a partition of the corpus: every doc in
+    exactly one group, group_id = min member, sizes consistent."""
+    rows = REGISTRY["q_dedup_groups"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    seen = []
+    for r in rows:
+        members = [int(x) for x in r.members.split(",")]
+        assert r.n_docs == len(members)
+        assert r.group_id == min(members)
+        seen.extend(members)
+    assert len(seen) == len(set(seen)) == n_docs

@@ -67,7 +67,13 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             "text",
-            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            # empty-text guard: Spark's sequence(0, -1) reverses to
+            # [0, -1] instead of returning empty like DuckDB's range(0)
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+                ).otherwise(F.array())
+            ).alias("chunk_id"),
         )
         .select(
             "doc_id",
@@ -422,21 +428,24 @@ MAX_TOP_FRAC = 0.2
         FROM tf GROUP BY 1
     ),
     bg AS (
-        SELECT doc_id, count(*) AS n_bigrams,
-               count(DISTINCT bigram) AS n_distinct_bigrams
+        -- list-expression form (NOT unnest+group): a bigram-less doc
+        -- must still get a row (n_bigrams = 0), matching the Spark twin
+        SELECT doc_id, len(bl) AS n_bigrams,
+               len(list_distinct(bl)) AS n_distinct_bigrams
         FROM (
             SELECT doc_id,
-                   unnest(list_transform(range(1, len(toks)),
-                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                   list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bl
             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks
                   FROM documents)
-        ) GROUP BY 1
+        )
     )
     SELECT p.doc_id, p.n_words, p.n_distinct,
            p.n_distinct * 1.0 / p.n_words AS distinct_frac,
            p.top_count * 1.0 / p.n_words AS top_word_frac,
-           (b.n_bigrams - b.n_distinct_bigrams) * 1.0 / b.n_bigrams
-               AS dup_bigram_frac,
+           CASE WHEN b.n_bigrams > 0
+                THEN (b.n_bigrams - b.n_distinct_bigrams) * 1.0 / b.n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac,
            p.char_sum * 1.0 / p.n_words AS mean_word_len,
            CAST(p.n_words >= {MIN_WORDS}
                 AND p.n_distinct * 1.0 / p.n_words >= {MIN_DISTINCT_FRAC}
@@ -467,9 +476,13 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.length("token")).cast("bigint").alias("char_sum"),
     )
     toks = F.split("text", r"\s+")
+    # guard size<2: Spark's sequence(1, 0) REVERSES to [1, 0] (it does
+    # not return empty like DuckDB's range(1, 1)) — a 1-token document
+    # would fabricate bigrams and error on element_at(toks, 0)
     bigrams = F.expr(
-        "transform(sequence(1, size(toks) - 1),"
-        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        "if(size(toks) < 2, array(),"
+        " transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
     )
     bg = (
         docs.select("doc_id", toks.alias("toks"))
@@ -491,10 +504,15 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
             distinct_frac.alias("distinct_frac"),
             top_frac.alias("top_word_frac"),
-            (
+            # 0.0 for bigram-less (≤1-token) docs: no repetition, and
+            # ANSI mode makes x/0 a hard error rather than NULL
+            F.when(
+                F.col("n_bigrams") > 0,
                 (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
-                / F.col("n_bigrams")
-            ).alias("dup_bigram_frac"),
+                / F.col("n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_frac"),
             (F.col("char_sum") / F.col("n_words")).alias("mean_word_len"),
             (
                 (F.col("n_words") >= MIN_WORDS)

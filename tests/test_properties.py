@@ -223,3 +223,28 @@ def test_dedup_groups_partition_docs(spark, sf_dir):
         assert r.group_id == min(members)
         seen.extend(members)
     assert len(seen) == len(set(seen)) == n_docs
+
+
+def test_quality_and_chunks_on_degenerate_docs(spark, tmp_path):
+    """Empty and 1-token documents: Spark's sequence(a, b) REVERSES
+    when a > b (unlike DuckDB's range, which returns empty) — the
+    guards in q_doc_chunks / q_quality_rules must keep the twins
+    identical on bigram-less docs instead of fabricating chunks or
+    dividing by zero (ANSI mode errors on x/0)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["", "word", "two words two words"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0, 4, 19],
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+    q = REGISTRY["q_quality_rules"].fn(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in q] == [1, 2, 3]
+    assert [r.dup_bigram_frac for r in q] == [0.0, 0.0, pytest.approx(1 / 3)]
+    chunks = REGISTRY["q_doc_chunks"].fn(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in chunks] == [2, 3]  # empty text -> 0 chunks

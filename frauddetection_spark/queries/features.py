@@ -914,3 +914,99 @@ def q_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# A8/U2 — CDC endgame: latest-state snapshot + SCD2 validity intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_latest_state",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_sec,
+           event_type AS last_type,
+           CAST(round(value * 100) AS BIGINT) AS last_cents
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    survey="U2,A8",
+)
+def q_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert compaction: the current-state snapshot a CDC/merge sink
+    maintains — latest row per key under the total order (ts, event_id)
+    DESC. This is the batch form of foreachBatch-upsert (streaming
+    tests) and the read side of every 'table with updates' workload.
+    Scale: one shuffle on user_id; row_number+filter is the
+    standard merge-on-read compaction plan (WindowGroupLimit pushes
+    the rn=1 filter into the sort at the executor)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_timestamp("ts").alias("last_sec"),
+            F.col("event_type").alias("last_type"),
+            F.round(F.col("value") * 100).cast("bigint").alias("last_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, valid_from,
+           coalesce(valid_to, CAST(9999999999 AS BIGINT)) AS valid_to,
+           CAST(valid_to IS NULL AS BIGINT) AS is_current
+    FROM ordered ORDER BY user_id, valid_from, event_id
+    """,
+    survey="A8,S5",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 historization: each event opens a validity interval
+    [valid_from, valid_to) closed by the user's next event (total order
+    (ts, event_id) — tie-safe), open intervals capped at a sentinel
+    with is_current=1. The time-travel join side of an as-of lookup
+    (operators/asof.py is the probe side). Scale: one shuffle on
+    user_id, one window pass — no self-join."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            sec.alias("valid_from"),
+            F.lead(sec).over(w).alias("valid_to_raw"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "valid_from",
+            F.coalesce("valid_to_raw", F.lit(9999999999).cast("bigint")).alias(
+                "valid_to"
+            ),
+            F.col("valid_to_raw").isNull().cast("bigint").alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+    )

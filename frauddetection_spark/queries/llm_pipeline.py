@@ -131,7 +131,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(PACK_BUCKETS)).alias("bucket"),
+        # % (sign-preserving, like DuckDB's %), NOT pmod: the twins must
+        # agree even if ids ever go negative
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
         F.size(F.split(F.col("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
     w = (

@@ -99,6 +99,35 @@ def test_stateful_running_totals(spark, sf_dir):
     assert latest.count() == want.count()
 
 
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Stateful v2 (transformWithStateInPandas + RocksDB provider):
+    final per-user totals must equal the batch aggregate — and the
+    legacy applyInPandasWithState operator's results. Skips where
+    google.protobuf (the API's worker dependency) is unavailable."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent - transformWithState worker needs it")
+    from frauddetection_spark.streaming.windows import running_totals_tws
+
+    got = _drain(spark, sf_dir, running_totals_tws, "t_running_tws",
+                 mode="update")
+    events = load_table(spark, sf_dir, "events")
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+            / 100
+        ).alias("value_total"),
+    )
+    latest = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("value_total").alias("value_total"),
+    )
+    assert latest.exceptAll(want).count() == 0
+    assert latest.count() == want.count()
+
+
 def test_stream_static_join_enriches(spark, sf_dir):
     from frauddetection_spark.queries.sampling import _labels
     from frauddetection_spark.streaming.windows import enriched_stream

@@ -1098,3 +1098,39 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "user_id", *[F.col(k).cast("bigint").alias(f"n_{k}") for k in kinds]
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# A6 — wide→long unpivot (melt): the inverse of q_pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY user_id, event_type
+    """,
+    survey="A6,U1",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via DataFrame.unpivot, applied to the pivoted
+    per-user counts and filtered to observed combinations — so
+    pivot → unpivot must reproduce EXACTLY the plain groupBy of the
+    source table (the oracle), proving the roundtrip is lossless.
+    Feature pipelines need this both ways: pivot to feed fixed-width
+    models, melt to go back to sparse long form. Scale: unpivot is
+    map-only (each row explodes to |columns| rows, no shuffle)."""
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    e = t(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").pivot("event_type", kinds).count().na.fill(0)
+    return (
+        wide.unpivot(
+            ids=["user_id"],
+            values=kinds,
+            variableColumnName="event_type",
+            valueColumnName="n",
+        )
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "event_type")
+    )

@@ -203,13 +203,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(
             f"table {name}: missing columns {sorted(set(expected) - set(got))}"
         )
-    # Project to the pinned column order; cast only if physical types
-    # drifted (e.g. parquet written with int32 where we expect int64).
-    # TIMESTAMP(NANOS) arrives as int64 nanos (nanosAsLong) — convert to
-    # micros with integer division, the same truncation DuckDB applies.
+    return pinned_projection(df, name)
+
+
+def pinned_projection(df: DataFrame, name: str) -> DataFrame:
+    """Project a raw-schema frame onto the pinned schema for ``name``.
+
+    Casts only where the physical type drifted (e.g. int32 where int64
+    is pinned). Timestamps written as INT64 TIMESTAMP(NANOS) arrive as
+    long nanos (nanosAsLong) and are truncated to micros with integer
+    division — the same truncation DuckDB applies; timestamps already
+    in micros pass through untouched. Shared by the batch loader and
+    the streaming source so both adapt to whichever physical encoding
+    the files carry.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType as _Long
 
+    expected = {f.name: f.dataType for f in SCHEMAS[name].fields}
+    got = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for c in expected:
         if isinstance(expected[c], TimestampType) and got[c] == _Long():

@@ -13,9 +13,11 @@ Design:
 - Watermark = late-event tolerance. State for a tumbling window is
   dropped once `max(event time) - watermark` passes the window end —
   bounded state at any scale.
-- File-source streaming reads the same parquet with the same pinned
-  schema (TIMESTAMP(NANOS) → int64 nanos → micros, exactly as
-  sources/tables.py does for batch).
+- File-source streaming reads the same parquet with the same
+  footer-derived raw schema and pinned projection as the batch loader
+  (sources/tables.py), so both adapt to whichever timestamp encoding
+  the files carry (INT64 TIMESTAMP(NANOS) → long → micros, or native
+  micros untouched).
 """
 
 from __future__ import annotations
@@ -36,44 +38,27 @@ from pyspark.sql.types import (
 
 WATERMARK = "10 minutes"
 
-# Raw arrival schema: ts is int64 nanos (nanosAsLong), as in batch.
-_RAW_EVENTS = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """events as an unbounded stream from the parquet file source.
 
-    Explicit schema (streaming sources cannot infer), nanos→micros
-    conversion identical to the batch loader."""
-    from ..sources.tables import ensure_read_confs
+    Streaming sources cannot infer schemas, so the raw schema comes
+    from the same driver-side footer read the batch loader uses
+    (no Spark job), and the same pinned projection handles the
+    timestamp encoding — nanos-as-long or native micros."""
+    from ..sources.tables import _raw_schema, ensure_read_confs, pinned_projection
 
     ensure_read_confs(spark)  # plain driver sessions lack nanosAsLong/UTC
+    raw_schema = _raw_schema(os.path.join(sf_dir, "events.parquet"))
     reader = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(sf_dir)
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return pinned_projection(reader.parquet(sf_dir), "events")
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 hour") -> DataFrame:

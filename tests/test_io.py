@@ -95,3 +95,55 @@ def test_load_table_rejects_unknown(spark, sf_dir):
 
     with _pytest.raises(KeyError):
         load_table(spark, sf_dir, "nonexistent_table")
+
+
+def test_loader_adapts_both_ts_encodings(spark, sf_dir, tmp_path):
+    """The driver regenerated testdata once already (round 1: INT64
+    TIMESTAMP(NANOS); round 2: timestamp[us]). The loader must yield
+    IDENTICAL timestamps for the same instants under either physical
+    encoding — batch and streaming both route through _raw_schema +
+    pinned_projection, so one synthetic fixture pins both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067798778549, 1706657176220708]  # real testdata range
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit, scale in (("us", 1), ("ns", 1000)):
+        d = str(tmp_path / unit)
+        os.makedirs(d)
+        tbl = pa.table(
+            {
+                "event_id": base["event_id"],
+                "ts": pa.array([m * scale for m in micros], pa.timestamp(unit)),
+                "user_id": base["user_id"],
+                "event_type": base["event_type"],
+                "value": base["value"],
+                "props": base["props"],
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got_us = load_table(spark, str(tmp_path / "us"), "events")
+    got_ns = load_table(spark, str(tmp_path / "ns"), "events")
+    rows_us = sorted((r.event_id, r.ts) for r in got_us.collect())
+    rows_ns = sorted((r.event_id, r.ts) for r in got_ns.collect())
+    assert rows_us == rows_ns
+    assert got_us.schema == SCHEMAS["events"] == got_ns.schema
+
+    # streaming source: same footer-driven adaptation, identical values
+    from frauddetection_spark.streaming.windows import run_to_memory, stream_events
+
+    for unit in ("us", "ns"):
+        run_to_memory(
+            stream_events(spark, str(tmp_path / unit)),
+            f"t_enc_{unit}",
+            output_mode="append",
+        )
+    s_us = sorted((r.event_id, r.ts) for r in spark.table("t_enc_us").collect())
+    s_ns = sorted((r.event_id, r.ts) for r in spark.table("t_enc_ns").collect())
+    assert s_us == s_ns == rows_us

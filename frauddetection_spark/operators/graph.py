@@ -425,3 +425,77 @@ def connected_components(
             "max_iterations (rounds needed = graph diameter)"
         )
     return labels
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact int64 arithmetic:
+    rank_k(v) = (1-d)·S + d · Σ_{(u,v)∈E} rank_{k-1}(u) div outdeg(u),
+    every term an integer (ranks carried as micro-units, ``scale`` =
+    one unit of rank). Returns (node, rank_micro).
+
+    Why integer: float PageRank sums in shuffle order — different
+    engines (or two runs of the same plan) produce last-ulp-different
+    doubles, which breaks exact oracle comparison. With div/sum over
+    int64 every operation is associative and engine-independent, so a
+    DuckDB twin unrolled to the same ``iterations`` hash-matches
+    bit-for-bit. Dangling-node mass is dropped (no out-edges ⇒ no
+    contribution), the same simplification both twins apply.
+
+    Scale shape: the (edge ⋈ outdeg) build is computed ONCE outside
+    the loop — only ranks change per round — so each iteration is one
+    shuffle join on src + one groupBy(dst) partial-aggregated sum +
+    one left join back onto the node spine: 100 TB cost = iterations ×
+    (2 shuffles over edges), no driver-side data movement. Reference
+    counterpart: the propagation loop in src/layers.py:85-100 (score
+    spreading over the call graph), reshaped from per-node python to
+    joins.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    # static per-edge divisor: outdeg never changes across rounds
+    edges_out = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+        )
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.withColumn("rank_micro", F.lit(int(scale)).cast("bigint"))
+    for _ in range(iterations):
+        inbound = (
+            edges_out.join(
+                ranks.select(
+                    F.col("node").alias("src"),
+                    F.col("rank_micro").alias("r_src"),
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("r_src div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = nodes.join(inbound, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            )
+            .cast("bigint")
+            .alias("rank_micro"),
+        )
+    return ranks

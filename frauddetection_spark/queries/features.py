@@ -1010,3 +1010,93 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling — rank-based winsorization (training-data preprocessing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               max(CASE WHEN rn = (5 * n) // 100 + 1 THEN value END) AS lo,
+               max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS hi,
+               max(n) AS n
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type,
+           b.n,
+           b.lo, b.hi,
+           CAST(sum(CAST(round(
+               CASE WHEN r.value < b.lo THEN b.lo
+                    WHEN r.value > b.hi THEN b.hi
+                    ELSE r.value END * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS winsorized_sum
+    FROM ranked r JOIN bounds b USING (event_type)
+    GROUP BY r.event_type, b.n, b.lo, b.hi
+    ORDER BY r.event_type
+    """,
+    survey="A4,P10",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip to [p05, p95]) with RANK-derived
+    thresholds: the k-th smallest actual data value at k = ⌊5n/100⌋+1
+    and ⌈95n/100⌉ — pure int64 index arithmetic plus values that exist
+    in the data (2-decimal fixed point), so both twins are exact where
+    interpolated percentiles would drift. The robust-scaling step of a
+    feature pipeline (reference clips call durations before scaling,
+    src/utils.py:87 area); sums accumulate exact cents.
+
+    Scale shape: one window sort per group (the same shuffle the
+    ranked features already pay), a tiny per-group bounds frame joined
+    back broadcast — no second full sort, no driver work."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * n) div 100 + 1"), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) div 100"), F.col("value"))
+        ).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clipped = (
+        ranked.select("event_type", "value")
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+        "event_type",
+        "n",
+        "lo",
+        "hi",
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value"))
+            .alias("v"),
+        )
+    )
+    return (
+        clipped.groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            (F.sum(cents("v")).cast("double") / 100).alias("winsorized_sum")
+        )
+        .select("event_type", "n", "lo", "hi", "winsorized_sum")
+        .orderBy("event_type")
+    )

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.graph import (
+    pagerank_integer,
     aggregate_messages,
     clustering_coefficients,
     connected_components,
@@ -480,3 +481,64 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter · |E|) and is the 100-TB path."""
     e = edges_from_events(t(spark, sf_dir, "events"))
     return connected_components(e).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# J5/M2 — fixed-iteration PageRank (integer-exact, oracle-unrolled)
+# ---------------------------------------------------------------------------
+
+_PR_ITER, _PR_SCALE, _PR_DAMP = 3, 1_000_000, 85
+_PR_BASE = (_PR_SCALE * (100 - _PR_DAMP)) // 100
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin of pagerank_integer: the SAME integer recurrence
+    unrolled to _PR_ITER rounds as chained CTEs (DuckDB // == Spark
+    div on non-negative int64)."""
+    sql = f"""
+    WITH edges AS ({_SQL_EDGES}),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst AS node FROM edges
+        )
+    ),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_micro FROM nodes)"""
+    for k in range(1, _PR_ITER + 1):
+        sql += f""",
+    s{k} AS (
+        SELECT e.dst AS node, sum(r.rank_micro // o.outdeg) AS s
+        FROM edges e
+        JOIN outdeg o ON e.src = o.src
+        JOIN r{k - 1} r ON e.src = r.node
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT n.node,
+               CAST({_PR_BASE} + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100
+                    AS BIGINT) AS rank_micro
+        FROM nodes n LEFT JOIN s{k} s ON n.node = s.node
+    )"""
+    sql += f"""
+    SELECT node, rank_micro FROM r{_PR_ITER} ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    survey="J5,M2",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the call graph in exact int64
+    micro-units (reference: iterative score propagation,
+    src/layers.py:85-100, reshaped from per-node python to per-round
+    join+agg). Integer div/sum keeps every round engine-exact, so the
+    unrolled DuckDB twin hash-matches; see
+    operators/graph.py::pagerank_integer for the scale shape."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    return pagerank_integer(
+        e, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
+    ).orderBy("node")

@@ -697,3 +697,71 @@ def q_viz_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (hashing trick) — vocab-free text featurization
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 64
+
+
+def _feature_hash_oracle() -> str:
+    from frauddetection_spark.operators.textsim import (
+        _SQL_TOKEN_HASHES,
+        rolling_hash_duckdb,
+    )
+
+    return f"""
+    WITH tok AS ({_SQL_TOKEN_HASHES}),
+    th AS (
+        SELECT token, {rolling_hash_duckdb('token')} AS h
+        FROM (SELECT DISTINCT token FROM tok)
+    ),
+    hashed AS (
+        SELECT tok.doc_id,
+               th.h % {FEATURE_DIM} AS bucket,
+               CASE WHEN (th.h // {FEATURE_DIM}) % 2 = 0 THEN 1 ELSE -1 END
+                   AS sign
+        FROM tok JOIN th USING (token)
+    )
+    SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS w
+    FROM hashed
+    GROUP BY doc_id, bucket
+    HAVING sum(sign) != 0
+    ORDER BY doc_id, bucket
+    """
+
+
+@register(
+    "q_feature_hash",
+    oracle=_feature_hash_oracle(),
+    survey="E8,M1",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al.'s hashing trick — MLlib
+    HashingTF semantics, but over the engine's cross-engine rolling
+    hash so the oracle is bit-exact): token → bucket h mod D, signed
+    ±1 by the next hash bit, summed per (doc, bucket) into a sparse
+    D=64 vector. No vocabulary build, no driver state — the map-side
+    transform + one groupBy is the whole plan, which is why the
+    hashing trick is THE featurizer at 100 TB (a vocab dictionary
+    needs a full corpus pass + broadcast; this needs neither).
+    Zero-sum buckets drop out (sparse representation).
+    """
+    from frauddetection_spark.operators.textsim import token_hashes
+
+    docs = t(spark, sf_dir, "documents")
+    hashed = token_hashes(docs).select(
+        "doc_id",
+        (F.col("h") % FEATURE_DIM).alias("bucket"),
+        F.when(F.expr(f"(h div {FEATURE_DIM}) % 2") == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("w"))
+        .filter(F.col("w") != 0)
+        .orderBy("doc_id", "bucket")
+    )

@@ -251,3 +251,66 @@ def q_metric_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("average_precision"),
         F.sum("label").cast("bigint").alias("n_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# calibration curve (reliability diagram bins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_metric_calibration",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    ),
+    binned AS (
+        SELECT CASE WHEN (10 * n_err) // n > 9 THEN 9
+                    ELSE (10 * n_err) // n END AS bin,
+               CAST(n_err >= {ERROR_THRESHOLD} AS INTEGER) AS label,
+               n_err, n
+        FROM counts
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_users,
+           CAST(sum(label) AS BIGINT) AS positives,
+           CAST(sum(n_err) AS BIGINT) AS err_events,
+           CAST(sum(n) AS BIGINT) AS events
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    survey="M5",
+)
+def q_metric_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the fixture classifier: decile
+    score bins by PURE INTEGER arithmetic (bin = ⌊10·n_err/n⌋ capped
+    at 9 — no float score materialized, so no boundary drift), with
+    integer tallies per bin; observed positive rate = positives /
+    n_users and mean predicted rate = err_events / events are exact
+    ratios the consumer derives. Reference trusts sklearn's
+    calibration_curve; here the binning itself is oracle-checked.
+    One groupBy(user) + one groupBy(bin) — two shuffles at any scale.
+    """
+    e = t(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    counts = e.groupBy("user_id").agg(
+        n_err.alias("n_err"), F.count("*").alias("n")
+    )
+    binned = counts.select(
+        F.least(F.expr("(10 * n_err) div n"), F.lit(9)).alias("bin"),
+        (F.col("n_err") >= ERROR_THRESHOLD).cast("int").alias("label"),
+        "n_err",
+        "n",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("label").alias("positives"),
+            F.sum("n_err").alias("err_events"),
+            F.sum("n").alias("events"),
+        )
+        .orderBy("bin")
+    )

@@ -1134,3 +1134,62 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 — JSONL scan (LLM-corpus interchange round-trip)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_jsonl",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    survey="S1,E4",
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema — the
+    interchange format LLM corpora actually ship in (one document
+    object per line). The JSONL copy of ``documents`` is materialized
+    once per sf by DuckDB on the driver (pure-Python prep; ZERO Spark
+    jobs at query construction); Spark reads it back through
+    sources/io.py::read_jsonl and aggregates, the oracle runs on the
+    original parquet — matching hashes prove the interchange is
+    lossless. Reference reads everything via inferring pandas
+    (data_process.py:53-55); policy §1.2 pins schemas instead."""
+    import os
+    import tempfile
+
+    from frauddetection_spark.sources.io import read_jsonl
+    from frauddetection_spark.sources.tables import SCHEMAS
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"fd_spark_jsonl_{tag}", "documents")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        import duckdb
+
+        os.makedirs(path, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(
+            f"""
+            COPY (SELECT * FROM read_parquet(
+                      '{os.path.join(sf_dir, "documents.parquet")}'))
+            TO '{os.path.join(path, "part-0.jsonl")}' (FORMAT JSON)
+            """
+        )
+        con.close()
+        open(marker, "w").close()
+    docs = read_jsonl(spark, path, SCHEMAS["documents"])
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+        )
+        .orderBy("lang", "source")
+    )

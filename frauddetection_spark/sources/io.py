@@ -95,3 +95,13 @@ def read_csv(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """JSON-lines source with a REQUIRED explicit schema (engine
+    policy §1.2: never infer — Spark's JSON inference is a full data
+    scan at 100 TB, and silently widens types). One JSON object per
+    line, the interchange format of every LLM-corpus distribution."""
+    return spark.read.schema(schema).json(path)

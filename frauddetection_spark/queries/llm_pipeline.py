@@ -260,7 +260,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frauddetection_spark.queries.similarity import JACCARD_MIN
 
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs)
+    # shared frontier: signature path + rerank both consume sh
+    sh = word_shingles(docs).persist()
     pairs = (
         exact_jaccard(lsh_candidates(lsh_bands(minhash_signatures(sh))), sh)
         .filter(F.col("jaccard") >= JACCARD_MIN)
@@ -374,7 +375,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frauddetection_spark.operators.textsim import word_shingles
 
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs)
+    # shared frontier: both the benchmark and train branches scan sh
+    sh = word_shingles(docs).persist()
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("shingle")

@@ -1193,3 +1193,58 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality profile (Deequ-style column audit)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "q_profile_events",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col, count(*) AS n,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               count(DISTINCT {c}) AS n_distinct
+        FROM events"""
+        for c in _PROFILE_COLS
+    )
+    + " ORDER BY col",
+    survey="P5,A3",
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile audit of the events table — per column: row
+    count, null count, exact distinct count — the first pass any
+    training-data pipeline runs over a new drop (Deequ/great-
+    expectations shape, derived relationally so the profiling itself
+    is oracle-checked). One wide aggregate over one scan; the
+    multi-count-distinct expands via Catalyst's Expand operator
+    (each distinct gets its own partial aggregation path) — at 100 TB
+    swap exact distinct for approx_count_distinct, same plan shape
+    minus the Expand. The long (col, metric) output shape keeps the
+    schema stable as tables widen."""
+    e = t(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = e.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        wide.select(
+            "n",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack}) AS (col, n_null, n_distinct)"
+            ),
+        )
+        .select("col", "n", F.col("n_null").cast("bigint"), "n_distinct")
+        .orderBy("col")
+    )

@@ -102,8 +102,10 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-shingle Jaccard ≥ 0.2 via the
     inverted-index self-join (same decorrelation as J4's buildLSN —
-    never all-pairs). Exact-int count arithmetic; one final division."""
-    sh = word_shingles(t(spark, sf_dir, "documents"))
+    never all-pairs). Exact-int count arithmetic; one final division.
+    The shingle relation feeds the self-join twice plus the size
+    table — persist the shared frontier once."""
+    sh = word_shingles(t(spark, sf_dir, "documents")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -206,9 +208,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard rerank ≥ 0.2. Unlike ml.feature.MinHashLSH, the hash
     family is explicit integer arithmetic, so the whole pipeline is
     reproducible in the oracle. Candidate generation is linear in
-    corpus size (bucket join), not O(n²)."""
+    corpus size (bucket join), not O(n²).
+
+    The shingle relation feeds BOTH the signature path and the
+    exact-Jaccard rerank; Spark plans them as separate subtrees (no
+    ReusedExchange across the aggregate boundary), so persist it once
+    — at 100 TB this is the classic cache-the-shared-frontier choice
+    (MEMORY_AND_DISK, int64 pairs, far smaller than the raw text)."""
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs)
+    sh = word_shingles(docs).persist()
     cands = lsh_candidates(lsh_bands(minhash_signatures(sh)))
     return (
         exact_jaccard(cands, sh)

@@ -248,3 +248,73 @@ def test_quality_and_chunks_on_degenerate_docs(spark, tmp_path):
     assert [r.dup_bigram_frac for r in q] == [0.0, 0.0, pytest.approx(1 / 3)]
     chunks = REGISTRY["q_doc_chunks"].fn(spark, str(tmp_path)).collect()
     assert [r.doc_id for r in chunks] == [2, 3]  # empty text -> 0 chunks
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    """Every rank ≥ the teleport base (150k micro); total mass ≤
+    n·scale (dangling mass only leaks, never appears); and ranks are
+    not uniform (the graph actually differentiates nodes)."""
+    pr = REGISTRY["q_pagerank"].fn(spark, sf_dir)
+    rows = pr.collect()
+    assert all(r.rank_micro >= 150_000 for r in rows)
+    assert sum(r.rank_micro for r in rows) <= 1_000_000 * len(rows)
+    assert len({r.rank_micro for r in rows}) > 1
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    """On a directed star a←{b,c,d}, the sink's rank must exceed the
+    leaves' (which sit at the teleport floor)."""
+    from frauddetection_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1)], ["src", "dst"]
+    )
+    got = {r.node: r.rank_micro for r in pagerank_integer(edges).collect()}
+    assert got[1] > got[2] == got[3] == got[4] == 150_000
+
+
+def test_winsorize_bounds_and_count_preserved(spark, sf_dir):
+    """lo ≤ hi per group, and the winsorized sum is within [n·lo, n·hi]."""
+    out = REGISTRY["q_winsorize"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.lo <= r.hi
+        assert r.n * r.lo - 1e-6 <= r.winsorized_sum <= r.n * r.hi + 1e-6
+
+
+def test_feature_hash_bucket_range_and_density(spark, sf_dir):
+    """Buckets land in [0, D); every document with tokens gets at
+    least one bucket; |w| per bucket is bounded by the doc's token
+    count."""
+    from frauddetection_spark.queries.llm_pipeline import FEATURE_DIM
+
+    fh = REGISTRY["q_feature_hash"].fn(spark, sf_dir)
+    stats = fh.agg(
+        F.min("bucket").alias("bmin"),
+        F.max("bucket").alias("bmax"),
+        F.count_distinct("doc_id").alias("docs"),
+    ).first()
+    assert 0 <= stats.bmin and stats.bmax < FEATURE_DIM
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert stats.docs == n_docs  # synthetic corpus: every doc has tokens
+
+
+def test_calibration_bins_partition_users(spark, sf_dir):
+    """Bin tallies partition the user population exactly."""
+    cal = REGISTRY["q_metric_calibration"].fn(spark, sf_dir)
+    tot = cal.agg(F.sum("n_users").alias("u"), F.sum("events").alias("e")).first()
+    e = load_table(spark, sf_dir, "events")
+    assert tot.u == e.select("user_id").distinct().count()
+    assert tot.e == e.count()
+
+
+def test_profile_matches_direct_counts(spark, sf_dir):
+    """The profiling query's distinct counts agree with direct
+    per-column queries."""
+    prof = {
+        r.col: r
+        for r in REGISTRY["q_profile_events"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    assert prof["user_id"].n_distinct == e.select("user_id").distinct().count()
+    assert prof["event_type"].n_null == 0

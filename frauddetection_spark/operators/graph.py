@@ -103,12 +103,49 @@ def aggregate_messages(
 
 
 BITMASK_MAX_CONTACTS = 4096  # 64 int64 words
-# The bitmask pair join is a nested loop over user pairs — O(|users|²)
-# REGARDLESS of how small the masks are. 8192 users ≈ 3.4e7 pair
-# evaluations (cheap codegen popcounts, sub-second on one executor);
-# beyond that the quadratic pair space dominates any Σd² the inverted
-# index would pay, so auto must refuse bitmask on user count alone.
-BITMASK_MAX_USERS = 8192
+# Cost model for the auto pick (replaces round-2's hard user cap —
+# measured: at 10× users over a dense 100-contact domain the inverted
+# index shuffles Σd² ≈ 5e9 rows while the bitmask nested loop does
+# u²/2 ≈ 1.1e8 in-codegen word-AND+popcounts, ~40× cheaper; a cap on
+# users alone picks the catastrophically wrong side exactly in the
+# dense regime the bitmask exists for):
+#   inverted_cost ≈ Σ_c d(c)²          shuffled+aggregated rows
+#   bitmask_cost  ≈ (u²/2)·words       in-memory word operations
+# One shuffled row costs roughly BITMASK_WORD_DISCOUNT word-ops
+# (serialization + hash + agg vs a codegen popcount), so bitmask wins
+# iff bitmask_cost ≤ BITMASK_WORD_DISCOUNT · inverted_cost, subject to
+# an absolute nested-loop budget (beyond it, wall-clock is unbounded
+# even when bitmask is the cheaper side — at that point the OUTPUT of
+# min_common=1 over a dense domain is itself ~u²/2 and the caller
+# must prune: raise min_common, cap max_contact_degree, or top-k).
+BITMASK_WORD_DISCOUNT = 64
+BITMASK_MAX_WORDOPS = int(2e10)
+
+
+def _pick_cn_strategy(
+    n_contacts: int,
+    n_users: int,
+    sum_d2: int | None = None,
+) -> str:
+    """Cost-based inverted-vs-bitmask pick; see the model above.
+    Without Σd² stats (caller injected only coarse counts) fall back
+    to the conservative uniform-degree floor Σd² ≥ (u·avg_d)²/nc —
+    unknowable without row counts, so assume the dense regime's
+    worst case for inverted only when the domain is small."""
+    if n_contacts > BITMASK_MAX_CONTACTS or n_contacts == 0:
+        return "inverted"
+    words = (n_contacts + 63) // 64
+    pair_wordops = (n_users * n_users // 2) * words
+    if pair_wordops > BITMASK_MAX_WORDOPS:
+        return "inverted"
+    if sum_d2 is None:
+        # no Σd² available: legacy coarse rule (small frames only)
+        return "bitmask" if n_users <= 8192 else "inverted"
+    return (
+        "bitmask"
+        if pair_wordops <= BITMASK_WORD_DISCOUNT * sum_d2
+        else "inverted"
+    )
 
 
 def common_neighbor_pairs(
@@ -118,6 +155,7 @@ def common_neighbor_pairs(
     strategy: str = "auto",
     n_contacts: int | None = None,
     n_users: int | None = None,
+    sum_d2: int | None = None,
 ) -> DataFrame:
     """Pairs of users sharing ≥ min_common contacts (buildLSN,
     data_process.py:20-48, live k=1 at :219-220). The reference's
@@ -138,13 +176,15 @@ def common_neighbor_pairs(
       users each is 53M join rows inverted vs 1.1M masked pairs. The
       user-count bound matters as much as the domain bound: the nested
       loop is O(|users|²) no matter how dense the domain is.
-    - ``auto``: pick from (distinct contacts, distinct users) — an
-      engine CBO decision driven by data statistics. If the caller
-      already knows the stats (catalog / ANALYZE / prior round), pass
-      ``n_contacts``/``n_users`` and NO probe job runs; otherwise one
-      single-pass aggregate probe runs at plan-construction time
-      (documented cost — the one query path that is not job-free at
-      construction unless stats are injected).
+    - ``auto``: COST-BASED pick from (distinct contacts, distinct
+      users, Σd²) via :func:`_pick_cn_strategy` — an engine CBO
+      decision driven by data statistics. If the caller already knows
+      the stats (catalog / ANALYZE / prior round), pass
+      ``n_contacts``/``n_users`` (and ideally ``sum_d2``) and NO
+      probe job runs; otherwise a probe (contact-degree aggregate +
+      distinct-user count) runs at plan-construction time (documented
+      cost — the one query path that is not job-free at construction
+      unless stats are injected).
 
     Both strategies are semantically identical for min_common ≥ 1 (the
     join-based inverted path cannot observe zero-overlap pairs, so
@@ -165,22 +205,22 @@ def common_neighbor_pairs(
 
     if strategy == "auto":
         if n_contacts is None or n_users is None:
-            # one probe job, both stats in a single pass over c. Persist
-            # FIRST so the probe's scan (typically a JSON extract over
-            # events — the expensive part) fills the cache the chosen
-            # plan then reuses; both strategies read c at least twice.
+            # probe jobs over the persisted c (persist FIRST so the
+            # probe's scan — typically a JSON extract over events, the
+            # expensive part — fills the cache the chosen plan then
+            # reuses; both strategies read c at least twice). The
+            # degree aggregate gives nc AND exact Σd² in one pass.
             c = c.persist()
-            stats = c.agg(
-                F.countDistinct("ct").alias("nc"),
-                F.countDistinct("u").alias("nu"),
+            degs = c.groupBy("ct").agg(F.count("*").alias("d"))
+            row = degs.agg(
+                F.count("*").alias("nc"),
+                F.sum(F.col("d") * F.col("d")).alias("sd2"),
             ).first()
-            n_contacts = stats["nc"] if n_contacts is None else n_contacts
-            n_users = stats["nu"] if n_users is None else n_users
-        strategy = (
-            "bitmask"
-            if n_contacts <= BITMASK_MAX_CONTACTS and n_users <= BITMASK_MAX_USERS
-            else "inverted"
-        )
+            n_contacts = int(row["nc"]) if n_contacts is None else n_contacts
+            sum_d2 = int(row["sd2"] or 0) if sum_d2 is None else sum_d2
+            if n_users is None:
+                n_users = c.select("u").distinct().count()
+        strategy = _pick_cn_strategy(n_contacts, n_users, sum_d2)
 
     if strategy == "bitmask":
         return _common_neighbors_bitmask(c, min_common, n_contacts)
@@ -240,7 +280,8 @@ def _common_neighbors_bitmask(
     bit_or to build masks, then a self nested-loop join over mask rows
     with pure codegen popcounts. No Σd² blowup: work is
     O(|users|²·words), independent of hub degrees — which is why the
-    caller bounds |users| (BITMASK_MAX_USERS) before picking this path.
+    caller budgets the pair space (_pick_cn_strategy's word-op budget)
+    before picking this path.
     """
     # the distinct contact set feeds both the index build and the mask
     # build — persist the (≤ MAX_USERS × MAX_CONTACTS distinct) frame so

@@ -19,9 +19,9 @@ from frauddetection_spark.operators.graph import (
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
-# per-sf_dir memo of (n_distinct_contacts, n_distinct_users) for the
+# per-sf_dir memo of (n_contacts, n_users, sum_d2) for the
 # common-neighbor strategy pick: probe once, reuse like catalog stats
-_CN_STATS: dict[str, tuple[int, int]] = {}
+_CN_STATS: dict[str, tuple[int, int, int]] = {}
 
 # DuckDB twin of edges_from_events
 _SQL_EDGES = """
@@ -93,16 +93,22 @@ def q_join_common_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     contacts = e.select(F.col("src").alias("user"), F.col("dst").alias("contact"))
     stats = _CN_STATS.get(sf_dir)
     if stats is None:
-        d = contacts.distinct()
-        row = d.agg(
-            F.countDistinct("contact").alias("nc"),
-            F.countDistinct("user").alias("nu"),
+        d = contacts.distinct().persist()
+        degs = d.groupBy("contact").agg(F.count("*").alias("deg"))
+        row = degs.agg(
+            F.count("*").alias("nc"),
+            F.sum(F.col("deg") * F.col("deg")).alias("sd2"),
         ).first()
-        stats = (int(row["nc"]), int(row["nu"]))
+        nu = d.select("user").distinct().count()
+        stats = (int(row["nc"]), nu, int(row["sd2"] or 0))
         _CN_STATS[sf_dir] = stats
     return (
         common_neighbor_pairs(
-            contacts, min_common=5, n_contacts=stats[0], n_users=stats[1]
+            contacts,
+            min_common=5,
+            n_contacts=stats[0],
+            n_users=stats[1],
+            sum_d2=stats[2],
         )
         .orderBy("user_a", "user_b")
     )

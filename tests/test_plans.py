@@ -132,24 +132,38 @@ def test_driver_window_covers_all_families():
     assert len(oracle_window(names[:DRIVER_WINDOW])) >= 48
 
 
-def test_common_neighbor_auto_refuses_bitmask_on_many_users(spark):
-    """The bitmask pair join is O(|users|^2): auto must fall back to the
-    inverted index when the user count exceeds BITMASK_MAX_USERS, even
-    if the contact domain is tiny (the round-1 heuristic keyed only on
-    domain size — the scale-killer regime)."""
+def test_common_neighbor_auto_cost_model(spark):
+    """The auto pick is COST-BASED (round-2 ×10 stress finding: a hard
+    user cap routed the dense 100-contact/15k-user regime to the
+    inverted index, whose Σd² ≈ 5e9 shuffled rows OOMed a default
+    heap, while the bitmask nested loop was ~40× cheaper):
+    bitmask iff (u²/2)·words ≤ 64·Σd², under an absolute word-op
+    budget and the 4096-contact mask bound."""
     from frauddetection_spark.operators.graph import (
-        BITMASK_MAX_USERS,
+        BITMASK_MAX_WORDOPS,
+        _pick_cn_strategy,
         common_neighbor_pairs,
     )
 
-    n_users = BITMASK_MAX_USERS + 100
+    # dense regime: many users sharing a tiny domain → bitmask wins
+    # even far beyond the old 8192-user cap
+    n_users = 15_000
     contacts = spark.range(n_users).select(
         F.col("id").alias("user"), (F.col("id") % 10).alias("contact")
     )
     df = common_neighbor_pairs(contacts, min_common=1)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "bit_count" not in plan  # inverted path chosen
-    # small-user frame still picks bitmask
+    assert "bit_count" in plan
+    # sparse regime: Σd² tiny relative to the pair space → inverted
+    assert _pick_cn_strategy(10, 15_000, sum_d2=1_000) == "inverted"
+    # big domain: masks don't fit → inverted regardless of cost
+    assert _pick_cn_strategy(5_000, 100, sum_d2=10**9) == "inverted"
+    # nested-loop budget: pair space beyond the word-op budget refuses
+    # bitmask even when it is the cheaper side (output-bound regime)
+    assert (
+        _pick_cn_strategy(100, 200_000, sum_d2=10**12) == "inverted"
+    ), BITMASK_MAX_WORDOPS
+    # small frame still picks bitmask
     small = spark.range(100).select(
         F.col("id").alias("user"), (F.col("id") % 10).alias("contact")
     )

@@ -65,49 +65,46 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()`` — round 1 wasted the window on three
-# redundant grouping-set variants while every similarity/text/metric/
-# sampling/streaming query went unchecked. The first 50 names below are
-# chosen so that EVERY SURVEY.md §2 row family has at least one
-# oracle-checked representative inside the window (pinned by
-# tests/test_plans.py::test_driver_window_covers_all_families);
-# redundant variants and rows-only checks sit below the fold.
+# 50 entries of ``queries()``. Rounds 1+2 accumulated driver-green rows
+# for 52 of the 97 oracle-backed queries (CORRECTNESS_r01/r02.json);
+# round 3 rotates the window to the 45 oracle queries that have NEVER
+# been driver-green (r1's nanos-ERR casualties + every round-2
+# addition), plus 5 already-green sentinels for regression cover —
+# chosen as the queries whose implementation CHANGED this round
+# (q_metric_auc's distributed rank, q_ann_ivf) and the three headline
+# families (exact join, hash agg, MinHash dedup). Cumulative driver
+# evidence (past green ∪ this window) covers all 97 oracle queries —
+# pinned by tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # relational core (S/P)
-    "q_scan_parquet", "q_ts_parts", "q_filter_compound", "q_null_fill",
-    "q_key_range", "q_string_funcs", "q_case_when", "q_math_funcs",
-    "q_scan_csv",
-    # joins (J)
-    "q_join_inner", "q_join_existence", "q_join_anti", "q_join_semi",
-    # core aggregation / set ops (A/U)
-    "q_groupby_agg", "q_count_distinct", "q_median", "q_topk", "q_rollup",
-    "q_union_mirror", "q_dedup_exact", "q_set_ops", "q_json_extract",
-    # LLM-pipeline: dedup / similarity (E1-E3)
-    # (q_simhash demoted below the fold: E2 keeps q_dedup_minhash +
-    # q_shingle_jaccard, the latter also the J4 inverted-index rep)
-    "q_dedup_hash", "q_dedup_minhash", "q_shingle_jaccard",
-    "q_knn_cosine", "q_ann_ivf",
-    # LLM-pipeline: text (E4-E5)
-    "q_token_stats", "q_text_quality",
-    # eval metrics (M5)
-    "q_metric_confusion", "q_metric_auc",
-    # sampling (R)
-    "q_split_stratified", "q_sampling_weights", "q_edge_weights",
-    "q_uniform_sample",
-    # LLM-pipeline: packing / weighting / dup-resolution
-    "q_tfidf", "q_dedup_groups",
-    # behavioral features (A1..A13, M1)
-    "q_window_agg_transform", "q_two_level_agg", "q_share_dispersion",
-    "q_multiscale_features", "q_behavioral_features", "q_jaccard_lag",
-    "q_dense_spine", "q_collect_series",
-    # graph (J4/J5/M2)
-    "q_graph_aggregate", "q_propagate_2round",
-    # streaming twin (E7; q_tumbling_counts below the fold — A1 has 3
-    # other in-window reps and E7 keeps the richer session query)
-    "q_session_stats",
-    "q_pandas_udf_zscore",
-    # M7 viz counterpart (rows-only — PCA eigen-solver is engine-private)
-    "q_viz_projection",
+    # --- never-driver-green: relational / scan surface ---
+    "q_scan_partitioned", "q_scan_jsonl", "q_unpivot", "q_pivot",
+    "q_intersect", "q_profile_events", "q_salted_agg",
+    "q_histogram_norm", "q_lag_gap", "q_class_rates",
+    # --- never-driver-green: CDC / temporal ---
+    "q_latest_state", "q_scd2_intervals", "q_trailing_range",
+    "q_asof_attribution", "q_funnel",
+    # --- never-driver-green: rank / distribution features ---
+    "q_user_deciles", "q_winsorize",
+    # --- never-driver-green: graph (J4 — buildLSN — first) ---
+    "q_join_common_neighbor", "q_graph_degrees", "q_neighbor_avg_degree",
+    "q_graph_aggregate_weighted", "q_clustering_coeff",
+    "q_connected_components", "q_pagerank",
+    # --- never-driver-green: metrics (M5) ---
+    "q_metric_prf", "q_metric_ap", "q_metric_calibration", "q_model_score",
+    # --- never-driver-green: text (E4-E5) ---
+    "q_lang_id", "q_token_regex", "q_fingerprint", "q_ngrams",
+    # --- never-driver-green: similarity / embeddings (E2-E3) ---
+    "q_simhash", "q_embed_neardup", "q_embed_quantize",
+    # --- never-driver-green: LLM corpus pipeline ---
+    "q_doc_chunks", "q_pack_sequences", "q_decontaminate",
+    "q_quality_rules", "q_domain_mix", "q_feature_hash",
+    "q_doc_stats_mapinpandas", "q_binary_meta",
+    # --- never-driver-green: streaming batch-twins (E7) ---
+    "q_tumbling_counts", "q_sliding_counts",
+    # --- sentinels (driver-green in r2; re-proven each round) ---
+    "q_metric_auc",      # implementation changed r3: distributed rank
+    "q_ann_ivf",         # codebook/seeding surface changed r3
+    "q_join_inner", "q_groupby_agg", "q_dedup_minhash",
 )
 
 DRIVER_WINDOW = 50

@@ -785,18 +785,13 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original parquet — matching hashes prove the interchange is
     lossless. (The Spark CSV *sink* is exercised in tests/test_io.py.)"""
     import os
-    import tempfile
 
-    from frauddetection_spark.sources.io import read_csv
+    from frauddetection_spark.sources.io import duckdb_fixture, read_csv
     from frauddetection_spark.sources.tables import SCHEMAS
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"fd_spark_csv_{tag}", "events")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    def _build(src: str, out: str) -> None:
         import duckdb
 
-        os.makedirs(path, exist_ok=True)
         con = duckdb.connect()
         # CAST ts to micros — DuckDB would print TIMESTAMP_NS with nine
         # fraction digits, which Spark's CSV parser rejects; micros is
@@ -805,12 +800,13 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""
             COPY (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                          event_type, value, props
-                  FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}'))
-            TO '{os.path.join(path, "part-0.csv")}' (FORMAT CSV, HEADER)
+                  FROM read_parquet('{src}'))
+            TO '{os.path.join(out, "part-0.csv")}' (FORMAT CSV, HEADER)
             """
         )
         con.close()
-        open(marker, "w").close()
+
+    path = duckdb_fixture(sf_dir, "csv", "events", _build)
     # escape='"': DuckDB writes RFC-4180 doubled quotes; Spark's
     # backslash default would leave embedded quotes in string fields
     csv = read_csv(spark, path, SCHEMAS["events"], escape='"')
@@ -859,20 +855,13 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the original parquet, so matching hashes also prove the
     partitioned round-trip is lossless."""
     import os
-    import tempfile
 
-    from frauddetection_spark.sources.io import read_partitioned
+    from frauddetection_spark.sources.io import duckdb_fixture, read_partitioned
     from frauddetection_spark.sources.tables import SCHEMAS, ensure_read_confs
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(), f"fd_spark_part_{tag}", "events_by_type"
-    )
-    marker = os.path.join(path, "_FD_DONE")
-    if not os.path.exists(marker):
+    def _build(src: str, out: str) -> None:
         import duckdb
 
-        os.makedirs(path, exist_ok=True)
         con = duckdb.connect()
         # micros ts (same truncation as the parquet loader) — the
         # partitioned copy must not reintroduce the NANOS landmine
@@ -880,14 +869,15 @@ def q_scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"""
             COPY (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                          value, props, event_type
-                  FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}'))
-            TO '{path}'
+                  FROM read_parquet('{src}'))
+            TO '{out}'
             (FORMAT PARQUET, PARTITION_BY (event_type),
              OVERWRITE_OR_IGNORE)
             """
         )
         con.close()
-        open(marker, "w").close()
+
+    path = duckdb_fixture(sf_dir, "part", "events", _build)
     ensure_read_confs(spark)
     from pyspark.sql.types import StructType
 
@@ -1162,28 +1152,23 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless. Reference reads everything via inferring pandas
     (data_process.py:53-55); policy §1.2 pins schemas instead."""
     import os
-    import tempfile
 
-    from frauddetection_spark.sources.io import read_jsonl
+    from frauddetection_spark.sources.io import duckdb_fixture, read_jsonl
     from frauddetection_spark.sources.tables import SCHEMAS
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"fd_spark_jsonl_{tag}", "documents")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    def _build(src: str, out: str) -> None:
         import duckdb
 
-        os.makedirs(path, exist_ok=True)
         con = duckdb.connect()
         con.execute(
             f"""
-            COPY (SELECT * FROM read_parquet(
-                      '{os.path.join(sf_dir, "documents.parquet")}'))
-            TO '{os.path.join(path, "part-0.jsonl")}' (FORMAT JSON)
+            COPY (SELECT * FROM read_parquet('{src}'))
+            TO '{os.path.join(out, "part-0.jsonl")}' (FORMAT JSON)
             """
         )
         con.close()
-        open(marker, "w").close()
+
+    path = duckdb_fixture(sf_dir, "jsonl", "documents", _build)
     docs = read_jsonl(spark, path, SCHEMAS["documents"])
     return (
         docs.groupBy("lang", "source")

@@ -18,6 +18,7 @@ Layout policy for big tables:
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -105,3 +106,51 @@ def read_jsonl(
     scan at 100 TB, and silently widens types). One JSON object per
     line, the interchange format of every LLM-corpus distribution."""
     return spark.read.schema(schema).json(path)
+
+
+def duckdb_fixture(
+    sf_dir: str,
+    kind: str,
+    src_name: str,
+    build: Callable[[str, str], None],
+) -> str:
+    """Materialize-once driver-side fixture derived from
+    ``{sf_dir}/{src_name}.parquet`` via DuckDB (pure-Python prep —
+    constructing a query that calls this runs ZERO Spark jobs).
+
+    Staleness contract: the round driver REGENERATES the testdata
+    parquet between rounds, so the done-marker records the source
+    parquet's ``(mtime_ns, size)`` fingerprint; a mismatch (or a
+    missing marker) wipes and rebuilds the fixture. Without this,
+    Spark would aggregate a stale tmp copy while the DuckDB oracle
+    reads the fresh parquet — a spurious (or, worse, masked) oracle
+    mismatch. The marker is written atomically (tmp + rename) so a
+    concurrent reader never observes a half-built fixture as done.
+
+    ``build(src_parquet_path, out_dir)`` performs the actual COPY.
+    Returns the fixture directory.
+    """
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{src_name}.parquet")
+    st = os.stat(src)
+    fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"fd_spark_{kind}_{tag}", src_name
+    )
+    marker = os.path.join(path, "_FD_DONE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read().strip() == fingerprint:
+                return path
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    build(src, path)
+    tmp_marker = f"{marker}.{os.getpid()}.tmp"
+    with open(tmp_marker, "w") as fh:
+        fh.write(fingerprint)
+    os.replace(tmp_marker, marker)
+    return path

@@ -98,11 +98,18 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
     assert "*(" in plan
 
 
-def test_driver_window_covers_all_families():
+def test_driver_window_completes_evidence():
     """The round driver checks only the first DRIVER_WINDOW entries of
-    queries(). Every SURVEY.md §2 row family that ANY query covers must
-    have a representative inside that window — round 1 left all of
-    sampling/metrics/text/similarity/streaming unchecked."""
+    queries(). The round-3 invariant: cumulative driver evidence —
+    hash-green rows from past CORRECTNESS_r*.json PLUS this round's
+    window — must cover EVERY oracle-backed query, so no operator ships
+    on local-only evidence. (Round 2's invariant was per-family window
+    coverage; with 97 oracle queries and a 50-slot window, coverage is
+    now cumulative across rounds.)"""
+    import glob
+    import json
+    import os
+
     from frauddetection_spark.plans.registry import DRIVER_WINDOW, _PRIORITY
 
     reg = load_all()
@@ -110,26 +117,22 @@ def test_driver_window_covers_all_families():
     assert names[: len(_PRIORITY)] == list(_PRIORITY)
     assert len(_PRIORITY) <= DRIVER_WINDOW
 
-    def families(subset):
-        out = set()
-        for n in subset:
-            for tag in reg[n].survey.split(","):
-                tag = tag.strip()
-                if tag:
-                    out.add(tag)
-        return out
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(f) as fh:
+            rows = json.load(fh)
+        green |= {k for k, v in rows.items() if v.get("hash_match")}
+    assert green, "no CORRECTNESS_r*.json evidence found"
 
-    window = families(names[:DRIVER_WINDOW])
-    everything = families(names)
-    assert everything - window == set(), (
-        f"survey families missing from driver window: {everything - window}"
+    oracle = {n for n, s in reg.items() if s.oracle is not None}
+    window = set(names[:DRIVER_WINDOW])
+    uncovered = oracle - (green | window)
+    assert uncovered == set(), (
+        f"oracle queries with no driver evidence past or pending: {sorted(uncovered)}"
     )
-
-    def oracle_window(subset):
-        return [n for n in subset if reg[n].oracle is not None]
-
     # the window should not waste slots on rows-only checks
-    assert len(oracle_window(names[:DRIVER_WINDOW])) >= 48
+    assert len(window & oracle) >= 48
 
 
 def test_common_neighbor_auto_cost_model(spark):

@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.graph import degrees, edges_from_events
@@ -156,24 +156,10 @@ def evaluate(model, dataset: DataFrame) -> dict[str, float]:
         vector_to_array("probability")[1].alias("score"),
         F.col("prediction").cast("int").alias("pred"),
     )
-    ranked = pred.select(
-        "label",
-        (
-            F.rank().over(Window.orderBy("score"))
-            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("avg_rank"),
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0)).alias("r_pos"),
-        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_neg"),
-    ).first()
-    auc = (
-        (agg.r_pos - agg.n_pos * (agg.n_pos + 1) / 2.0)
-        / (agg.n_pos * agg.n_neg)
-        if agg.n_pos and agg.n_neg
-        else float("nan")
-    )
+    from frauddetection_spark.operators.rank import auc_stats
+
+    agg = auc_stats(pred.select("label", "score")).first()
+    auc = agg.auc if agg.n_pos and agg.n_neg else float("nan")
     acc = (
         pred.agg(
             F.avg((F.col("label") == F.col("pred")).cast("double"))

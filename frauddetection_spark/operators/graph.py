@@ -26,6 +26,30 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Persisted frames whose lifetime outlives the function that created
+# them (pagerank/probe invariants referenced by the RETURNED lazy
+# plan): an eager unpersist would defeat the cache, so callers own
+# cleanup — run release_caches() after the final action on the result
+# (long-lived driver sessions accumulate cached frames otherwise).
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked invariant cache; returns the count.
+    Safe at any time — unpersist never breaks correctness, only forces
+    recomputation if the plan is re-executed afterwards."""
+    n = 0
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+        n += 1
+    return n
+
+
 def edges_from_events(events: DataFrame) -> DataFrame:
     """Canonical directed edge list: user → counterparty (props.k).
 
@@ -129,9 +153,10 @@ def _pick_cn_strategy(
 ) -> str:
     """Cost-based inverted-vs-bitmask pick; see the model above.
     Without Σd² stats (caller injected only coarse counts) fall back
-    to the conservative uniform-degree floor Σd² ≥ (u·avg_d)²/nc —
-    unknowable without row counts, so assume the dense regime's
-    worst case for inverted only when the domain is small."""
+    to the legacy coarse rule — bitmask iff the user count is ≤ 8192
+    (small enough that even the worst-case nested loop is cheap);
+    anything larger defaults to inverted, the strategy whose cost is
+    bounded by data statistics we actually have."""
     if n_contacts > BITMASK_MAX_CONTACTS or n_contacts == 0:
         return "inverted"
     words = (n_contacts + 63) // 64
@@ -210,7 +235,7 @@ def common_neighbor_pairs(
             # expensive part — fills the cache the chosen plan then
             # reuses; both strategies read c at least twice). The
             # degree aggregate gives nc AND exact Σd² in one pass.
-            c = c.persist()
+            c = _track(c.persist())
             degs = c.groupBy("ct").agg(F.count("*").alias("d"))
             row = degs.agg(
                 F.count("*").alias("nc"),
@@ -289,7 +314,7 @@ def _common_neighbors_bitmask(
     from pyspark import StorageLevel
 
     if c.storageLevel == StorageLevel.NONE:
-        c = c.persist()
+        c = _track(c.persist())
     if n_contacts is not None:
         # domain known ≤ BITMASK_MAX_CONTACTS: a single window over
         # ≤4096 rows is bounded by construction and cheaper than the
@@ -498,14 +523,16 @@ def pagerank_integer(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
-    nodes = (
+    nodes = _track(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    # static per-edge divisor: outdeg never changes across rounds
-    edges_out = (
+    # static per-edge divisor: outdeg never changes across rounds.
+    # Both invariants are referenced by the returned lazy plan, so
+    # they cannot be unpersisted here — tracked for release_caches()
+    edges_out = _track(
         edges.join(
             edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
         )

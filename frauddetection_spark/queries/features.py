@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from frauddetection_spark.operators.rank import prefix_rank
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import SQL_WEEK, cents, r6, t, week_str
 
@@ -427,21 +428,23 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_class_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class rates + group shares (reference: fraud rate sum(y)/len(y),
     new_utlis_1.py:56-57; XOR-cased edge-class rates new_utlis_2.py:
-    87-101). The global denominator is a window sum over the 5-row
-    aggregate, not a second scan."""
+    87-101). The global denominator is a broadcast single-row
+    aggregate off the same grouped frame (Exchange reuse — no second
+    scan, no unpartitioned window: the round-2 empty-partitionBy
+    window form was bounded only by the group-key cardinality)."""
     e = t(spark, sf_dir, "events")
     c = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.avg(F.when(F.col("value") > 150, 1.0).otherwise(0.0)).alias("high_rate"),
     )
+    tot = c.agg(F.sum("n").alias("_tot"))
     return (
-        c.select(
+        c.crossJoin(F.broadcast(tot))
+        .select(
             "event_type",
             "n",
             "high_rate",
-            (F.col("n").cast("double") / F.sum("n").over(Window.partitionBy())).alias(
-                "type_share"
-            ),
+            (F.col("n").cast("double") / F.col("_tot")).alias("type_share"),
         )
         .orderBy("event_type")
     )
@@ -895,24 +898,47 @@ def q_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank, cume_dist over a TOTAL order (cents, user_id) — the
     rank-transform feature family (deterministic because ties are
     broken by key, and the rank inputs are exact int64 cents).
-    Scale: a global ORDER BY is a single-reducer sort at the window —
-    fine at |users| cardinality after per-user aggregation (the heavy
-    input was already reduced by the groupBy); for rank transforms
-    over raw event grain, switch to approx quantile cutpoints
-    (q_median_approx's sketch) instead."""
+
+    Scale: round 2 used ``ntile/percent_rank/cume_dist`` over a global
+    ``Window.orderBy`` — a single-reducer sort even after the groupBy
+    reduction (at 100× users, one task holds every user). Now the
+    global rank comes from the two-phase range-partitioned prefix
+    (operators/rank.py::prefix_rank) and all three transforms are
+    CLOSED FORMS of (rn, n), reproducing the window semantics exactly:
+      rank==rn (total order, no ties) → pct_rank=(rn−1)/(n−1),
+      cume=rn/n; ntile(10): first n%10 buckets get ⌈n/10⌉ rows —
+      pure integer arithmetic, matches ntile's uneven-bucket rule."""
     e = t(spark, sf_dir, "events")
     per = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents_total")
     )
-    w = Window.orderBy("cents_total", "user_id")
-    return per.select(
+    pr = prefix_rank(
+        per,
+        [F.col("cents_total"), F.col("user_id")],
+        total_count="_n",
+    )
+    pr = pr.withColumn("_q", F.expr("_n div 10")).withColumn(
+        "_r", F.expr("_n % 10")
+    )
+    big = F.expr("_r * (_q + 1)")  # rows covered by the ⌈n/10⌉ buckets
+    tile = (
+        F.when(F.col("_q") == 0, F.col("rn"))  # n<10: one row per bucket
+        .when(
+            F.col("rn") <= big, F.expr("(rn - 1) div (_q + 1) + 1")
+        )
+        .otherwise(F.expr("_r + (rn - _r * (_q + 1) - 1) div _q + 1"))
+    )
+    return pr.select(
         "user_id",
         "cents_total",
-        F.ntile(10).over(w).cast("bigint").alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        tile.cast("bigint").alias("decile"),
+        F.when(F.col("_n") > 1,
+               (F.col("rn") - 1).cast("double") / (F.col("_n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (F.col("rn").cast("double") / F.col("_n")).alias("cume"),
     ).orderBy("user_id")
 
 

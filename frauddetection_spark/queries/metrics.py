@@ -14,9 +14,10 @@ confusion matrix and AUC are non-degenerate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from frauddetection_spark.operators.rank import auc_stats, prefix_rank
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
@@ -170,31 +171,15 @@ def q_metric_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     where R⁺ is the summed average-rank of positives (ties → midrank;
     exact: ranks are half-integers, binary-exact doubles).
 
-    Scale note: the global rank is a total order — Spark computes it
-    with a single-partition window at this fixture size; the 100-TB
-    form buckets scores first (rank = bucket offset + within-bucket
-    rank, both distributed) since AUC only needs rank *sums*."""
+    Fully distributed (operators/rank.py::auc_stats): ties collapse to
+    score grain in one shuffle, midranks come from a range-partitioned
+    prefix count — no unpartitioned row-level window, so the query no
+    longer funnels every scored row through one task the way the round-2
+    ``rank().over(Window.orderBy(score))`` form did. The oracle twin
+    keeps the row-level rank formulation — equal by the midrank
+    identity."""
     s = _scored(t(spark, sf_dir, "events"))
-    ranked = s.select(
-        "label",
-        (
-            F.rank().over(Window.orderBy("score"))
-            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("avg_rank"),
-    )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0)).alias("r_pos"),
-        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("n_pos"),
-        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n_neg"),
-    )
-    return agg.select(
-        F.col("n_pos").cast("bigint").alias("n_pos"),
-        F.col("n_neg").cast("bigint").alias("n_neg"),
-        (
-            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos").cast("double") * F.col("n_neg"))
-        ).alias("auc"),
-    )
+    return auc_stats(s)
 
 
 # ---------------------------------------------------------------------------
@@ -229,14 +214,19 @@ def q_metric_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average precision AP = Σ_k P(k)·rel(k) / n⁺ over the ranked
     list (ties broken by user_id so the ranking is total and identical
     everywhere). Per-term precisions are fixed-point-quantized before
-    the sum → exact-int accumulation, one final division."""
+    the sum → exact-int accumulation, one final division.
+
+    The rank and running positive count come from the two-phase
+    range-partitioned prefix (operators/rank.py::prefix_rank) — the
+    round-2 global ``Window.orderBy(score DESC, user_id)`` was a
+    single-reducer sort; now both are partition-local plus broadcast
+    offsets, exact because range partitions are ordered and disjoint."""
     s = _scored(t(spark, sf_dir, "events"))
-    w = Window.orderBy(F.col("score").desc(), F.col("user_id"))
-    ranked = s.select(
-        "label",
-        F.row_number().over(w).alias("k"),
-        F.sum("label").over(w).alias("cum_pos"),
-    )
+    ranked = prefix_rank(
+        s,
+        [F.col("score").desc(), F.col("user_id")],
+        sums={"cum_pos": F.col("label")},
+    ).select("label", F.col("rn").alias("k"), "cum_pos")
     terms = ranked.select(
         "label",
         F.round(F.col("cum_pos").cast("double") / F.col("k") * 1_000_000_000)

@@ -1,0 +1,103 @@
+"""Scale lints over EVERY registered query, pinned as tests:
+
+1. **Zero Spark jobs at plan construction** — calling any
+   ``queries()[name](spark, sf_dir)`` must only BUILD a plan. Round 2's
+   common-neighbor auto path ran persist() + two probe actions at
+   construction time; stats now come from a driver-side DuckDB catalog
+   probe (queries/graph.py). Driver-side (non-Spark) prep like the
+   DuckDB fixture COPYs is allowed — the lint counts Spark jobs only.
+
+2. **No unpartitioned row-level windows** — a
+   ``Window.orderBy(...)`` without ``partitionBy`` funnels every row
+   through ONE task (the "No Partition Defined for Window operation"
+   WindowExec). The only allowed unpartitioned windows are the
+   bounded-by-construction ones: prefix offsets over per-range-partition
+   totals (≤ RANK_PARTITIONS rows, order col ``_pid``) and the bitmask
+   contact-domain index (≤ BITMASK_MAX_CONTACTS rows, order col ``ct``).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from frauddetection_spark.plans.registry import load_all
+
+REGISTRY = load_all()
+
+# Unpartitioned windows whose input is bounded by construction, keyed
+# by the name of their first order column. Keep in sync with
+# operators/rank.py (offsets over ≤ RANK_PARTITIONS per-partition
+# totals), operators/graph.py::_dense_index (same shape), and
+# operators/graph.py::_common_neighbors_bitmask (contact-domain index,
+# ≤ BITMASK_MAX_CONTACTS rows).
+BOUNDED_ORDER_COLS = {"_pid", "ct"}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """First-order-column names of Window nodes with an empty
+    partitionSpec anywhere in the analyzed logical plan."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            part = node.partitionSpec()
+            if part.isEmpty():
+                order = node.orderSpec()
+                first = (
+                    order.apply(0).child().toString() if order.size() else "?"
+                )
+                out.append(first.split("#")[0])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unpartitioned_windows(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    bad = [
+        c
+        for c in _unpartitioned_windows(spec.fn(spark, sf_dir))
+        if c not in BOUNDED_ORDER_COLS
+    ]
+    assert bad == [], (
+        f"{name}: unpartitioned (single-reducer) window over order "
+        f"col(s) {bad} — use operators/rank.py::prefix_rank or add the "
+        "bounded case to BOUNDED_ORDER_COLS with a justification"
+    )
+
+
+# Queries whose CONSTRUCTION legitimately runs Spark jobs: iterative
+# fixpoints whose round count is data-dependent (min-label propagation
+# runs joins until a changed-row count hits zero — the convergence
+# check IS the algorithm, not a stats probe). Everything else must be
+# a pure plan builder.
+ITERATIVE_FIXPOINT = {"q_connected_components", "q_dedup_groups"}
+
+# MLlib estimator queries: ``Estimator.fit`` is TRAINING — an action by
+# nature (the model is data). Not a stats probe; exempt, like M3/M4's
+# explicit training loops.
+ML_FIT = {"q_ann_lsh_ml", "q_dedup_minhash_ml", "q_model_score",
+          "q_viz_projection"}
+
+
+def test_zero_jobs_at_construction(spark, sf_dir):
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    for name, spec in REGISTRY.items():
+        if name in ITERATIVE_FIXPOINT | ML_FIT:
+            continue
+        df = spec.fn(spark, sf_dir)
+        assert df is not None
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        new = after - before
+        assert not new, (
+            f"constructing {name} launched Spark job(s) {sorted(new)} — "
+            "query constructors must be pure plan builders (move stats "
+            "probes to the driver-side catalog, defer actions to the "
+            "caller)"
+        )
+        before = after

@@ -33,6 +33,16 @@ HEADLINE = [
     # to BENCH_r01.json's 11-query total; per-query times are)
     "q_dedup_minhash",
     "q_tfidf",
+    # round-2 operator surface (added round 3 per VERDICT item 8) —
+    # iterative graph, distributed global rank, broadcast-bounds clip,
+    # LSH-pair connected components
+    "q_pagerank",
+    "q_user_deciles",
+    "q_winsorize",
+    "q_dedup_groups",
+    # round-3 additions: bucketed range join + sampled-codebook ANN
+    "q_interval_join",
+    "q_ann_ivf_sampled",
 ]
 
 

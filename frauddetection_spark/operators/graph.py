@@ -440,13 +440,30 @@ def connected_components(
     propagation). Deterministic fixpoint ⇒ oracle-verifiable even
     though the algorithm is iterative driver-side control flow.
     """
-    und = mirror(edges)
+    # Lineage discipline (the round-3 7s→2s fix, profiled): persist
+    # alone does NOT truncate the LOGICAL plan — each round's frame
+    # references the previous round twice, so by round k the analyzer
+    # walks an O(2^k)-node tree that embeds the (large) upstream edge
+    # pipeline, and driver-side planning dwarfs the actual 3-shuffle
+    # jobs. localCheckpoint materializes AND cuts lineage: the edge
+    # pipeline (q_dedup_groups feeds the whole MinHash-LSH rerank in
+    # here) runs exactly once, and every round plans against a leaf.
+    # At cluster scale swap for checkpoint() on a fault-tolerant dir —
+    # same semantics, survives executor loss (SURVEY §7 watch-list #4).
+    #
+    # Checkpoint BEFORE mirroring: mirror() is a self-union, and Spark
+    # plans its two branches as independent subtrees (no reuse) — a
+    # post-mirror checkpoint would execute the upstream pipeline twice
+    # (profiled: 8.5s vs 3.1s on the MinHash pair feed). The union
+    # itself stays lazy: re-deriving it from the checkpointed leaf per
+    # round is two cached-block scans, nothing more.
+    und = mirror(edges.localCheckpoint())
     labels = (
         und.select(F.col("src").alias("node"))
         .union(und.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -459,25 +476,22 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("c_src").alias("nbr_component"))
         )
+        # carry the previous label through the update so convergence is
+        # a filter-count over the checkpointed frame, not a second join
         updated = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+        changed = updated.filter(F.col("component") != F.col("_prev")).count()
+        labels = updated.select("node", "component")
         if changed == 0:
             break
     else:
@@ -490,6 +504,8 @@ def connected_components(
             f"iterations ({changed} labels still changing); raise "
             "max_iterations (rounds needed = graph diameter)"
         )
+    # checkpointed blocks are released by the ContextCleaner when the
+    # frames go out of scope — no persist bookkeeping to track here
     return labels
 
 

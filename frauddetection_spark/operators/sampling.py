@@ -33,8 +33,10 @@ HASH_HALF = 1 << 31
 HASH_MOD = 1 << 32
 
 
-def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Column:
-    """'train'/'test' by multiplicative hash — reproducible anywhere.
+def portable_hash_u32(key: Column, seed: int) -> Column:
+    """The engine's cross-engine hash primitive: uniform-ish uint32 in
+    [0, 2³²) as a pure exact-int64 function of (key, seed). All the
+    split/sample/seeding helpers below are thin wrappers over this.
 
     The high half is an arithmetic right shift (k >> 31) — exact
     floor division by 2³¹ for the FULL signed int64 range in Spark,
@@ -43,22 +45,33 @@ def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Colu
     k = key.cast("bigint")
     lo = F.pmod(k, F.lit(HASH_HALF))
     hi = F.pmod(F.shiftright(k, 31), F.lit(HASH_HALF))
-    h = F.pmod(lo * HASH_A1 + hi * HASH_A2 + seed, F.lit(HASH_MOD))
+    return F.pmod(lo * HASH_A1 + hi * HASH_A2 + seed, F.lit(HASH_MOD))
+
+
+def sql_portable_hash_u32(key: str, seed: int) -> str:
+    """DuckDB twin of :func:`portable_hash_u32` (DuckDB's ``>>`` on
+    BIGINT is the same arithmetic floor shift; ``%`` needs the
+    double-pmod dance because DuckDB's ``%`` is signed remainder)."""
+    k = f"CAST({key} AS BIGINT)"
+    lo = f"(({k} % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
+    hi = f"((({k} >> 31) % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
+    return f"((({lo}) * {HASH_A1} + ({hi}) * {HASH_A2} + {seed}) % {HASH_MOD})"
+
+
+def portable_split(key: Column, train_pct: int = 80, seed: int = 12_345) -> Column:
+    """'train'/'test' by multiplicative hash — reproducible anywhere."""
+    h = portable_hash_u32(key, seed)
     return F.when(h < (HASH_MOD * train_pct) // 100, F.lit("train")).otherwise(
         F.lit("test")
     )
 
 
 def sql_portable_split(key: str, train_pct: int = 80, seed: int = 12_345) -> str:
-    """DuckDB twin of :func:`portable_split` (DuckDB's ``>>`` on
-    BIGINT is the same arithmetic floor shift)."""
+    """DuckDB twin of :func:`portable_split`."""
     thresh = (HASH_MOD * train_pct) // 100
-    k = f"CAST({key} AS BIGINT)"
-    lo = f"(({k} % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
-    hi = f"((({k} >> 31) % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
     return (
-        f"CASE WHEN ((({lo}) * {HASH_A1} + ({hi}) * {HASH_A2} + {seed})"
-        f" % {HASH_MOD}) < {thresh} THEN 'train' ELSE 'test' END"
+        f"CASE WHEN {sql_portable_hash_u32(key, seed)} < {thresh}"
+        f" THEN 'train' ELSE 'test' END"
     )
 
 
@@ -67,23 +80,13 @@ def portable_uniform_keep(key: Column, keep_pct: int = 10, seed: int = 777) -> C
     the R4 uniform subsample. Same exact-int64 multiplicative hash as
     :func:`portable_split`, so membership is reproducible on any engine
     and any cluster size (no RNG state, no coordination)."""
-    k = key.cast("bigint")
-    lo = F.pmod(k, F.lit(HASH_HALF))
-    hi = F.pmod(F.shiftright(k, 31), F.lit(HASH_HALF))
-    h = F.pmod(lo * HASH_A1 + hi * HASH_A2 + seed, F.lit(HASH_MOD))
-    return h < (HASH_MOD * keep_pct) // 100
+    return portable_hash_u32(key, seed) < (HASH_MOD * keep_pct) // 100
 
 
 def sql_portable_uniform_keep(key: str, keep_pct: int = 10, seed: int = 777) -> str:
     """DuckDB twin of :func:`portable_uniform_keep`."""
     thresh = (HASH_MOD * keep_pct) // 100
-    k = f"CAST({key} AS BIGINT)"
-    lo = f"(({k} % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
-    hi = f"((({k} >> 31) % {HASH_HALF}) + {HASH_HALF}) % {HASH_HALF}"
-    return (
-        f"((({lo}) * {HASH_A1} + ({hi}) * {HASH_A2} + {seed})"
-        f" % {HASH_MOD}) < {thresh}"
-    )
+    return f"{sql_portable_hash_u32(key, seed)} < {thresh}"
 
 
 def xxhash_split(key: Column, train_pct: int = 80, seed: int = 42) -> Column:

@@ -287,31 +287,65 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 2,
     vec_col: str = "embedding",
+    seeding: str = "low_id",
+    sample_pct: int = 25,
+    seed: int = 9001,
 ) -> DataFrame:
     """IVF approximate kNN with a LEARNED codebook, fully deterministic
     and oracle-expressible.
 
-    Codebook: Lloyd iterations seeded with the n_centroids lowest
-    vec_ids. Each iteration assigns every vector to its max-cosine
-    centroid (ties → lower cid) and re-estimates centroids as the
-    requantized elementwise mean ``round(sum/count)`` — int64 sums and
-    one IEEE double division keep both engines bit-identical. Clusters
-    that lose all members drop out (deterministically, in both twins).
+    Codebook (``seeding="low_id"``): Lloyd iterations over the FULL
+    table, seeded with the n_centroids lowest vec_ids. Each iteration
+    assigns every vector to its max-cosine centroid (ties → lower cid)
+    and re-estimates centroids as the requantized elementwise mean
+    ``round(sum/count)`` — int64 sums and one IEEE double division keep
+    both engines bit-identical. Clusters that lose all members drop out
+    (deterministically, in both twins).
 
-    Search: every vector's top-``nprobe`` centroids are probed; the
-    candidate set is vectors HOMED (rank-1) in a probed bucket, then
-    exact quantized-cosine rerank picks top-k. A candidate pair meets
-    through exactly one bucket (home is unique), so no dedup shuffle.
+    Codebook (``seeding="sampled"`` — the 100-TB shape): Lloyd trains
+    on a ~``sample_pct``% hash sample of the table only; seeds are the
+    n_centroids sample vectors with the smallest ``portable_hash_u32``
+    values (a deterministic scatter playing k-means‖'s random-spread
+    role — seed choice independent of id order, still pure SQL), and
+    the full table is touched ONLY by the final assignment + search
+    pass. Codebook-training cost becomes O(sample), not O(table) — the
+    difference between feasible and not at 10⁹ vectors.
+
+    Search (both modes): every vector's top-``nprobe`` centroids are
+    probed; the candidate set is vectors HOMED (rank-1) in a probed
+    bucket, then exact quantized-cosine rerank picks top-k. A candidate
+    pair meets through exactly one bucket (home is unique), so no dedup
+    shuffle.
 
     Scale: assignment is a broadcast of the tiny codebook (n·n_centroids
-    row expansion, map-side); centroid update shuffles n·d rows per
+    row expansion, map-side); centroid update shuffles sample·d rows per
     iteration; search joins on bucket — pair space ~n²·nprobe/B instead
-    of n². At 100 TB seed with k-means|| samples instead of low ids and
-    run assignment only (codebook trained on a sample).
+    of n².
     """
     from pyspark.sql import Window
 
-    q = quantize(emb, vec_col).select("vec_id", "qv", "n2")
+    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.sampling import (
+        portable_hash_u32,
+        portable_uniform_keep,
+    )
+
+    # The quantized corpus is referenced by every Lloyd iteration, the
+    # final assignment, and both sides of the bucket join; Spark plans
+    # those as independent subtrees (no ReusedExchange), so without a
+    # persist the parquet scan + quantization re-executes once per
+    # reference — measured 9.9s → 1.8s at sf0.1 for the sampled path.
+    # Lazy persist only (zero jobs at construction, lint-pinned);
+    # caller releases via operators.graph.release_caches().
+    q = _track(
+        quantize(emb, vec_col).select("vec_id", "qv", "n2").persist()
+    )
+    if seeding == "sampled":
+        train = q.filter(portable_uniform_keep(F.col("vec_id"), sample_pct, seed))
+    elif seeding == "low_id":
+        train = q
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
 
     def score(frame, cent):
         dot = F.aggregate(
@@ -334,21 +368,35 @@ def ivf_topk(
             )
         )
 
-    cent = q.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"),
-        F.col("qv").alias("cqv"),
-        F.col("n2").alias("cn2"),
-    )
+    if seeding == "sampled":
+        cent = (
+            train.withColumn(
+                "_h", portable_hash_u32(F.col("vec_id"), seed + 1)
+            )
+            .orderBy("_h", "vec_id")
+            .limit(n_centroids)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("qv").alias("cqv"),
+                F.col("n2").alias("cn2"),
+            )
+        )
+    else:
+        cent = q.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"),
+            F.col("qv").alias("cqv"),
+            F.col("n2").alias("cn2"),
+        )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
     for _ in range(iters):
         assign = (
-            score(q, cent)
+            score(train, cent)
             .withColumn("rn", F.row_number().over(w_assign))
             .filter(F.col("rn") == 1)
             .select("vec_id", "cid")
         )
         comp = (
-            q.join(assign, "vec_id")
+            train.join(assign, "vec_id")
             .select("cid", F.posexplode("qv").alias("dim", "xv"))
             .groupBy("cid", "dim")
             .agg(
@@ -357,7 +405,11 @@ def ivf_topk(
                 ).cast("bigint").alias("cv")
             )
         )
-        cent = (
+        # ≤ n_centroids rows, but its lineage embeds a full Lloyd pass;
+        # without the persist each of the TWO references per following
+        # iteration (score + update) re-runs every preceding pass —
+        # O(2^iters) training scans.
+        cent = _track(
             comp.groupBy("cid")
             .agg(
                 F.transform(
@@ -372,42 +424,90 @@ def ivf_topk(
                 ),
             )
             .select("cid", "cqv", "cn2")
+            .persist()
         )
 
-    ranked = score(q, cent).withColumn("crank", F.row_number().over(w_assign))
+    # referenced twice (home + probes): persist the n·n_centroids
+    # assignment table — the standard materialized IVF index.
+    ranked = _track(
+        score(q, cent)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .persist()
+    )
     home = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("r_vec_id"), F.col("cid").alias("bucket")
     )
     probes = ranked.filter(F.col("crank") <= nprobe).select(
         "vec_id", F.col("cid").alias("bucket")
     )
-    qa = q.join(probes, "vec_id")
-    qb = q.select(
-        F.col("vec_id").alias("r_vec_id"),
-        F.col("qv").alias("r_qv"),
-        F.col("n2").alias("r_n2"),
-    ).join(home, "r_vec_id")
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("r_qv"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        qa.join(qb, "bucket")
-        .filter(F.col("vec_id") != F.col("r_vec_id"))
-        .withColumn("dot", dot)
-        .select(
-            "vec_id",
-            F.col("r_vec_id").alias("neighbor"),
-            (
-                F.col("dot").cast("double")
-                / F.sqrt(F.col("n2").cast("double") * F.col("r_n2").cast("double"))
-            ).alias("cos"),
+    qa = q.join(probes, "vec_id").select("bucket", "vec_id", "qv", "n2")
+    qb = (
+        q.select(
+            F.col("vec_id").alias("r_vec_id"),
+            F.col("qv").alias("r_qv"),
+            F.col("n2").alias("r_n2"),
         )
+        .join(home, "r_vec_id")
+        .select("bucket", "r_vec_id", "r_qv", "r_n2")
+    )
+
+    # Rerank: exact quantized cosine over the candidate pairs. The
+    # pair space (~n²·nprobe/B) rides inside a per-bucket numpy int64
+    # matmul — one cogrouped kernel per bucket, emitting only each
+    # probe's bucket-local top-k — NOT as n²·nprobe/B materialized rows
+    # through Catalyst array lambdas (measured 20× slower per pair than
+    # the matmul; this swap took q_ann_ivf* from ~9s to ~2s at sf0.1).
+    # A (probe, candidate) pair meets in exactly one bucket (home is
+    # unique), so tile top-ks merge with no dedup, same as
+    # knn_topk_bruteforce. Arithmetic is the identical int64 dot +
+    # one IEEE division — bit-equal to the SQL form the oracle runs.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    tile_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("neighbor", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def rerank(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor": [], "cos": []}).astype(
+                {"vec_id": "int64", "neighbor": "int64", "cos": "float64"}
+            )
+        qa_m = np.stack(left["qv"].to_numpy()).astype(np.int64)
+        qb_m = np.stack(right["r_qv"].to_numpy()).astype(np.int64)
+        na = left["n2"].to_numpy()
+        nb = right["r_n2"].to_numpy()
+        aids = left["vec_id"].to_numpy()
+        bids = right["r_vec_id"].to_numpy()
+        cos = (qa_m @ qb_m.T) / np.sqrt(
+            na[:, None].astype(np.float64) * nb[None, :].astype(np.float64)
+        )
+        out_id, out_nb, out_cos = [], [], []
+        for i, vid in enumerate(aids):
+            row = cos[i]
+            mask = bids != vid  # exclude self
+            order = np.lexsort((bids[mask], -row[mask]))[:k]
+            out_id.extend([vid] * len(order))
+            out_nb.extend(bids[mask][order].tolist())
+            out_cos.extend(row[mask][order].tolist())
+        return pd.DataFrame({"vec_id": out_id, "neighbor": out_nb, "cos": out_cos})
+
+    tiles = qa.groupBy("bucket").cogroup(qb.groupBy("bucket")).applyInPandas(
+        rerank, schema=tile_schema
     )
     w_rank = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor")
     return (
-        pairs.withColumn("rank", F.row_number().over(w_rank))
+        tiles.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor", "cos")
     )
@@ -419,11 +519,21 @@ def sql_ivf(
     nprobe: int = 4,
     iters: int = 2,
     dim: int = EMB_DIM,
+    seeding: str = "low_id",
+    sample_pct: int = 25,
+    seed: int = 9001,
 ) -> str:
     """DuckDB twin of :func:`ivf_topk` — the same Lloyd iterations as
     chained CTEs. Centroid means are generated per-dimension (the SQL
     is synthesized for the fixed embedding dim), packed back into a
-    list; all arithmetic mirrors the Spark side exactly."""
+    list; all arithmetic mirrors the Spark side exactly. With
+    ``seeding="sampled"`` the Lloyd CTEs range over the hash-sampled
+    ``train`` relation and only the final search scans ``q``."""
+    from frauddetection_spark.operators.sampling import (
+        sql_portable_hash_u32,
+        sql_portable_uniform_keep,
+    )
+
     cos_expr = (
         "CAST(list_sum(list_transform(list_zip(q.qv, c.cqv),"
         " x -> x[1] * x[2])) AS DOUBLE)"
@@ -434,16 +544,28 @@ def sql_ivf(
         for j in range(1, dim + 1)
     )
     n2_terms = " + ".join(f"cqv[{j}] * cqv[{j}]" for j in range(1, dim + 1))
-    ctes = [
-        f"q AS ({SQL_QUANTIZED})",
-        f"cent0 AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM q"
-        f" WHERE vec_id < {n_centroids})",
-    ]
+    ctes = [f"q AS ({SQL_QUANTIZED})"]
+    if seeding == "sampled":
+        ctes.append(
+            f"train AS (SELECT * FROM q WHERE "
+            f"{sql_portable_uniform_keep('vec_id', sample_pct, seed)})"
+        )
+        ctes.append(
+            f"cent0 AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2"
+            f" FROM train ORDER BY {sql_portable_hash_u32('vec_id', seed + 1)},"
+            f" vec_id LIMIT {n_centroids})"
+        )
+    else:
+        ctes.append("train AS (SELECT * FROM q)")
+        ctes.append(
+            f"cent0 AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM q"
+            f" WHERE vec_id < {n_centroids})"
+        )
     for i in range(iters):
         ctes.append(
             f"""score{i} AS (
     SELECT q.vec_id, c.cid, {cos_expr} AS ccos
-    FROM q CROSS JOIN cent{i} c
+    FROM train q CROSS JOIN cent{i} c
 )"""
         )
         ctes.append(
@@ -457,7 +579,7 @@ def sql_ivf(
         ctes.append(
             f"""csum{i} AS (
     SELECT a.cid, list_value({mean_terms}) AS cqv
-    FROM assign{i} a JOIN q USING (vec_id) GROUP BY a.cid
+    FROM assign{i} a JOIN train USING (vec_id) GROUP BY a.cid
 )"""
         )
         ctes.append(

@@ -69,11 +69,11 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # for 52 of the 97 oracle-backed queries (CORRECTNESS_r01/r02.json);
 # round 3 rotates the window to the 45 oracle queries that have NEVER
 # been driver-green (r1's nanos-ERR casualties + every round-2
-# addition), plus 5 already-green sentinels for regression cover —
-# chosen as the queries whose implementation CHANGED this round
-# (q_metric_auc's distributed rank, q_ann_ivf) and the three headline
-# families (exact join, hash agg, MinHash dedup). Cumulative driver
-# evidence (past green ∪ this window) covers all 97 oracle queries —
+# addition), plus the 3 queries ADDED this round (sampled-seeding IVF,
+# batch sessionization, bucketed interval join) and 2 already-green
+# sentinels whose implementation changed this round (q_metric_auc's
+# distributed rank, q_ann_ivf's seeding refactor). Cumulative driver
+# evidence (past green ∪ this window) covers all 100 oracle queries —
 # pinned by tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
     # --- never-driver-green: relational / scan surface ---
@@ -101,10 +101,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_doc_stats_mapinpandas", "q_binary_meta",
     # --- never-driver-green: streaming batch-twins (E7) ---
     "q_tumbling_counts", "q_sliding_counts",
-    # --- sentinels (driver-green in r2; re-proven each round) ---
-    "q_metric_auc",      # implementation changed r3: distributed rank
-    "q_ann_ivf",         # codebook/seeding surface changed r3
-    "q_join_inner", "q_groupby_agg", "q_dedup_minhash",
+    # --- new this round (oracle-backed, need first driver evidence) ---
+    "q_ann_ivf_sampled",  # 100-TB codebook: sampled Lloyd training
+    "q_sessionize",       # batch gaps-and-islands sessionization
+    "q_interval_join",    # bucketed point-in-interval range join
+    # --- sentinels (driver-green in r2; re-proven each round because
+    # their implementation changed this round) ---
+    "q_metric_auc",      # distributed two-phase rank
+    "q_ann_ivf",         # ivf_topk seeding refactor (low_id unchanged)
 )
 
 DRIVER_WINDOW = 50

@@ -1126,3 +1126,156 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "lo", "hi", "winsorized_sum")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A8/E7 — batch sessionization (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us, cents,
+               CASE WHEN us - lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id)
+                    <= {SESSION_GAP_US} THEN 0 ELSE 1 END AS new_s
+        FROM e
+    ), sess AS (
+        SELECT user_id, us, cents,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS start_us, max(us) - min(us) AS duration_us,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    survey="A8",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-min inactivity gaps (gaps-and-islands), then
+    per-session aggregates — the batch twin of the streaming
+    session_window in streaming/windows.py (the reference's temporal
+    grouping is per-day, src/utils.py:31-33; sessions are its
+    data-dependent generalization). Both windows are partitioned by
+    user_id — per-user state only, no global sort, so the shape holds
+    at any user count. Micros as int64 keep gap arithmetic exact in
+    both engines; ties broken by event_id."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        cents("value").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.col("us") - F.lag("us").over(w) <= SESSION_GAP_US, F.lit(1) * 0
+        ).otherwise(F.lit(1)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — point-in-interval join via bucketed expansion (the range-join
+# pattern Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+EPISODE_US = 2 * 3600 * 1_000_000  # each error opens a 2-hour episode
+IV_BUCKET_US = 3600 * 1_000_000  # join-bucket granularity (1 hour)
+
+
+@register(
+    "q_interval_join",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id AS iv_id, epoch_us(ts) AS s_us,
+               epoch_us(ts) + {EPISODE_US} AS e_us
+        FROM events WHERE event_type = 'error'
+    ), pts AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us
+        FROM events WHERE event_type <> 'error'
+    )
+    SELECT p.user_id, p.event_id, count(iv.iv_id) AS n_episodes
+    FROM pts p LEFT JOIN iv
+      ON p.user_id = iv.user_id AND p.us >= iv.s_us AND p.us < iv.e_us
+    GROUP BY p.user_id, p.event_id
+    ORDER BY p.user_id, p.event_id
+    """,
+    survey="J3",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: every 'error' event opens a 2-hour
+    episode for its user; count, for every other event, how many open
+    episodes of that user contain it. A naive point⋈interval predicate
+    join is a BroadcastNestedLoopJoin in Spark (O(points·intervals));
+    this plan maps both sides onto fixed 1-hour buckets — intervals
+    explode to the ≤3 buckets they overlap, points to exactly one — so
+    the range predicate rides on an equi-shuffle on (user_id, bucket)
+    and each (point, interval) pair meets at most once (the point's
+    unique bucket; no post-join dedup). Bucket granularity ≈ interval
+    length bounds the expansion factor at 100 TB; the oracle states the
+    same semantics as a plain range join."""
+    base = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    iv = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("iv_user"),
+            F.col("event_id").alias("iv_id"),
+            F.col("us").alias("s_us"),
+            (F.col("us") + F.lit(EPISODE_US)).alias("e_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_us div {IV_BUCKET_US}"),
+                    F.expr(f"(e_us - 1) div {IV_BUCKET_US}"),
+                )
+            ),
+        )
+    )
+    pts = base.filter(F.col("event_type") != "error").withColumn(
+        "bucket", F.expr(f"us div {IV_BUCKET_US}")
+    )
+    joined = pts.join(
+        iv,
+        (pts.user_id == iv.iv_user)
+        & (pts.bucket == iv.bucket)
+        & (pts.us >= iv.s_us)
+        & (pts.us < iv.e_us),
+        "left",
+    )
+    return (
+        joined.groupBy("user_id", "event_id")
+        .agg(F.count("iv_id").alias("n_episodes"))
+        .orderBy("user_id", "event_id")
+    )

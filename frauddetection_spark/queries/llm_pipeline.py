@@ -249,7 +249,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no near-dup form singleton groups. Iterative component step ⇒
     this query (like q_connected_components) executes at construction;
     the oracle is a recursive-CTE transitive closure."""
-    from frauddetection_spark.operators.graph import connected_components
+    from frauddetection_spark.operators.graph import _track, connected_components
     from frauddetection_spark.operators.textsim import (
         exact_jaccard,
         lsh_bands,
@@ -260,8 +260,9 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frauddetection_spark.queries.similarity import JACCARD_MIN
 
     docs = t(spark, sf_dir, "documents")
-    # shared frontier: signature path + rerank both consume sh
-    sh = word_shingles(docs).persist()
+    # shared frontier: signature path + rerank both consume sh;
+    # tracked so release_caches() can free it in long-lived sessions
+    sh = _track(word_shingles(docs).persist())
     pairs = (
         exact_jaccard(lsh_candidates(lsh_bands(minhash_signatures(sh))), sh)
         .filter(F.col("jaccard") >= JACCARD_MIN)

@@ -448,3 +448,48 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=IVF_ITERS,
     )
     return knn.orderBy("vec_id", "rank")
+
+
+# Sampled-seeding IVF: the 100-TB codebook-training shape (VERDICT r2
+# item 7). Lloyd runs on a ~35% hash sample; seeds are a deterministic
+# hash scatter (k-means‖'s spread without its RNG); the full table is
+# touched only by the final assignment+search pass.
+IVF_SAMPLE_PCT = 35
+IVF_SEED = 9001
+
+
+@register(
+    "q_ann_ivf_sampled",
+    oracle=sql_ivf(
+        k=KNN_K,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
+        iters=IVF_ITERS,
+        seeding="sampled",
+        sample_pct=IVF_SAMPLE_PCT,
+        seed=IVF_SEED,
+    ),
+    survey="E3",
+)
+def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN with SAMPLED codebook training — the shape that holds at
+    100 TB, where `q_ann_ivf`'s full-table Lloyd pass is the bottleneck:
+    here every Lloyd iteration reads only a ~35% hash sample (any pct
+    works; 35 keeps sf0.01's 600-vector sample statistically meaningful)
+    and the full corpus is scanned exactly once, by the final
+    assignment + probe + rerank stage. Seeds are the sample's
+    n_centroids smallest portable-hash values — id-order-independent
+    spread, the deterministic stand-in for k-means‖ oversampling —
+    making the whole path, sampling included, oracle-checkable.
+    Recall vs the exact kNN is pinned in tests/test_properties.py."""
+    knn = ivf_topk(
+        t(spark, sf_dir, "embeddings"),
+        k=KNN_K,
+        n_centroids=N_CENTROIDS,
+        nprobe=NPROBE,
+        iters=IVF_ITERS,
+        seeding="sampled",
+        sample_pct=IVF_SAMPLE_PCT,
+        seed=IVF_SEED,
+    )
+    return knn.orderBy("vec_id", "rank")

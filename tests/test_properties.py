@@ -318,3 +318,86 @@ def test_profile_matches_direct_counts(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     assert prof["user_id"].n_distinct == e.select("user_id").distinct().count()
     assert prof["event_type"].n_null == 0
+
+
+def test_ivf_sampled_recall_and_sample_shape(spark, sf_dir):
+    """The 100-TB IVF path (codebook trained on a ~35% hash sample,
+    VERDICT r2 item 7) must not give up recall: measured 0.808/0.814 at
+    sf0.01/sf0.1 vs 0.81 for full-table training — the codebook needs
+    cluster geometry, not every point. Floor at 0.75 (sampling adds
+    variance). Also pins the sample really being ~35%: if the train
+    filter ever silently widened to the full table, the scale story
+    (Lloyd cost O(sample) not O(table)) would be gone with no test
+    noticing."""
+    from frauddetection_spark.operators.sampling import portable_uniform_keep
+    from frauddetection_spark.queries.similarity import IVF_SAMPLE_PCT, IVF_SEED
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_train = emb.filter(
+        portable_uniform_keep(F.col("vec_id"), IVF_SAMPLE_PCT, IVF_SEED)
+    ).count()
+    assert 0.25 * n <= n_train <= 0.45 * n, f"sample {n_train}/{n}"
+
+    exact = (
+        REGISTRY["q_knn_cosine"].fn(spark, sf_dir)
+        .filter("rank = 1")
+        .select("vec_id", F.col("neighbor").alias("nn_exact"))
+    )
+    ivf = (
+        REGISTRY["q_ann_ivf_sampled"].fn(spark, sf_dir)
+        .filter("rank = 1")
+        .select("vec_id", F.col("neighbor").alias("nn_ivf"))
+    )
+    j = exact.join(ivf, "vec_id", "left")
+    tot = j.count()
+    hit = j.filter(F.col("nn_ivf") == F.col("nn_exact")).count()
+    assert hit / tot >= 0.75, f"sampled rank-1 recall {hit}/{tot} = {hit / tot:.3f}"
+
+
+def test_sessionize_covers_all_events(spark, sf_dir):
+    """Gaps-and-islands invariants: every event lands in exactly one
+    session (Σ n_events = |events|), session ids per user are dense
+    from 1, and no session spans a >30-min internal gap is implied by
+    construction (the flag sums)."""
+    sess = REGISTRY["q_sessionize"].fn(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sess.agg(F.sum("n_events")).first()[0] == n_events
+    per_user = sess.groupBy("user_id").agg(
+        F.min("session_id").alias("lo"),
+        F.max("session_id").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    assert per_user.filter("lo != 1 OR hi != n").count() == 0
+
+
+def test_interval_join_matches_naive_range_join(spark, sf_dir):
+    """The bucketed expansion must be a pure physical rewrite: same
+    answer as the naive (nested-loop) range join it replaces, and no
+    point counted twice through two buckets."""
+    from frauddetection_spark.queries.features import EPISODE_US
+
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    iv = base.filter("event_type = 'error'").select(
+        F.col("user_id").alias("iv_user"),
+        F.col("event_id").alias("iv_id"),
+        F.col("us").alias("s_us"),
+        (F.col("us") + F.lit(EPISODE_US)).alias("e_us"),
+    )
+    pts = base.filter("event_type != 'error'")
+    naive = (
+        pts.join(
+            iv,
+            (pts.user_id == iv.iv_user)
+            & (pts.us >= iv.s_us)
+            & (pts.us < iv.e_us),
+            "left",
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.count("iv_id").alias("n_episodes"))
+    )
+    bucketed = REGISTRY["q_interval_join"].fn(spark, sf_dir)
+    assert bucketed.exceptAll(naive).count() == 0
+    assert naive.exceptAll(bucketed).count() == 0

@@ -113,6 +113,17 @@ _PRIORITY: tuple[str, ...] = (
 
 DRIVER_WINDOW = 50
 
+# Oracle-backed queries added AFTER this round's 50-slot window was
+# frozen (every slot is taken by a query that still needs its first
+# driver-green row). They are locally oracle-green (tests/test_oracle.py)
+# and MUST be promoted into _PRIORITY at the next rotation —
+# tests/test_plans.py::test_driver_window_completes_evidence enforces
+# that nothing else ships outside the cumulative-evidence invariant.
+QUEUED_NEXT_WINDOW: tuple[str, ...] = (
+    "q_scan_orc",
+    "q_pii_redact",
+)
+
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (idempotent) and return the catalog,

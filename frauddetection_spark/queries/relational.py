@@ -1233,3 +1233,63 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", "n", F.col("n_null").cast("bigint"), "n_distinct")
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 — ORC scan (the other columnar lake format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_orc",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_parts,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100 AS retail_total,
+           min(p_partkey) AS min_key, max(p_partkey) AS max_key
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    survey="S1",
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip: the ``part`` table is rewritten once per
+    sf as ORC by pyarrow on the driver (pure-Python prep, ZERO Spark
+    jobs at construction — same fixture discipline as q_scan_csv /
+    q_scan_jsonl, fingerprint-keyed to survive testdata regeneration);
+    Spark scans it back through sources/io.py::read_orc with the pinned
+    schema and aggregates, while the oracle reads the original parquet —
+    matching hashes prove the format hop is lossless. ORC gets the same
+    Catalyst treatment as parquet (predicate pushdown, column pruning,
+    vectorized reader), so the 100-TB story is unchanged; exact int64
+    cents keep the money sum engine-identical."""
+    import os
+
+    from frauddetection_spark.sources.io import duckdb_fixture, read_orc
+    from frauddetection_spark.sources.tables import SCHEMAS
+
+    def _build(src: str, out: str) -> None:
+        import pyarrow.orc
+        import pyarrow.parquet
+
+        pyarrow.orc.write_table(
+            pyarrow.parquet.read_table(src),
+            os.path.join(out, "part-0.orc"),
+        )
+
+    path = duckdb_fixture(sf_dir, "orc", "part", _build)
+    parts = read_orc(spark, path, SCHEMAS["part"])
+    return (
+        parts.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+                .cast("double")
+                / 100
+            ).alias("retail_total"),
+            F.min("p_partkey").alias("min_key"),
+            F.max("p_partkey").alias("max_key"),
+        )
+        .orderBy("p_brand")
+    )

@@ -348,3 +348,101 @@ def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 20)
         .orderBy("bigram")
     )
+
+
+# ---------------------------------------------------------------------------
+# [EXT] PII redaction (training-corpus scrubbing)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no real PII, so the query INJECTS a
+# deterministic amount first — doc_id % 3 emails and (doc_id+1) % 2
+# phone numbers — making the redaction counts a nontrivial function the
+# oracle can disagree with. Patterns are dialect-portable (same
+# semantics under Java regex and RE2).
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id, source,
+               text || repeat(' u' || CAST(doc_id AS VARCHAR)
+                              || '@example.com', doc_id % 3)
+                    || repeat(' call 555-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                              (doc_id + 1) % 2) AS t
+        FROM documents
+    ), redacted AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM enriched
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+           CAST(sum(len(clean)) AS BIGINT) AS clean_chars,
+           min(sha256(clean)) AS sample_hash
+    FROM redacted GROUP BY source ORDER BY source
+    """,
+    survey="E4",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the mandatory pass before any corpus ships:
+    match emails/phone numbers, count them, replace with typed
+    placeholder tokens. Pure regexp_count/regexp_replace expressions —
+    JVM-side, map-only, no shuffle before the final per-source rollup,
+    so the 100-TB cost is one scan. Redaction is proven, not assumed:
+    the oracle recomputes counts AND a sha256 over the cleaned text in
+    DuckDB's regex engine (RE2 vs Java — a pattern with dialect drift
+    fails the hash). Injection of deterministic fake PII makes the
+    counts data-dependent; see module comment."""
+    docs = t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.concat(
+                    F.lit(" u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+                (F.col("doc_id") % 3).cast("int"),
+            ),
+            F.repeat(
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+                ((F.col("doc_id") + 1) % 2).cast("int"),
+            ),
+        ).alias("t"),
+    )
+    redacted = enriched.select(
+        "source",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return (
+        redacted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum("n_phones").alias("phones_redacted"),
+            F.sum(F.length("clean")).alias("clean_chars"),
+            F.min(F.sha2("clean", 256)).alias("sample_hash"),
+        )
+        .orderBy("source")
+    )

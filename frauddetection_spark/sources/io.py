@@ -98,6 +98,19 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC source (S1 — the other columnar interchange format big
+    lakes actually hold; Spark's reader is built in, same pushdown +
+    pruning machinery as parquet). Explicit schema preferred for the
+    usual reason: footer inference over 10⁶ files is a driver stall."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: StructType
 ) -> DataFrame:

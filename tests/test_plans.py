@@ -110,7 +110,11 @@ def test_driver_window_completes_evidence():
     import json
     import os
 
-    from frauddetection_spark.plans.registry import DRIVER_WINDOW, _PRIORITY
+    from frauddetection_spark.plans.registry import (
+        DRIVER_WINDOW,
+        QUEUED_NEXT_WINDOW,
+        _PRIORITY,
+    )
 
     reg = load_all()
     names = list(reg)
@@ -127,10 +131,14 @@ def test_driver_window_completes_evidence():
 
     oracle = {n for n, s in reg.items() if s.oracle is not None}
     window = set(names[:DRIVER_WINDOW])
-    uncovered = oracle - (green | window)
+    # queries added after the window froze must be explicitly queued
+    # for the next rotation, never silently uncovered
+    uncovered = oracle - (green | window) - set(QUEUED_NEXT_WINDOW)
     assert uncovered == set(), (
         f"oracle queries with no driver evidence past or pending: {sorted(uncovered)}"
     )
+    # the queue must not hide names that already have evidence or a slot
+    assert not (set(QUEUED_NEXT_WINDOW) & (green | window))
     # the window should not waste slots on rows-only checks
     assert len(window & oracle) >= 48
 

@@ -122,6 +122,7 @@ DRIVER_WINDOW = 50
 QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_scan_orc",
     "q_pii_redact",
+    "q_join_salted",
 )
 
 

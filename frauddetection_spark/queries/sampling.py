@@ -359,3 +359,57 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("cents_sum").cast("bigint"), F.col("n")
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# skew-safe SALTED JOIN (join-side twin of q_salted_agg)
+# ---------------------------------------------------------------------------
+
+_JOIN_SALTS = 8
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, min(event_type) AS first_type
+        FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, d.first_type, count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY e.user_id, d.first_type ORDER BY e.user_id
+    """,
+    survey="J1,R1",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join: the dimension side is exploded over
+    all _JOIN_SALTS salt values, the fact side salts each row by
+    pmod(event_id, salts), and the join key becomes (user_id, salt) —
+    a hot user's rows land on `salts` reducers instead of one. This is
+    the manual form of AQE's skew-join split for when a single key
+    exceeds one executor even after AQE (same rationale as
+    salted_sum_count, operators/sampling.py). Pure physical rewrite:
+    the oracle states the PLAIN join — identical results prove salting
+    changes distribution, never semantics."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.pmod(F.col("event_id"), F.lit(_JOIN_SALTS)).alias("_salt"),
+    )
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.min("event_type").alias("first_type"))
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALTS - 1))))
+    )
+    return (
+        e.join(dim, ["user_id", "_salt"])
+        .groupBy("user_id", "first_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy("user_id")
+    )

@@ -27,6 +27,10 @@ HEADLINE = [
     "q_graph_aggregate",
     "q_jaccard_lag",
     "q_dense_spine",
+    # q_knn_cosine is the EXACT O(n²·d) brute-force baseline, kept in
+    # the headline as the reference point for the ANN entries below
+    # (q_ann_ivf_sampled is the scale path) — do not read it as the
+    # production similarity-search plan.
     "q_knn_cosine",
     "q_token_stats",
     # LLM-pipeline heavies (added round 2 — totals are not comparable
@@ -65,6 +69,8 @@ def main() -> None:
     # Two timed runs per query, report the min: the shared host shows
     # 2-5x run-to-run noise, and the steady-state plan cost is what the
     # benchmark is meant to measure.
+    from frauddetection_spark.operators.graph import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
@@ -75,6 +81,12 @@ def main() -> None:
             start = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
+            # Release tracked invariant caches between runs so each
+            # measured run pays (and frees) its own persists — without
+            # this, the 19-query headline accumulated cached shingle/
+            # IVF/CC frontiers and executor-memory pressure inflated
+            # later queries by 1.5-3x (BENCH_r03 regression).
+            release_caches()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
@@ -86,32 +98,39 @@ def main() -> None:
         "sf": sf,
     }
 
-    # Round-over-round regression report (stderr): compare against the
-    # newest BENCH_r*.json the driver recorded. Host noise is ±50%
-    # between invocations, so only flag >2x as a real regression.
+    # Round-over-round regression report (stderr): like-for-like
+    # OVERLAP subtotals vs EVERY prior round — a grown headline must
+    # never hide per-query drift inside a "total grew" narrative
+    # (VERDICT r3 item 3). Host noise is ±50% between invocations, so
+    # only flag >2x per-query deltas vs the newest round as real.
     import glob
 
-    prior_files = sorted(glob.glob("BENCH_r*.json"))
-    if prior_files:
+    for pf in sorted(glob.glob("BENCH_r*.json")):
         try:
-            with open(prior_files[-1]) as f:
+            with open(pf) as f:
                 prior = json.load(f)
             # driver wraps our JSON line under "parsed"
             prior = prior.get("parsed", prior)
             pq = prior.get("queries", {})
-            for name, sec in timings.items():
-                old = pq.get(name)
-                if old and sec > 2 * old:
-                    print(
-                        f"# REGRESSION {name}: {sec}s vs {old}s in "
-                        f"{prior_files[-1]} (>2x)",
-                        file=sys.stderr,
-                    )
+            overlap = [n for n in timings if n in pq]
+            if not overlap:
+                continue
+            now_s = round(sum(timings[n] for n in overlap), 3)
+            old_s = round(sum(pq[n] for n in overlap), 3)
+            ratio = round(now_s / old_s, 2) if old_s else float("nan")
             print(
-                f"# vs {prior_files[-1]}: total {out['value']}s"
-                f" (prior {prior.get('value')}s)",
+                f"# overlap vs {pf}: {len(overlap)} queries, "
+                f"{now_s}s now vs {old_s}s then ({ratio}x)",
                 file=sys.stderr,
             )
+            if pf == sorted(glob.glob("BENCH_r*.json"))[-1]:
+                for name in overlap:
+                    if timings[name] > 2 * pq[name]:
+                        print(
+                            f"# REGRESSION {name}: {timings[name]}s vs "
+                            f"{pq[name]}s in {pf} (>2x)",
+                            file=sys.stderr,
+                        )
         except (OSError, ValueError):
             pass
     print(json.dumps(out))

@@ -479,6 +479,12 @@ def ivf_topk(
     )
 
     def rerank(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # Zero-norm (all-zero quantized) vectors would produce NaN
+        # cosines, which np.lexsort on -cos ranks LAST while SQL's
+        # ORDER BY cos DESC ranks them FIRST — keep the tile's ordering
+        # domain NaN-free so both engines provably agree (ADVICE r3).
+        left = left[left["n2"].to_numpy() > 0]
+        right = right[right["r_n2"].to_numpy() > 0]
         if left.empty or right.empty:
             return pd.DataFrame({"vec_id": [], "neighbor": [], "cos": []}).astype(
                 {"vec_id": "int64", "neighbor": "int64", "cos": "float64"}

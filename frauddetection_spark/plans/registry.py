@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.streaming_twins",
     "frauddetection_spark.queries.python_surface",
     "frauddetection_spark.queries.llm_pipeline",
+    "frauddetection_spark.queries.analytics",
 )
 
 
@@ -65,65 +66,67 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Rounds 1+2 accumulated driver-green rows
-# for 52 of the 97 oracle-backed queries (CORRECTNESS_r01/r02.json);
-# round 3 rotates the window to the 45 oracle queries that have NEVER
-# been driver-green (r1's nanos-ERR casualties + every round-2
-# addition), plus the 3 queries ADDED this round (sampled-seeding IVF,
-# batch sessionization, bucketed interval join) and 2 already-green
-# sentinels whose implementation changed this round (q_metric_auc's
-# distributed rank, q_ann_ivf's seeding refactor). Cumulative driver
-# evidence (past green ∪ this window) covers all 100 oracle queries —
-# pinned by tests/test_plans.py::test_driver_window_completes_evidence.
+# 50 entries of ``queries()``. Cumulative driver evidence after round 3
+# covers 100/103 oracle-backed queries (CORRECTNESS_r01..r03.json);
+# round 4 promotes the 3 remaining oracle queries (queued in r3 after
+# the window froze) plus the 2 rows-only queries that have NEVER
+# produced a driver row since the since-fixed r1 TIMESTAMP(NANOS) read
+# bug, then this round's new operators, then back-fills every remaining
+# slot with already-green sentinels whose NEWEST evidence predates r3
+# (regression re-proof of the oldest rows — ordered most-regression-
+# prone first so future truncation drops trivial scalar queries). The
+# invariant — cumulative driver evidence (past green ∪ this window)
+# covers every oracle query — is pinned by
+# tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- never-driver-green: relational / scan surface ---
-    "q_scan_partitioned", "q_scan_jsonl", "q_unpivot", "q_pivot",
-    "q_intersect", "q_profile_events", "q_salted_agg",
-    "q_histogram_norm", "q_lag_gap", "q_class_rates",
-    # --- never-driver-green: CDC / temporal ---
-    "q_latest_state", "q_scd2_intervals", "q_trailing_range",
-    "q_asof_attribution", "q_funnel",
-    # --- never-driver-green: rank / distribution features ---
-    "q_user_deciles", "q_winsorize",
-    # --- never-driver-green: graph (J4 — buildLSN — first) ---
-    "q_join_common_neighbor", "q_graph_degrees", "q_neighbor_avg_degree",
-    "q_graph_aggregate_weighted", "q_clustering_coeff",
-    "q_connected_components", "q_pagerank",
-    # --- never-driver-green: metrics (M5) ---
-    "q_metric_prf", "q_metric_ap", "q_metric_calibration", "q_model_score",
-    # --- never-driver-green: text (E4-E5) ---
-    "q_lang_id", "q_token_regex", "q_fingerprint", "q_ngrams",
-    # --- never-driver-green: similarity / embeddings (E2-E3) ---
-    "q_simhash", "q_embed_neardup", "q_embed_quantize",
-    # --- never-driver-green: LLM corpus pipeline ---
-    "q_doc_chunks", "q_pack_sequences", "q_decontaminate",
-    "q_quality_rules", "q_domain_mix", "q_feature_hash",
-    "q_doc_stats_mapinpandas", "q_binary_meta",
-    # --- never-driver-green: streaming batch-twins (E7) ---
-    "q_tumbling_counts", "q_sliding_counts",
+    # --- promoted from r3's QUEUED_NEXT_WINDOW (first driver evidence;
+    # closes the contract at 103/103 oracle-green cumulatively) ---
+    "q_scan_orc",
+    "q_pii_redact",
+    "q_join_salted",
+    # --- rows-only, never produced a driver row post-nanos-fix ---
+    "q_approx_count_distinct",
+    "q_median_approx",
     # --- new this round (oracle-backed, need first driver evidence) ---
-    "q_ann_ivf_sampled",  # 100-TB codebook: sampled Lloyd training
-    "q_sessionize",       # batch gaps-and-islands sessionization
-    "q_interval_join",    # bucketed point-in-interval range join
-    # --- sentinels (driver-green in r2; re-proven each round because
-    # their implementation changed this round) ---
-    "q_metric_auc",      # distributed two-phase rank
-    "q_ann_ivf",         # ivf_topk seeding refactor (low_id unchanged)
+    "q_trend_slope",        # per-user OLS from exact int sums
+    "q_entropy",            # event-mix Shannon entropy + Gini
+    "q_retention_cohorts",  # cohort-week retention triangle
+    "q_running_distinct",   # cumulative distinct via first-occurrence
+    "q_skew_kurtosis",      # exact decimal raw moments -> skew/kurt
+    "q_multi_grain_rollup", # hour->day->week agg-of-agg reuse
+    "q_anomaly_mad",        # MAD robust outliers, exact lower-medians
+    "q_stream_join",        # stream-stream interval-join batch twin
+    "q_posexplode",         # ordinal token explode
+    # --- sentinels: oracle-green in r1/r2 but not re-proven since;
+    # heaviest / most-implementation-churned first so truncation drops
+    # trivial scalar queries ---
+    "q_behavioral_features", "q_dedup_minhash", "q_dedup_groups",
+    "q_knn_cosine", "q_tfidf", "q_jaccard_lag", "q_propagate_2round",
+    "q_graph_aggregate", "q_join_inner", "q_join_existence",
+    "q_join_anti", "q_join_semi", "q_edge_weights",
+    "q_multiscale_features", "q_two_level_agg", "q_share_dispersion",
+    "q_dense_spine", "q_collect_series", "q_shingle_jaccard",
+    "q_dedup_hash", "q_dedup_exact", "q_token_stats", "q_text_quality",
+    "q_metric_confusion", "q_pandas_udf_zscore", "q_sampling_weights",
+    "q_split_stratified", "q_session_stats", "q_groupby_agg",
+    "q_window_agg_transform", "q_zscore", "q_median",
+    "q_count_distinct", "q_topk", "q_json_extract", "q_scan_csv",
 )
 
 DRIVER_WINDOW = 50
 
+# Round marker for QUEUED_NEXT_WINDOW staleness (ADVICE r3): the queue
+# was created against this CORRECTNESS round. Once a NEWER round file
+# exists, a non-empty queue means a rotation happened without promoting
+# it — tests/test_plans.py fails in that case, so nothing can sit
+# queued forever.
+QUEUE_AS_OF_ROUND = 4
+
 # Oracle-backed queries added AFTER this round's 50-slot window was
-# frozen (every slot is taken by a query that still needs its first
-# driver-green row). They are locally oracle-green (tests/test_oracle.py)
-# and MUST be promoted into _PRIORITY at the next rotation —
-# tests/test_plans.py::test_driver_window_completes_evidence enforces
-# that nothing else ships outside the cumulative-evidence invariant.
-QUEUED_NEXT_WINDOW: tuple[str, ...] = (
-    "q_scan_orc",
-    "q_pii_redact",
-    "q_join_salted",
-)
+# frozen. They must be promoted into _PRIORITY at the next rotation —
+# enforced by tests/test_plans.py (queue-staleness + cumulative
+# evidence invariants).
+QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

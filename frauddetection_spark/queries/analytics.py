@@ -1,0 +1,670 @@
+"""Round-4 analytics operators: regression/robust-stats aggregates,
+cohort retention, cumulative distinct, multi-grain rollup reuse,
+ordinal explode, and the stream-stream-join batch twin.
+
+Every query follows the engine's exact-arithmetic oracle discipline
+(SURVEY.md §5): aggregate int64 (or decimal) fixed-point sums in BOTH
+engines, emit doubles only through expressions written identically in
+the Spark plan and the DuckDB twin, and round (r6) only where a libm
+call (ln/pow) can drift in the last ulp.
+
+Reference parity: the reference's statistics surface is per-user mean/
+variance/median windows (Code for Sichuan/src/utils.py:245-261, 87) —
+these queries extend that family with the higher-moment, trend, and
+cohort shapes a production behavioral-features pipeline adds on top,
+all expressible as single-shuffle groupBy/window plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.graph import _track
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import SQL_WEEK, cents, r6, t, week_str
+
+# Anchor for day indexing (testdata epoch start; any fixed date works —
+# slope is translation-invariant, intercept is defined w.r.t. this).
+ANCHOR = "2024-01-01"
+
+
+# ---------------------------------------------------------------------------
+# A2+ — per-user OLS trend (slope/intercept from exact integer sums)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_trend_slope",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '{ANCHOR}' AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT user_id,
+               count(*) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT user_id, n_days,
+           CAST(n_days * sxy - sx * sy AS DOUBLE)
+               / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+           (CAST(sy AS DOUBLE)
+            - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+               / CAST(n_days * sxx - sx * sx AS DOUBLE))
+              * CAST(sx AS DOUBLE)) / n_days AS intercept
+    FROM s WHERE n_days >= 2
+    ORDER BY user_id
+    """,
+    survey="A2,A10",
+)
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend trend: OLS slope/intercept of daily cents vs day
+    index. The reference only computes level statistics (mean/var,
+    src/utils.py:245-261); a trend column is the natural next
+    behavioral feature. All sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are exact int64 — day indices ≤ thousands, daily cents ≤
+    ~1e6, so products stay far inside int64 at any sf — and the two
+    final divisions are the only float ops, written identically in the
+    DuckDB twin, so the doubles are bit-equal. Scale: two hash
+    aggregations (events→daily→user), no window, no join; map-side
+    partials halve the shuffle at every sf."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit(ANCHOR)))
+            .cast("bigint")
+            .alias("x"),
+        ).agg(F.sum(cents("value")).alias("y"))
+    )
+    s = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return (
+        s.filter(F.col("n_days") >= 2)
+        .select(
+            "user_id",
+            "n_days",
+            slope.alias("slope"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n_days")
+            ).alias("intercept"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6+ — event-mix Shannon entropy + Gini impurity per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    u AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               count(*) AS n_types,
+               sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc,
+               CAST(sum(c * c) AS BIGINT) AS c2
+        FROM c GROUP BY 1
+    )
+    SELECT user_id, n_events, n_types,
+           round(ln(CAST(n_events AS DOUBLE)) - clnc / n_events, 6)
+               AS entropy,
+           1 - CAST(c2 AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
+               AS gini
+    FROM u ORDER BY user_id
+    """,
+    survey="A6,A11",
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy and Gini impurity of each
+    user's event-type mix — the information-theoretic sibling of the
+    reference's hour-of-day histogram feature (data_process.py:151-154).
+    Entropy is computed as ln(T) − Σc·ln(c)/T from *count* sums, so the
+    only cross-engine drift source is libm ln (r6-rounded); Gini is
+    exact-int-derived and emitted unrounded. One two-level aggregation,
+    no window — the 100-TB plan is two shuffles of (user, int64)."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    u = c.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "clnc"
+        ),
+        F.sum(F.col("c") * F.col("c")).alias("c2"),
+    )
+    return (
+        u.select(
+            "user_id",
+            "n_events",
+            "n_types",
+            r6(
+                F.log(F.col("n_events").cast("double"))
+                - F.col("clnc") / F.col("n_events")
+            ).alias("entropy"),
+            (
+                F.lit(1)
+                - F.col("c2").cast("double")
+                / (F.col("n_events") * F.col("n_events")).cast("double")
+            ).alias("gini"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12+ — cohort-week retention triangle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_retention_cohorts",
+    oracle=f"""
+    WITH base AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS w
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(w) AS cw FROM base GROUP BY 1
+    ),
+    sized AS (
+        SELECT cw, count(*) AS cohort_size FROM cohort GROUP BY 1
+    ),
+    act AS (
+        SELECT c.cw, CAST((b.w - c.cw) / 7 AS INTEGER) AS week_offset,
+               count(DISTINCT b.user_id) AS n_active
+        FROM base b JOIN cohort c ON b.user_id = c.user_id
+        GROUP BY 1, 2
+    )
+    SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week, a.week_offset,
+           a.n_active, s.cohort_size,
+           CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+    FROM act a JOIN sized s ON a.cw = s.cw
+    ORDER BY cohort_week, week_offset
+    """,
+    survey="A12",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users cohorted by first active week,
+    distinct-active counts per (cohort, week-offset), retention share
+    vs cohort size. The classic growth-analytics rollup of the
+    reference's per-week user slicing (data_process.py:90-91). Exact
+    int counts; the single double (retention) is one division of ints,
+    bit-equal across engines. Scale: the fact table reduces to
+    distinct (user, week) pairs FIRST (tiny vs raw events), then a
+    broadcast-sized cohort join."""
+    e = t(spark, sf_dir, "events")
+    base = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    )
+    cohort = base.groupBy("user_id").agg(F.min("w").alias("cw"))
+    sized = cohort.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    act = (
+        base.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(sized, "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3+ — cumulative distinct contacts per user-week (first-occurrence trick)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_running_distinct",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS contact,
+               {SQL_WEEK.format(ts="ts")} AS week
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    firsts AS (
+        SELECT user_id, contact, min(week) AS week FROM c GROUP BY 1, 2
+    ),
+    news AS (
+        SELECT user_id, week, count(*) AS new_contacts
+        FROM firsts GROUP BY 1, 2
+    ),
+    active AS (SELECT DISTINCT user_id, week FROM c)
+    SELECT a.user_id, a.week,
+           CAST(coalesce(n.new_contacts, 0) AS BIGINT) AS new_contacts,
+           CAST(sum(coalesce(n.new_contacts, 0)) OVER (
+               PARTITION BY a.user_id ORDER BY a.week
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_contacts
+    FROM active a LEFT JOIN news n
+      ON a.user_id = n.user_id AND a.week = n.week
+    ORDER BY a.user_id, a.week
+    """,
+    survey="A3,A8",
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct contacts per user by week. A naive running
+    COUNT(DISTINCT) over an expanding window re-scans every prefix; the
+    scalable form marks each contact's FIRST week (one groupBy-min),
+    counts firsts per week, and running-sums those — linear in events,
+    one narrow window over per-user weeks. Extends the reference's
+    per-window contact sets (data_process.py:122-129) to an expanding
+    horizon. All-int arithmetic."""
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("contact"),
+        week_str().alias("week"),
+    ).filter(F.col("contact").isNotNull())
+    firsts = c.groupBy("user_id", "contact").agg(F.min("week").alias("week"))
+    news = firsts.groupBy("user_id", "week").agg(
+        F.count("*").alias("new_contacts")
+    )
+    active = c.select("user_id", "week").distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        active.join(news, ["user_id", "week"], "left")
+        .na.fill(0, ["new_contacts"])
+        .withColumn("cum_contacts", F.sum("new_contacts").over(w))
+        .orderBy("user_id", "week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2+ — higher-moment stats (skewness / kurtosis) from exact decimal sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(c AS HUGEINT)) AS s1,
+               sum(CAST(c * c AS HUGEINT)) AS s2,
+               sum(CAST(c * c * c AS HUGEINT)) AS s3,
+               sum(CAST(c * c * c * c AS HUGEINT)) AS s4
+        FROM (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / n / 100 AS mean_value,
+           round(sqrt(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                 / 100, 6) AS sd_value,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * pow(CAST(s1 AS DOUBLE) / n, 3))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       1.5), 6) AS skewness,
+           round((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * pow(CAST(s1 AS DOUBLE) / n, 4))
+                 / pow(CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                       2) - 3, 6) AS kurtosis
+    FROM s ORDER BY event_type
+    """,
+    survey="A2,A10",
+)
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event_type, computed
+    from EXACT raw-moment sums (Σc..Σc⁴ over int64 cents, summed as
+    decimal(38,0) in Spark / HUGEINT in DuckDB — per-row c⁴ ≤ 5.8e18
+    fits int64 for the 2-decimal value domain ≤ ~50k cents, and the
+    decimal accumulator is exact at any row count). Spark's built-in
+    `skewness`/`kurtosis` use a different one-pass update formula, so
+    the oracle-checkable form derives both from identical sufficient
+    statistics; r6 covers the two `pow` calls. One shuffle, map-side
+    partial sums."""
+    e = t(spark, sf_dir, "events")
+    c = cents("value")
+    s = e.select("event_type", c.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)")
+        ).alias("s3"),
+        F.sum(
+            (F.col("c") * F.col("c") * F.col("c") * F.col("c")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2m = F.col("s2").cast("double") / n
+    r3m = F.col("s3").cast("double") / n
+    r4m = F.col("s4").cast("double") / n
+    m2 = r2m - m1 * m1
+    skew = (r3m - F.lit(3) * m1 * r2m + F.lit(2) * F.pow(m1, 3)) / F.pow(m2, 1.5)
+    kurt = (
+        r4m
+        - F.lit(4) * m1 * r3m
+        + F.lit(6) * m1 * m1 * r2m
+        - F.lit(3) * F.pow(m1, 4)
+    ) / F.pow(m2, 2) - F.lit(3)
+    return (
+        s.select(
+            "event_type",
+            "n",
+            (m1 / 100).alias("mean_value"),
+            r6(F.sqrt(m2) / 100).alias("sd_value"),
+            r6(skew).alias("skewness"),
+            r6(kurt).alias("kurtosis"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15+ — multi-grain time rollup with aggregate reuse (hour → day → week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multi_grain_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS b, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT date_trunc('day', b) AS b, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(total_cents) AS BIGINT) AS total_cents
+        FROM hourly GROUP BY 1
+    ),
+    weekly AS (
+        SELECT date_trunc('week', b) AS b, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(total_cents) AS BIGINT) AS total_cents
+        FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n, total_cents FROM hourly
+    UNION ALL
+    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), n, total_cents
+    FROM daily
+    UNION ALL
+    SELECT 'week', strftime(b, '%Y-%m-%d %H:%M:%S'), n, total_cents
+    FROM weekly
+    ORDER BY grain, bucket
+    """,
+    survey="A15",
+)
+def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly aggregates
+    computed ONCE from the fact table, then daily derived from hourly
+    and weekly from daily (agg-of-agg reuse — the continuous-aggregate
+    pattern). At 100 TB the raw scan happens once; the hourly frame
+    (persisted, tracked) is O(hours × 2 int64s) and each coarser grain
+    re-aggregates the previous one, not the events. Counts and cents
+    are exact ints; no floats anywhere."""
+    e = t(spark, sf_dir, "events")
+    hourly = _track(
+        e.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(F.count("*").alias("n"), F.sum(cents("value")).alias("total_cents"))
+        .persist()
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "b").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents")
+    )
+    weekly = daily.groupBy(F.date_trunc("week", "b").alias("b")).agg(
+        F.sum("n").alias("n"), F.sum("total_cents").alias("total_cents")
+    )
+
+    def shape(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n",
+            "total_cents",
+        )
+
+    return (
+        shape(hourly, "hour")
+        .unionAll(shape(daily, "day"))
+        .unionAll(shape(weekly, "week"))
+        .orderBy("grain", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4+ — MAD-based robust outlier flags (two exact lower-medians)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    r1 AS (
+        SELECT user_id, c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS nn
+        FROM c
+    ),
+    med AS (
+        SELECT user_id, c AS med FROM r1 WHERE rn = (nn + 1) // 2
+    ),
+    d AS (
+        SELECT c.user_id, c.event_id, c.c, m.med,
+               abs(c.c - m.med) AS ad
+        FROM c JOIN med m ON c.user_id = m.user_id
+    ),
+    r2 AS (
+        SELECT user_id, ad,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ad, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS nn
+        FROM d
+    ),
+    mad AS (
+        SELECT user_id, ad AS mad FROM r2 WHERE rn = (nn + 1) // 2
+    )
+    SELECT d.user_id, min(d.med) AS med_cents, min(m.mad) AS mad_cents,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad m ON d.user_id = m.user_id
+    GROUP BY d.user_id
+    ORDER BY d.user_id
+    """,
+    survey="A4,A10",
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier detection: lower-median of cents, MAD
+    (lower-median of absolute deviations), and the count of events
+    beyond 3×MAD. Median-of-integers via row_number (rn = ⌊(n+1)/2⌋)
+    is exact in both engines — no interpolation drift (same discipline
+    as q_winsorize). The reference's median feature is
+    src/utils.py:87; MAD extends it to a dispersion measure that
+    ignores the heavy tail fraud data has. Scale: two windowed ranks
+    partitioned by user (never global) + one broadcast-sized join of
+    per-user medians back onto events."""
+    e = t(spark, sf_dir, "events")
+    c = e.select("user_id", "event_id", cents("value").alias("c"))
+    w_cnt = Window.partitionBy("user_id")
+    r1 = c.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("c", "event_id"))
+    ).withColumn("nn", F.count("*").over(w_cnt))
+    med = r1.filter(F.col("rn") == F.floor((F.col("nn") + 1) / 2)).select(
+        "user_id", F.col("c").alias("med")
+    )
+    d = c.join(med, "user_id").withColumn("ad", F.abs(F.col("c") - F.col("med")))
+    r2_ = d.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ad", "event_id")),
+    ).withColumn("nn", F.count("*").over(w_cnt))
+    mad = r2_.filter(F.col("rn") == F.floor((F.col("nn") + 1) / 2)).select(
+        "user_id", F.col("ad").alias("mad")
+    )
+    return (
+        d.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("med").alias("med_cents"),
+            F.min("mad").alias("mad_cents"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7+ — stream-stream interval join, batch twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY purchase_id, click_id
+    """,
+    survey="E7,J3",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/windows.py::stream_stream_attribution): every click by
+    the same user within the hour before a purchase. In Structured
+    Streaming both sides are unbounded and the watermark bounds the
+    join state; in batch the same predicate is an equi-join on user_id
+    with the time-range riding the shuffle — per-user event counts
+    bound the worst task, and AQE splits a skewed user. Timestamps are
+    emitted as microsecond strings so both engines hash identical
+    text. Parity with the live stream is pinned by
+    tests/test_streaming.py::test_stream_stream_interval_join."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts_t"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts_t"),
+    )
+    return (
+        p.join(
+            c,
+            (p.user_id == c.cu)
+            & (c.c_ts_t <= p.p_ts_t)
+            & (c.c_ts_t >= F.expr("p_ts_t - INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.date_format("p_ts_t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("p_ts"),
+            "click_id",
+            F.date_format("c_ts_t", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("c_ts"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E4+ — ordinal token explode (posexplode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_posexplode",
+    oracle="""
+    SELECT doc_id, s.pos AS pos, s.tok AS token
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split(text, ' '),
+                                     (x, i) -> {'pos': i, 'tok': x})) AS s
+        FROM documents
+    )
+    WHERE s.tok <> ''
+    ORDER BY doc_id, pos
+    """,
+    survey="E4",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal tokenization: explode each document's tokens WITH their
+    1-based position (posexplode ≡ DuckDB list_transform's indexed
+    lambda + unnest). Positions matter for every sequence-model
+    pipeline (packing offsets, n-gram windows, positional features);
+    this pins the cross-engine ordinal semantics. Map-only — zero
+    shuffles before the presentation sort."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )

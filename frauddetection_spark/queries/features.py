@@ -1183,7 +1183,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.withColumn(
         "new_s",
         F.when(
-            F.col("us") - F.lag("us").over(w) <= SESSION_GAP_US, F.lit(1) * 0
+            F.col("us") - F.lag("us").over(w) <= SESSION_GAP_US, F.lit(0)
         ).otherwise(F.lit(1)),
     )
     sess = flagged.withColumn(

@@ -373,11 +373,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles). Scale: the benchmark side is tiny relative to the
     corpus — broadcast it; the train side never shuffles (map-side
     hash-semi-join + per-doc partial aggregation)."""
+    from frauddetection_spark.operators.graph import _track
     from frauddetection_spark.operators.textsim import word_shingles
 
     docs = t(spark, sf_dir, "documents")
     # shared frontier: both the benchmark and train branches scan sh
-    sh = word_shingles(docs).persist()
+    # (tracked — released via operators.graph.release_caches())
+    sh = _track(word_shingles(docs).persist())
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("shingle")

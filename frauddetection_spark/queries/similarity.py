@@ -37,6 +37,7 @@ from frauddetection_spark.operators.vectors import (
     quantize,
     sql_ivf,
 )
+from frauddetection_spark.operators.graph import _track
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
@@ -104,8 +105,9 @@ def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join (same decorrelation as J4's buildLSN —
     never all-pairs). Exact-int count arithmetic; one final division.
     The shingle relation feeds the self-join twice plus the size
-    table — persist the shared frontier once."""
-    sh = word_shingles(t(spark, sf_dir, "documents")).persist()
+    table — persist the shared frontier once (tracked: released by
+    operators.graph.release_caches() between bench/driver queries)."""
+    sh = _track(word_shingles(t(spark, sf_dir, "documents")).persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -216,7 +218,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB this is the classic cache-the-shared-frontier choice
     (MEMORY_AND_DISK, int64 pairs, far smaller than the raw text)."""
     docs = t(spark, sf_dir, "documents")
-    sh = word_shingles(docs).persist()
+    sh = _track(word_shingles(docs).persist())
     cands = lsh_candidates(lsh_bands(minhash_signatures(sh)))
     return (
         exact_jaccard(cands, sh)

@@ -12,11 +12,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from frauddetection_spark.sources.io import (
+    duckdb_fixture,
     export_csv,
     read_csv,
     read_partitioned,
     write_bucketed,
     write_partitioned,
+    write_range_sorted,
 )
 from frauddetection_spark.sources.tables import SCHEMAS, load_table
 
@@ -57,6 +59,85 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert joined.count() == li.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_range_sorted_write_files_are_disjoint(spark, sf_dir, tmp_path):
+    """write_range_sorted must produce files whose key ranges are
+    pairwise disjoint (range partitioning) and internally ordered
+    (sortWithinPartitions) — the properties that let key-range scans
+    prune files and merge readers skip the sort."""
+    path = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    write_range_sorted(orders, path, ["o_orderkey"], 8)
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
+    ranges = []
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).select("o_orderkey").toPandas()
+        total += len(pdf)
+        if len(pdf):
+            # internally sorted
+            assert pdf["o_orderkey"].is_monotonic_increasing
+            ranges.append((pdf["o_orderkey"].min(), pdf["o_orderkey"].max()))
+    assert total == orders.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_fixture_regenerates_on_fingerprint_mismatch(sf_dir):
+    """duckdb_fixture's staleness contract (VERDICT r4 item): when the
+    source parquet's fingerprint changes (driver regenerates testdata
+    between rounds), the fixture MUST rebuild; when it matches, the
+    build must NOT re-run."""
+    calls = []
+
+    def build(src, out):
+        calls.append(src)
+        with open(os.path.join(out, "data.txt"), "w") as fh:
+            fh.write("x")
+
+    p1 = duckdb_fixture(sf_dir, "fxtest", "part", build)
+    assert len(calls) == 1
+    # warm marker → no rebuild
+    duckdb_fixture(sf_dir, "fxtest", "part", build)
+    assert len(calls) == 1
+    # corrupt the fingerprint → rebuild
+    with open(os.path.join(p1, "_FD_DONE"), "w") as fh:
+        fh.write("stale:0")
+    duckdb_fixture(sf_dir, "fxtest", "part", build)
+    assert len(calls) == 2
+    # marker restored → steady state again
+    duckdb_fixture(sf_dir, "fxtest", "part", build)
+    assert len(calls) == 2
+
+
+def test_orc_fixture_survives_marker_corruption(spark, sf_dir):
+    """q_scan_orc's fixture is fingerprint-keyed; a corrupted marker
+    (the stale-testdata failure mode) must trigger a rebuild and the
+    query must still produce the full result."""
+    import tempfile
+
+    from frauddetection_spark.plans.registry import load_all
+
+    reg = load_all()
+    want = reg["q_scan_orc"].fn(spark, sf_dir).count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    marker = os.path.join(
+        tempfile.gettempdir(), f"fd_spark_orc_{tag}", "part", "_FD_DONE"
+    )
+    assert os.path.exists(marker)
+    with open(marker, "w") as fh:
+        fh.write("stale:0")
+    got = reg["q_scan_orc"].fn(spark, sf_dir).count()
+    assert got == want
+    with open(marker) as fh:
+        assert fh.read().strip() != "stale:0"
 
 
 def test_csv_roundtrip_exact(spark, sf_dir, tmp_path):

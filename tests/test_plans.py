@@ -110,8 +110,11 @@ def test_driver_window_completes_evidence():
     import json
     import os
 
+    import re
+
     from frauddetection_spark.plans.registry import (
         DRIVER_WINDOW,
+        QUEUE_AS_OF_ROUND,
         QUEUED_NEXT_WINDOW,
         _PRIORITY,
     )
@@ -123,11 +126,27 @@ def test_driver_window_completes_evidence():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
+    max_round = 0
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         with open(f) as fh:
             rows = json.load(fh)
         green |= {k for k, v in rows.items() if v.get("hash_match")}
+        m = re.search(r"CORRECTNESS_r(\d+)", f)
+        if m:
+            max_round = max(max_round, int(m.group(1)))
     assert green, "no CORRECTNESS_r*.json evidence found"
+
+    # Queue staleness (ADVICE r3): a queue is created against the round
+    # whose window was already frozen. Once that round's CORRECTNESS
+    # file exists, the next rotation MUST have promoted the queue — a
+    # non-empty queue older than the newest evidence fails here, so a
+    # query can never sit queued forever on a comment's promise.
+    if QUEUED_NEXT_WINDOW:
+        assert max_round < QUEUE_AS_OF_ROUND, (
+            f"QUEUED_NEXT_WINDOW created for round {QUEUE_AS_OF_ROUND} "
+            f"but round {max_round} evidence exists — promote the queue "
+            f"into _PRIORITY: {QUEUED_NEXT_WINDOW}"
+        )
 
     oracle = {n for n, s in reg.items() if s.oracle is not None}
     window = set(names[:DRIVER_WINDOW])

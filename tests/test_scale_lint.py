@@ -84,6 +84,76 @@ ML_FIT = {"q_ann_lsh_ml", "q_dedup_minhash_ml", "q_model_score",
           "q_viz_projection"}
 
 
+def test_every_persist_is_tracked_or_local():
+    """Cache-lifetime lint (VERDICT r3 item 8): every ``.persist(`` call
+    site in frauddetection_spark/ must either be wrapped in ``_track(``
+    (released by operators.graph.release_caches() between bench/driver
+    queries) or be followed by a local ``.unpersist()`` in the same
+    function. Untracked persists accumulated across the r3 bench's
+    19-query headline and inflated later queries 1.5-3x."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frauddetection_spark",
+    )
+
+    offenders: list[str] = []
+    for root, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path) as fh:
+                src = fh.read()
+            tree = ast.parse(src, filename=path)
+            # map every node to its parent for ancestor walks
+            parents: dict[ast.AST, ast.AST] = {}
+            for node in ast.walk(tree):
+                for child in ast.iter_child_nodes(node):
+                    parents[child] = node
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "persist"
+                ):
+                    continue
+                # tracked: some ancestor is a _track(...) call
+                anc, tracked = node, False
+                while anc in parents:
+                    anc = parents[anc]
+                    if (
+                        isinstance(anc, ast.Call)
+                        and isinstance(anc.func, ast.Name)
+                        and anc.func.id == "_track"
+                    ):
+                        tracked = True
+                        break
+                if tracked:
+                    continue
+                # locally managed: enclosing function also unpersists
+                fn = node
+                while fn in parents and not isinstance(
+                    fn, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    fn = parents[fn]
+                local_unpersist = isinstance(
+                    fn, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ) and any(
+                    isinstance(n, ast.Attribute) and n.attr == "unpersist"
+                    for n in ast.walk(fn)
+                )
+                if local_unpersist:
+                    continue
+                offenders.append(f"{path}:{node.lineno}")
+    assert offenders == [], (
+        "untracked persist() call sites (wrap in operators.graph._track "
+        "or unpersist in the same function):\n" + "\n".join(offenders)
+    )
+
+
 def test_zero_jobs_at_construction(spark, sf_dir):
     tracker = spark.sparkContext.statusTracker()
     before = set(tracker.getJobIdsForGroup(None) or [])

@@ -47,3 +47,49 @@ def test_torch_kernel_honestly_gated(spark):
         pytest.skip("torch installed; gating path not applicable")
     with pytest.raises(NotImplementedError, match="torch is not installed"):
         torch_forward(np.zeros((1, 2)), {})
+
+
+def _golden():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "torch_forward_golden.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_numpy_forward_matches_golden():
+    """The committed golden IS numpy_linear_tanh's closed form — the
+    always-run anchor the torch test below compares against, so the
+    two kernels can't drift apart unnoticed."""
+    g = _golden()
+    got = numpy_linear_tanh(
+        np.array(g["X"]), {"w": np.array(g["w"]), "b": g["b"]}
+    )
+    assert np.allclose(got, np.array(g["expected"]), rtol=0, atol=0)
+
+
+def test_torch_forward_matches_golden():
+    """Torch-kernel evidence (VERDICT r3 item 6): in any torch-enabled
+    environment, a 1-layer Linear+Tanh module loaded with the golden
+    weights must reproduce the committed outputs within float32
+    tolerance. Skipped (not passed) where torch is absent, so the
+    skip is visible in the report."""
+    torch = try_import_torch()
+    if torch is None:
+        pytest.skip("torch not installed in this container")
+    g = _golden()
+
+    def factory():
+        import torch.nn as nn
+
+        return nn.Sequential(nn.Linear(3, 1), nn.Tanh())
+
+    sd = {
+        "0.weight": torch.tensor([g["w"]], dtype=torch.float32),
+        "0.bias": torch.tensor([g["b"]], dtype=torch.float32),
+    }
+    got = torch_forward(
+        np.array(g["X"]), {"factory": factory, "state_dict": sd}
+    )
+    assert np.allclose(got, np.array(g["expected"]), atol=1e-6)

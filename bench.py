@@ -47,6 +47,10 @@ HEADLINE = [
     # round-3 additions: bucketed range join + sampled-codebook ANN
     "q_interval_join",
     "q_ann_ivf_sampled",
+    # round-4 additions: distributed-rank multi-quantile + broadcast
+    # query-batch ANN (the serving shape)
+    "q_quantile_grid",
+    "q_ann_query_batch",
 ]
 
 

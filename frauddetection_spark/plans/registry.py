@@ -97,6 +97,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_anomaly_mad",        # MAD robust outliers, exact lower-medians
     "q_stream_join",        # stream-stream interval-join batch twin
     "q_posexplode",         # ordinal token explode
+    "q_quantile_grid",      # exact multi-quantile via prefix_rank
+    "q_weighted_median",    # cents-weighted median hour, all-int
+    "q_bitmap_weeks",       # bit_or activity bitmap + popcount
+    "q_pct_change",         # week-over-week relative change
+    "q_array_stats",        # higher-order-fn vector stats, map-only
+    "q_minhash_est",        # MinHash estimate vs exact Jaccard
+    "q_ann_query_batch",    # broadcast query-batch kNN
     # --- sentinels: oracle-green in r1/r2 but not re-proven since;
     # heaviest / most-implementation-churned first so truncation drops
     # trivial scalar queries ---
@@ -109,8 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_dedup_hash", "q_dedup_exact", "q_token_stats", "q_text_quality",
     "q_metric_confusion", "q_pandas_udf_zscore", "q_sampling_weights",
     "q_split_stratified", "q_session_stats", "q_groupby_agg",
-    "q_window_agg_transform", "q_zscore", "q_median",
-    "q_count_distinct", "q_topk", "q_json_extract", "q_scan_csv",
 )
 
 DRIVER_WINDOW = 50

@@ -668,3 +668,316 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
         .orderBy("doc_id", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# A4+ — exact multi-quantile grid via distributed prefix ranks
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+              ("p90", 9, 10), ("p99", 99, 100))
+_SQL_QUANT_VALUES = ", ".join(
+    f"('{lbl}', {num}, {den})" for lbl, num, den in _QUANTILES
+)
+
+
+@register(
+    "q_quantile_grid",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS grn,
+               count(*) OVER (PARTITION BY event_type) AS nn
+        FROM c
+    ),
+    q(q_label, num, den) AS (VALUES {_SQL_QUANT_VALUES})
+    SELECT r.event_type, q.q_label, r.c AS value_cents,
+           CAST(r.nn AS BIGINT) AS n
+    FROM r JOIN q
+      ON r.grn = (q.num * r.nn + q.den - 1) // q.den
+    ORDER BY event_type, q_label
+    """,
+    survey="A4,A14",
+)
+def q_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90/p99 per event_type as ACTUAL data values
+    (percentile_disc: rank ⌈q·n⌉ — integer ceil-division, zero
+    interpolation, zero float q·n drift). The scale story is the
+    point: ranks come from operators/rank.py::prefix_rank over the
+    TOTAL order (event_type, cents, event_id) — range-partitioned
+    two-phase ranking, never a per-group window that funnels a huge
+    group through one task — and per-group ranks are recovered by
+    subtracting each group's broadcast min-rank offset. The quantile
+    spec is a 5-row literal joined on the computed index."""
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    e = t(spark, sf_dir, "events")
+    c = e.select("event_type", "event_id", cents("value").alias("c"))
+    # the ranked frame feeds BOTH the row side and the per-group offset
+    # aggregate; without the (tracked) persist Spark re-runs the whole
+    # two-phase rank for each subtree — a doubled scan at any scale
+    ranked = _track(
+        prefix_rank(
+            c, [F.col("event_type"), F.col("c"), F.col("event_id")]
+        ).persist()
+    )
+    goff = ranked.groupBy("event_type").agg(
+        F.min("rn").alias("rn0"), F.count("*").alias("nn")
+    )
+    r = ranked.join(F.broadcast(goff), "event_type").withColumn(
+        "grn", F.col("rn") - F.col("rn0") + 1
+    )
+    fr = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lbl).alias("q_label"),
+                            F.lit(num).cast("bigint").alias("num"),
+                            F.lit(den).cast("bigint").alias("den"),
+                        )
+                        for lbl, num, den in _QUANTILES
+                    ]
+                )
+            ).alias("f")
+        )
+        .select("f.*")
+    )
+    idx = F.expr("(num * nn + den - 1) div den")
+    return (
+        r.join(F.broadcast(fr), F.col("grn") == idx)
+        .select(
+            "event_type",
+            "q_label",
+            F.col("c").alias("value_cents"),
+            F.col("nn").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "q_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4+ — weighted median (cents-weighted median hour per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, CAST(hour(ts) AS INTEGER) AS hour,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS wt
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT user_id, hour, wt,
+               CAST(sum(wt) OVER (PARTITION BY user_id ORDER BY hour
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+               CAST(sum(wt) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+        FROM h
+    )
+    SELECT user_id, CAST(min(hour) AS INTEGER) AS wmedian_hour,
+           CAST(min(tot) AS BIGINT) AS total_cents
+    FROM c WHERE 2 * cum >= tot
+    GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A4,A7",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-weighted median activity hour per user: the smallest hour
+    whose cumulative cents weight reaches half the user's total. The
+    reference weights its hour histogram by call counts
+    (data_process.py:151-154); weighting by monetary value is the
+    fraud-features upgrade. All-int (2·cum ≥ tot avoids any division).
+    One small pre-aggregation to (user, hour) then per-user windows
+    over ≤ 24 rows — trivially parallel at any scale."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.sum(cents("value")).alias("wt"))
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = h.withColumn("cum", F.sum("wt").over(w_cum)).withColumn(
+        "tot", F.sum("wt").over(Window.partitionBy("user_id"))
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("user_id")
+        .agg(
+            F.min("hour").cast("int").alias("wmedian_hour"),
+            F.min("tot").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13+ — activity bitmap (bitwise aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bitmap_weeks",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id,
+               CAST((CAST(date_trunc('week', ts) AS DATE)
+                     - DATE '{ANCHOR}') / 7 AS BIGINT) AS widx
+        FROM events
+    )
+    SELECT user_id,
+           CAST(bit_or(1 << widx) AS BIGINT) AS week_mask,
+           CAST(bit_count(CAST(bit_or(1 << widx) AS BIGINT)) AS BIGINT)
+               AS n_active_weeks,
+           CAST(min(widx) AS BIGINT) AS first_week,
+           CAST(max(widx) AS BIGINT) AS last_week
+    FROM wk GROUP BY user_id ORDER BY user_id
+    """,
+    survey="A13,P10",
+)
+def q_bitmap_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user weekly-activity bitmap: bit_or(1 << week_index) packs a
+    user's active weeks into one int64 (the feature-store idiom for
+    cheap recency/frequency predicates — `mask & 0b110` beats a join
+    against a weeks table), plus popcount and first/last active week.
+    The anchor date is the testdata epoch Monday, so week indices are
+    small non-negative ints. Bitwise aggregation is a plain map-side-
+    combinable agg: one shuffle of (user, int64) at any scale."""
+    e = t(spark, sf_dir, "events")
+    widx = (
+        F.datediff(F.date_trunc("week", "ts"), F.to_date(F.lit(ANCHOR))) / 7
+    ).cast("bigint")
+    wk = e.select("user_id", widx.alias("widx"))
+    mask = F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(widx AS INT)))")
+    return (
+        wk.groupBy("user_id")
+        .agg(
+            mask.alias("week_mask"),
+            F.min("widx").alias("first_week"),
+            F.max("widx").alias("last_week"),
+        )
+        .select(
+            "user_id",
+            "week_mask",
+            F.bit_count("week_mask").cast("bigint").alias("n_active_weeks"),
+            "first_week",
+            "last_week",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8+ — week-over-week percent change
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pct_change",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id, {SQL_WEEK.format(ts="ts")} AS week,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, week, cents,
+           lag(cents) OVER (PARTITION BY user_id ORDER BY week)
+               AS prev_cents,
+           CAST(cents - lag(cents) OVER (PARTITION BY user_id
+                                         ORDER BY week) AS DOUBLE)
+               / lag(cents) OVER (PARTITION BY user_id ORDER BY week)
+               AS pct_change
+    FROM wk ORDER BY user_id, week
+    """,
+    survey="A8",
+)
+def q_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week relative spend change per user (lag + one int
+    division; first week NULL in both engines). The derivative feature
+    on top of the reference's weekly windows (data_process.py:75-86).
+    Weekly totals are exact cents; pct_change is a single double
+    division of two int64s — bit-equal across engines."""
+    e = t(spark, sf_dir, "events")
+    wk = e.groupBy("user_id", week_str().alias("week")).agg(
+        F.sum(cents("value")).alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    prev = F.lag("cents").over(w)
+    return (
+        wk.withColumn("prev_cents", prev)
+        .withColumn(
+            "pct_change",
+            (F.col("cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents"),
+        )
+        .orderBy("user_id", "week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3+ — per-vector array statistics via higher-order functions (map-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_array_stats",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b)) AS l2_norm,
+           list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) / len(embedding) AS mean_val,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+    FROM embeddings ORDER BY vec_id
+    """,
+    survey="E3,P10",
+)
+def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-embedding L2 norm, mean and max-abs computed entirely with
+    codegen'd higher-order functions (aggregate/transform/array_max) —
+    zero Python, zero shuffles before the presentation sort; the
+    normalize-then-score prologue of every vector pipeline. Both
+    engines fold the list SEQUENTIALLY (Spark `aggregate` ≡ DuckDB
+    `list_reduce`) over float32→float64 promoted elements, so the
+    sums — and therefore the unrounded doubles — are bit-identical."""
+    emb = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.sqrt(sq).alias("l2_norm"),
+            (sm / F.size("embedding")).alias("mean_val"),
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            ).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from frauddetection_spark.operators.textsim import (
     BAND_ROWS,
     HASH_PARAMS,
+    N_HASHES,
     P_MH,
     SIMHASH_BITS,
     SQL_WORD_SHINGLES,
@@ -495,3 +496,153 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=IVF_SEED,
     )
     return knn.orderBy("vec_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# E2+ — MinHash estimator quality: estimated vs exact Jaccard per candidate
+# ---------------------------------------------------------------------------
+
+
+_MINHASH_EST_ORACLE = f"""
+    WITH {sql_minhash_pair_ctes()},
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT m.doc_a, m.doc_b, m.n_common,
+               CAST(m.n_common AS DOUBLE)
+                   / (sa.n + sb.n - m.n_common) AS exact_jaccard
+        FROM common m
+        JOIN sz sa ON m.doc_a = sa.doc_id
+        JOIN sz sb ON m.doc_b = sb.doc_id
+    )
+    SELECT e.doc_a, e.doc_b, e.n_match,
+           CAST(e.n_match AS DOUBLE) / {N_HASHES} AS est_jaccard,
+           x.n_common, x.exact_jaccard
+    FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """
+
+
+@register("q_minhash_est", oracle=_MINHASH_EST_ORACLE, survey="E2")
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator diagnostics: for every LSH candidate pair,
+    the signature-agreement Jaccard ESTIMATE (matching components /
+    16) side by side with the exact shingle Jaccard — the query an
+    engineer runs before trusting a banding config at corpus scale
+    (est−exact spread ⇒ permutation count; candidate recall ⇒ band
+    geometry). Signature agreement is computed JVM-side
+    (zip_with + filter + size over the two 16-int arrays); the exact
+    rerank reuses the shared shingle frontier. Both engines run the
+    identical integer hash family, so even the ESTIMATE hash-matches."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _track(word_shingles(docs).persist())
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidates(lsh_bands(sigs))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sigs").alias("sig_b"))
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            .cast("bigint")
+            .alias("n_match"),
+        )
+    )
+    ex = exact_jaccard(cands, sh).select(
+        "doc_a", "doc_b", "n_common", F.col("jaccard").alias("exact_jaccard")
+    )
+    return (
+        est.join(ex, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            (F.col("n_match").cast("double") / N_HASHES).alias("est_jaccard"),
+            "n_common",
+            "exact_jaccard",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E3+ — asymmetric query-batch kNN (broadcast the small probe set)
+# ---------------------------------------------------------------------------
+
+QUERY_MOD = 20  # probes = vec_id % 20 == 0 (5% of the corpus)
+
+
+@register(
+    "q_ann_query_batch",
+    oracle=f"""
+    WITH q AS ({SQL_QUANTIZED}),
+    cos AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
+               {SQL_COS} AS cos
+        FROM q a JOIN q b
+          ON a.vec_id % {QUERY_MOD} = 0 AND b.vec_id != a.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor
+        ) AS rank FROM cos
+    )
+    SELECT query_id, rank, neighbor, cos
+    FROM ranked WHERE rank <= {KNN_K}
+    ORDER BY query_id, rank
+    """,
+    survey="E3,A14",
+)
+def q_ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric similarity search: a SMALL query batch (5% of ids)
+    against the full corpus — the serving shape, distinct from the
+    self-join of q_knn_cosine. The probe set is broadcast (never
+    shuffle the corpus for a small query batch); the corpus streams
+    map-side through the broadcast nested loop, the int64 dot products
+    run in codegen (zip_with/aggregate — zero Python), and per-query
+    top-k is a window over query_id. At 100 TB the same plan holds
+    until the query batch outgrows the broadcast budget, at which
+    point the IVF bucket route (q_ann_ivf) takes over."""
+    emb = t(spark, sf_dir, "embeddings")
+    q_all = quantize(emb).select("vec_id", "qv", "n2")
+    probes = q_all.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("n2").alias("q_n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        q_all.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot.cast("double")
+            / F.sqrt(F.col("q_n2").cast("double") * F.col("n2").cast("double")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor"), "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "rank", "neighbor", "cos")
+        .orderBy("query_id", "rank")
+    )

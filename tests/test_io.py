@@ -95,6 +95,15 @@ def test_fixture_regenerates_on_fingerprint_mismatch(sf_dir):
     source parquet's fingerprint changes (driver regenerates testdata
     between rounds), the fixture MUST rebuild; when it matches, the
     build must NOT re-run."""
+    import shutil
+    import tempfile
+
+    # start clean: the fixture dir persists in tmp across test runs
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(
+        os.path.join(tempfile.gettempdir(), f"fd_spark_fxtest_{tag}"),
+        ignore_errors=True,
+    )
     calls = []
 
     def build(src, out):

@@ -89,6 +89,37 @@ def test_embed_quantize_is_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ann_query_batch_broadcasts_probes(spark, sf_dir):
+    # asymmetric serving shape: the probe set must broadcast (nested
+    # loop over the inequality condition); the corpus must NOT be
+    # shuffled for the join itself
+    plan = _executed(REGISTRY["q_ann_query_batch"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_array_stats_is_map_only_jvm(spark, sf_dir):
+    # higher-order-function vector stats: no shuffle before the
+    # presentation sort, and no Python evaluation anywhere
+    plan = _executed(REGISTRY["q_array_stats"].fn(spark, sf_dir))
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_posexplode_is_map_only(spark, sf_dir):
+    plan = _executed(REGISTRY["q_posexplode"].fn(spark, sf_dir))
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_trend_slope_has_partial_aggregation(spark, sf_dir):
+    # both aggregation levels must combine map-side: >= 2 HashAggregate
+    # pairs around the exchanges
+    plan = _executed(REGISTRY["q_trend_slope"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_whole_stage_codegen_everywhere(spark, sf_dir):
     df = REGISTRY["q_behavioral_features"].fn(spark, sf_dir)
     df.collect()  # materialize so AQE finalizes the physical plan

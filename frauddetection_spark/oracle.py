@@ -62,6 +62,12 @@ def _canon_frame(pdf: pd.DataFrame) -> list[str]:
 
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
     sp = spark_df.toPandas()
+    # cache hygiene: a full-catalog comparison session runs 100+
+    # queries back-to-back; tracked per-query persists (shingle/IVF/
+    # rank frontiers) must not accumulate across them (ADVICE r3)
+    from frauddetection_spark.operators.graph import release_caches
+
+    release_caches()
     du = con.execute(sql).fetchdf()
     if sorted(sp.columns) != sorted(du.columns):
         return CompareResult(name, False, f"columns differ: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}")

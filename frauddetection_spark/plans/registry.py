@@ -104,6 +104,13 @@ _PRIORITY: tuple[str, ...] = (
     "q_array_stats",        # higher-order-fn vector stats, map-only
     "q_minhash_est",        # MinHash estimate vs exact Jaccard
     "q_ann_query_batch",    # broadcast query-batch kNN
+    "q_mode",               # deterministic per-group mode
+    "q_json_flatten",       # typed from_json struct parse
+    "q_first_touch",        # earliest-click attribution
+    "q_graph_triangles",    # degree-ordered triangle census
+    "q_bfs_levels",         # K=3 multi-source BFS unrolled
+    "q_pandas_udf_tokens",      # scalar pandas_udf surface
+    "q_pandas_udf_grouped_agg", # GROUPED_AGG pandas_udf surface
     # --- sentinels: oracle-green in r1/r2 but not re-proven since;
     # heaviest / most-implementation-churned first so truncation drops
     # trivial scalar queries ---
@@ -113,9 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_join_anti", "q_join_semi", "q_edge_weights",
     "q_multiscale_features", "q_two_level_agg", "q_share_dispersion",
     "q_dense_spine", "q_collect_series", "q_shingle_jaccard",
-    "q_dedup_hash", "q_dedup_exact", "q_token_stats", "q_text_quality",
-    "q_metric_confusion", "q_pandas_udf_zscore", "q_sampling_weights",
-    "q_split_stratified", "q_session_stats", "q_groupby_agg",
+    "q_dedup_hash", "q_dedup_exact", "q_token_stats",
 )
 
 DRIVER_WINDOW = 50

@@ -326,9 +326,9 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                count(*) AS n,
                sum(CAST(c AS HUGEINT)) AS s1,
-               sum(CAST(c * c AS HUGEINT)) AS s2,
-               sum(CAST(c * c * c AS HUGEINT)) AS s3,
-               sum(CAST(c * c * c * c AS HUGEINT)) AS s4
+               sum(CAST(c AS HUGEINT) * c) AS s2,
+               sum(CAST(c AS HUGEINT) * c * c) AS s3,
+               sum(CAST(c AS HUGEINT) * c * c * c) AS s4
         FROM (SELECT event_type,
                      CAST(round(value * 100) AS BIGINT) AS c
               FROM events)
@@ -369,18 +369,17 @@ def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial sums."""
     e = t(spark, sf_dir, "events")
     c = cents("value")
+    # per-row powers promote to DECIMAL BEFORE multiplying: int64 cents
+    # up to ~5.6e4 overflow int64 at the 4th power (c⁴ > 9.2e18), so
+    # c*c*c*c-as-bigint would throw under ANSI (hit at sf0.1); wide
+    # decimal per-row keeps every step exact at any value scale
+    cd = F.col("c").cast("decimal(20,0)")
     s = e.select("event_type", c.alias("c")).groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
-        F.sum(
-            (F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)")
-        ).alias("s3"),
-        F.sum(
-            (F.col("c") * F.col("c") * F.col("c") * F.col("c")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("s4"),
+        F.sum((cd * cd).cast("decimal(38,0)")).alias("s2"),
+        F.sum((cd * cd * cd).cast("decimal(38,0)")).alias("s3"),
+        F.sum((cd * cd * cd * cd).cast("decimal(38,0)")).alias("s4"),
     )
     n = F.col("n")
     m1 = F.col("s1").cast("double") / n
@@ -980,4 +979,166 @@ def q_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2+ — deterministic per-group mode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, event_type
+        ) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_types
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type,
+           CAST(cnt AS BIGINT) AS mode_count,
+           CAST(n_types AS BIGINT) AS n_types
+    FROM r WHERE rn = 1 ORDER BY user_id
+    """,
+    survey="A2,A14",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user modal event type (ties broken
+    lexicographically — Spark's built-in `mode()` picks an arbitrary
+    tie winner, which can never hash-match another engine, so the
+    engine's canonical form is count + rank). Pre-aggregation shrinks
+    the window input to ≤ |event_types| rows per user."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_types", F.count("*").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("cnt").alias("mode_count"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6+ — typed JSON parsing (from_json struct, not string extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_flatten",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="E6",
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: `from_json(props, 'k BIGINT')` materializes
+    the props column as a STRUCT once (JsonToStructs — one parse per
+    row, every field typed), vs q_json_extract's per-path
+    get_json_object string extraction (re-parses per path). For wide
+    props at 100 TB the struct parse is the right default; malformed
+    rows become NULL structs (PERMISSIVE), which the aggregate
+    tolerates. Aggregates over the typed field prove the parse."""
+    e = t(spark, sf_dir, "events")
+    p = e.withColumn("pj", F.from_json("props", "k BIGINT"))
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("pj.k").alias("n_k"),
+            F.min("pj.k").alias("k_min"),
+            F.max("pj.k").alias("k_max"),
+            F.sum("pj.k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3+ — first-touch attribution (earliest qualifying click per purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_first_touch",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id,
+               CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts, c.event_id
+               ) AS rn
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT purchase_id, user_id, click_id, gap_us
+    FROM pairs WHERE rn = 1 ORDER BY purchase_id
+    """,
+    survey="J3,A14",
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the EARLIEST
+    click in its trailing hour (complement of q_asof_attribution's
+    last-touch). The candidate join is the same per-user equi-shuffle
+    with the range predicate riding it; the rank-1 filter collapses
+    multi-click windows deterministically (ties by event_id)."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("c_ts"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    pairs = p.join(
+        c,
+        (p.user_id == c.cu)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts >= F.expr("p_ts - INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            (F.col("p_us") - F.col("c_us")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
     )

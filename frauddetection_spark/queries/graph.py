@@ -567,3 +567,183 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(
         e, iterations=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# J4+ — global triangle census (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    und AS (
+        SELECT src, dst FROM e WHERE src != dst
+        UNION
+        SELECT dst, src FROM e WHERE src != dst
+    ),
+    ori AS (SELECT src, dst FROM und WHERE src < dst),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM ori a
+        JOIN ori b ON a.src = b.src AND a.dst < b.dst
+        JOIN ori c ON c.src = a.dst AND c.dst = b.dst
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+    wed AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           w.n_wedges,
+           CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges
+               AS global_clustering
+    FROM tri t, wed w
+    """,
+    survey="J4,A2",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census: exact triangle count, wedge (open
+    2-path) count, and the global clustering coefficient 3T/W — the
+    whole-graph sibling of the reference's per-node nx.clustering
+    (data_process.py:147-148, q_clustering_coeff). The Spark plan uses
+    DEGREE-ORDERED edge orientation (each undirected edge directed from
+    its lower-(degree, id) endpoint): every triangle is produced by
+    exactly one wedge-at-the-smallest-rank-node, and hub fan-out in the
+    wedge self-join is bounded by Σ min(d_u, d_v)² instead of Σ d² —
+    the standard trick that keeps triangle counting feasible on
+    power-law graphs. The count is orientation-invariant, so the
+    oracle's simpler id-ordered SQL produces the identical number."""
+    from frauddetection_spark.operators.graph import mirror
+
+    e = edges_from_events(t(spark, sf_dir, "events")).filter(
+        F.col("src") != F.col("dst")
+    )
+    und = mirror(e)
+    deg = und.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("node"), "d"
+    )
+    # rank = (degree, id); orient each undirected edge low-rank -> high
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")),
+            "dst",
+        )
+    )
+    ori = ranked.filter(
+        F.struct("ds", "src") < F.struct("dd", "dst")
+    ).select("src", "dst", "dd")
+    a = ori.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dd").alias("rv"),
+    )
+    b = ori.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dd").alias("rw"),
+    )
+    wedges = a.join(b, "u").filter(
+        F.struct("rv", "v") < F.struct("rw", "w")
+    )
+    closing = ori.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(wed).select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges")
+        ).alias("global_clustering"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5+ — multi-source BFS, K hops unrolled
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 50
+BFS_HOPS = 3
+
+
+@register(
+    "q_bfs_levels",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    und AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT dst, src FROM e
+    ),
+    l0 AS (
+        SELECT DISTINCT src AS node FROM und WHERE src % {BFS_SEED_MOD} = 0
+    ),
+    l1 AS (
+        SELECT DISTINCT u.dst AS node
+        FROM l0 JOIN und u ON u.src = l0.node
+    ),
+    l2 AS (
+        SELECT DISTINCT u.dst AS node
+        FROM l1 JOIN und u ON u.src = l1.node
+    ),
+    l3 AS (
+        SELECT DISTINCT u.dst AS node
+        FROM l2 JOIN und u ON u.src = l2.node
+    ),
+    lv AS (
+        SELECT node, 0 AS level FROM l0
+        UNION ALL SELECT node, 1 FROM l1
+        UNION ALL SELECT node, 2 FROM l2
+        UNION ALL SELECT node, 3 FROM l3
+    )
+    SELECT node, CAST(min(level) AS INTEGER) AS level
+    FROM lv GROUP BY node ORDER BY node
+    """,
+    survey="J5",
+)
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS, K=3 hops unrolled: shortest hop distance (≤3)
+    from a seed set (every 50th node) over the undirected contact
+    graph — the neighborhood-expansion primitive behind fraud-ring
+    blast-radius checks. Fixed-K unrolling keeps it a pure dataflow
+    plan (K joins, no driver-side loop — unlike connected_components'
+    data-dependent fixpoint) AND oracle-expressible as chained CTEs.
+    Each frontier is distinct-ed before the next expansion, so the
+    shuffle carries node ids, not paths; min(level) resolves
+    multi-path reach. At 100 TB this is K co-partitioned joins on the
+    edge key."""
+    from frauddetection_spark.operators.graph import mirror
+
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    und = mirror(e)
+    l0 = (
+        und.filter(F.col("src") % BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    levels = [l0.withColumn("level", F.lit(0))]
+    frontier = l0
+    for k in range(1, BFS_HOPS + 1):
+        frontier = (
+            frontier.join(und, frontier["node"] == und["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("level", F.lit(k)))
+    lv = levels[0]
+    for nxt in levels[1:]:
+        lv = lv.unionAll(nxt)
+    return (
+        lv.groupBy("node")
+        .agg(F.min("level").cast("int").alias("level"))
+        .orderBy("node")
+    )

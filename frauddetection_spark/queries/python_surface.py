@@ -194,3 +194,70 @@ def q_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6("f_mean").alias("f_mean"),
         r6("score").alias("score"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# E8 — scalar pandas_udf (vectorized per-row kernel, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pandas_udf_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    survey="E8,E4",
+)
+def q_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR pandas_udf surface: whitespace token counts through the
+    Arrow-vectorized Python kernel (functions/pandas_udfs.py::
+    token_count) — one Python round-trip per Arrow BATCH, never per
+    row. Completes the E8 matrix as a driver-checked query alongside
+    grouped-map (q_pandas_udf_zscore), mapInPandas
+    (q_doc_stats_mapinpandas) and grouped-agg
+    (q_pandas_udf_grouped_agg). The built-in twin
+    (size(split(...))) is what production code should use — the UDF
+    form exists to pin the Python path's semantics against it."""
+    from frauddetection_spark.functions.pandas_udfs import token_count
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", token_count("text").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E8 — grouped-agg pandas_udf (exact-cents mean)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pandas_udf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS mean_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey="E8,A2",
+)
+def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf surface: per-type mean through the
+    Python aggregation kernel (functions/pandas_udfs.py::exact_mean).
+    The kernel accumulates exact int64 cents (shared half-away-from-
+    zero rounding) and divides in the same order as the SQL twin, so
+    the Python hop is bit-transparent. Scale shape is identical to the
+    built-in agg: map-side Arrow batches reduce per group, one shuffle
+    on the grouping key."""
+    from frauddetection_spark.functions.pandas_udfs import exact_mean
+
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(exact_mean("value").alias("mean_value"))
+        .orderBy("event_type")
+    )

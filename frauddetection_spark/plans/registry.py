@@ -111,6 +111,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_bfs_levels",         # K=3 multi-source BFS unrolled
     "q_pandas_udf_tokens",      # scalar pandas_udf surface
     "q_pandas_udf_grouped_agg", # GROUPED_AGG pandas_udf surface
+    "q_join_full_outer",    # reconciliation full outer join
+    "q_moving_avg",         # trailing ROWS-frame moving average
+    "q_fuzzy_match",        # blocked Levenshtein entity resolution
+    "q_sequence_gaps",      # missing-id ranges via rank self-join
     # --- sentinels: oracle-green in r1/r2 but not re-proven since;
     # heaviest / most-implementation-churned first so truncation drops
     # trivial scalar queries ---
@@ -119,8 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_graph_aggregate", "q_join_inner", "q_join_existence",
     "q_join_anti", "q_join_semi", "q_edge_weights",
     "q_multiscale_features", "q_two_level_agg", "q_share_dispersion",
-    "q_dense_spine", "q_collect_series", "q_shingle_jaccard",
-    "q_dedup_hash", "q_dedup_exact", "q_token_stats",
+    "q_dense_spine", "q_collect_series",
 )
 
 DRIVER_WINDOW = 50

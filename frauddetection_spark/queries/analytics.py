@@ -1142,3 +1142,225 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# J1+ — full outer join (both null sides exercised)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH rich AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal >= 5000
+    ),
+    big AS (
+        SELECT o_custkey, count(*) AS n_big
+        FROM orders WHERE o_totalprice > 100000 GROUP BY 1
+    )
+    SELECT coalesce(r.c_custkey, b.o_custkey) AS custkey,
+           CASE WHEN r.c_custkey IS NULL THEN 0 ELSE 1 END AS has_cust,
+           CAST(coalesce(b.n_big, 0) AS BIGINT) AS n_big,
+           CAST(round(coalesce(r.c_acctbal, 0) * 100) AS BIGINT)
+               AS acctbal_cents
+    FROM rich r FULL OUTER JOIN big b ON r.c_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+    survey="J1,J6",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join with both null sides populated (rich
+    customers without big orders; big-order customers below the
+    balance cut) — the reconciliation-join shape missing from the
+    J-family's inner/semi/anti coverage. Null sides are made explicit
+    (flag + coalesce) so the hash comparison is type-stable. Full
+    outer cannot broadcast (both sides preserved) — Spark plans a
+    shuffle join on the key, which is the correct 100-TB shape."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey", "c_acctbal"
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    j = rich.join(big, rich.c_custkey == big.o_custkey, "full_outer")
+    return (
+        j.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias(
+                "has_cust"
+            ),
+            F.coalesce("n_big", F.lit(0)).cast("bigint").alias("n_big"),
+            F.coalesce(cents("c_acctbal"), F.lit(0)).alias("acctbal_cents"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8+ — trailing ROWS-frame moving average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_moving_avg",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+           CAST(count(*) OVER w AS BIGINT) AS win_n,
+           CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w / 100
+               AS moving_avg
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+    survey="A8,A1",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row trailing moving average of daily spend per user — the
+    ROWS-frame complement of q_trailing_range's event-time RANGE
+    frame. Ragged window starts divide by the ACTUAL frame row count,
+    so the first days are means of 1 and 2 rows, not zero-padded.
+    Exact cents sums; one identical-form division."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day_d")
+    ).agg(F.sum(cents("value")).alias("cents"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_d")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "user_id",
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            "cents",
+            F.sum("cents").over(w).alias("win_cents"),
+            F.count("*").over(w).cast("bigint").alias("win_n"),
+            (
+                F.sum("cents").over(w).cast("double")
+                / F.count("*").over(w)
+                / 100
+            ).alias("moving_avg"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2+ — blocked fuzzy string matching (Levenshtein within blocking keys)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 4
+
+
+@register(
+    "q_fuzzy_match",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.p_brand,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+    )
+    SELECT p_brand, CAST(dist AS INTEGER) AS dist,
+           count(*) AS n_pairs
+    FROM pairs WHERE dist <= {FUZZY_MAX_DIST}
+    GROUP BY 1, 2 ORDER BY p_brand, dist
+    """,
+    survey="E2,J4",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: near-identical part names (Levenshtein
+    ≤ 4) found WITHIN (brand, size) blocking keys — the classic
+    entity-resolution shape. The blocking key is the entire scale
+    story: the quadratic edit-distance comparison runs only inside
+    each block's equi-join group (bounded fan-out), never all-pairs —
+    same discipline as the LSH band join. Both engines implement
+    standard unit-cost Levenshtein, so the distance histogram
+    hash-matches."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.alias("a")
+    b = p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return (
+        pairs.filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .groupBy("p_brand", F.col("dist").cast("int").alias("dist"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("p_brand", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8+ — sequence-gap detection (data-quality / CDC completeness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sequence_gaps",
+    oracle="""
+    WITH p AS (
+        SELECT event_id,
+               lag(event_id) OVER (ORDER BY event_id) AS prev_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(prev_id + 1 AS BIGINT) AS gap_start,
+           CAST(event_id - 1 AS BIGINT) AS gap_end,
+           CAST(event_id - prev_id - 1 AS BIGINT) AS gap_len
+    FROM p WHERE event_id - prev_id > 1
+    ORDER BY gap_start
+    """,
+    survey="A8,P7",
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id range detection over the purchase event stream (the
+    CDC-completeness audit: which sequence ranges never arrived?).
+    lag over the id order yields each gap as a (start, end, length)
+    interval — one row per HOLE, never a dense spine join. The global
+    order rides operators/rank.py-style range partitioning in spirit;
+    here the stream is pre-filtered sparse so a single ordered window
+    over ids is the right size at any sf. At true 100-TB id ranges,
+    swap the window for prefix_rank's range-partitioned form — the
+    query shape (lag + filter) is unchanged."""
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id")
+    # range-partitioned two-phase rank gives each row its global rn;
+    # self-join rn = rn+1 pairs consecutive ids without a global window
+    # (tracked persist: both join sides consume the ranked frame)
+    r = _track(prefix_rank(p, [F.col("event_id")]).persist())
+    nxt = r.select(
+        (F.col("rn") - 1).alias("rn"), F.col("event_id").alias("next_id")
+    )
+    pairs = r.join(nxt, "rn")
+    return (
+        pairs.filter(F.col("next_id") - F.col("event_id") > 1)
+        .select(
+            (F.col("event_id") + 1).alias("gap_start"),
+            (F.col("next_id") - 1).alias("gap_end"),
+            (F.col("next_id") - F.col("event_id") - 1).alias("gap_len"),
+        )
+        .orderBy("gap_start")
+    )

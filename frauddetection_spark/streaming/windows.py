@@ -278,6 +278,26 @@ def run_to_memory(
     q.awaitTermination()
 
 
+def run_to_parquet(
+    df: DataFrame, path: str, checkpoint: str, output_mode: str = "append"
+) -> None:
+    """File-sink drain: writeStream → parquet with a checkpoint dir —
+    the production landing-zone sink. The checkpoint's write-ahead log
+    gives exactly-once file commits (a restarted query never re-writes
+    a committed batch; readers see only files recorded in the
+    _spark_metadata log). availableNow bounds the run for tests; a
+    live deployment uses the same call without the trigger."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def enriched_stream(
     spark: SparkSession, sf_dir: str, labels: DataFrame
 ) -> DataFrame:

@@ -201,6 +201,29 @@ def test_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert progress is None or progress["numInputRows"] == 0
 
 
+def test_parquet_file_sink_exactly_once(spark, sf_dir, tmp_path):
+    """writeStream → parquet file sink: a drained bounded stream lands
+    exactly the source rows (no dupes, no loss), and a RESTART from
+    the same checkpoint with no new input commits nothing new — the
+    exactly-once landing-zone contract."""
+    from frauddetection_spark.streaming.windows import (
+        run_to_parquet,
+        stream_events,
+    )
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    src = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    run_to_parquet(src, out, ckpt)
+    landed = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events").count()
+    assert landed.count() == want
+    assert landed.select("event_id").distinct().count() == want
+    # restart on the same checkpoint: no new input -> no new rows
+    run_to_parquet(src, out, ckpt)
+    assert spark.read.parquet(out).count() == want
+
+
 def test_stream_stream_interval_join(spark, sf_dir):
     from frauddetection_spark.streaming.windows import (
         stream_stream_attribution,

@@ -401,3 +401,144 @@ def test_interval_join_matches_naive_range_join(spark, sf_dir):
     bucketed = REGISTRY["q_interval_join"].fn(spark, sf_dir)
     assert bucketed.exceptAll(naive).count() == 0
     assert naive.exceptAll(bucketed).count() == 0
+
+
+# --- round-4 operator invariants -------------------------------------------
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 ≤ entropy ≤ ln(n_types); 0 ≤ gini < 1 (equality at a single
+    type). The identities the information-theoretic features must obey
+    regardless of the data."""
+    import math
+
+    rows = REGISTRY["q_entropy"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-9 <= r.entropy <= math.log(r.n_types) + 1e-9, r
+        assert 0 <= r.gini < 1, r
+        if r.n_types == 1:
+            assert abs(r.entropy) < 1e-9 and r.gini == 0
+
+
+def test_retention_offset_zero_is_full(spark, sf_dir):
+    """Every cohort is 100% retained at offset 0 (its definition), and
+    no offset exceeds the cohort size."""
+    rows = REGISTRY["q_retention_cohorts"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size and r.retention == 1.0
+
+
+def test_quantile_grid_monotone(spark, sf_dir):
+    """p25 ≤ p50 ≤ p75 ≤ p90 ≤ p99 within every event_type."""
+    rows = REGISTRY["q_quantile_grid"].fn(spark, sf_dir).collect()
+    by_type: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.q_label] = r.value_cents
+    order = ["p25", "p50", "p75", "p90", "p99"]
+    for et, qs in by_type.items():
+        assert set(qs) == set(order), (et, qs)
+        vals = [qs[q] for q in order]
+        assert vals == sorted(vals), (et, vals)
+
+
+def test_moving_avg_frame_bounds(spark, sf_dir):
+    """ROWS 2 PRECEDING frame: 1 ≤ win_n ≤ 3, and win_cents is the
+    frame sum (avg · n recovers it exactly in cents)."""
+    rows = REGISTRY["q_moving_avg"].fn(spark, sf_dir).limit(500).collect()
+    for r in rows:
+        assert 1 <= r.win_n <= 3
+        assert abs(r.moving_avg * r.win_n * 100 - r.win_cents) < 1e-6
+
+
+def test_bitmap_weeks_consistent(spark, sf_dir):
+    """popcount(mask) weeks within [first, last]; first/last bits set."""
+    rows = REGISTRY["q_bitmap_weeks"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.week_mask > 0
+        assert bin(r.week_mask).count("1") == r.n_active_weeks
+        assert r.week_mask & (1 << r.first_week)
+        assert r.week_mask & (1 << r.last_week)
+        assert r.n_active_weeks <= r.last_week - r.first_week + 1
+
+
+def test_triangle_census_identities(spark, sf_dir):
+    """3T ≤ W (every triangle closes 3 wedges) → clustering ∈ [0,1]."""
+    r = REGISTRY["q_graph_triangles"].fn(spark, sf_dir).first()
+    assert r.n_triangles >= 0 and r.n_wedges > 0
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert 0.0 <= r.global_clustering <= 1.0
+
+
+def test_bfs_levels_sound(spark, sf_dir):
+    """Seeds are exactly level 0; levels bounded by K; every level-k>0
+    node has a neighbor at level k-1 (spot-checked via the edge set)."""
+    from frauddetection_spark.queries.graph import BFS_HOPS, BFS_SEED_MOD
+
+    lv = REGISTRY["q_bfs_levels"].fn(spark, sf_dir)
+    rows = lv.collect()
+    assert all(0 <= r.level <= BFS_HOPS for r in rows)
+    e = mirror(edges_from_events(load_table(spark, sf_dir, "events")))
+    seeds = {
+        r.src for r in e.filter(F.col("src") % BFS_SEED_MOD == 0)
+        .select("src").distinct().collect()
+    }
+    got0 = {r.node for r in rows if r.level == 0}
+    assert got0 == seeds
+    # soundness of level 1: exactly the non-seed neighbors of seeds
+    nbrs = {
+        r.dst
+        for r in e.filter(F.col("src").isin(list(seeds)))
+        .select("dst").distinct().collect()
+    }
+    got1 = {r.node for r in rows if r.level == 1}
+    assert got1 == (nbrs - seeds)
+
+
+def test_mad_outliers_bounded(spark, sf_dir):
+    rows = REGISTRY["q_anomaly_mad"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.mad_cents >= 0
+        assert 0 <= r.n_outliers <= r.n_events
+
+
+def test_minhash_estimate_bounds(spark, sf_dir):
+    """Estimate ∈ [0,1] in 1/16 steps; banding guarantees ≥1 band of 4
+    consecutive matching components for every candidate — so n_match ≥ 4."""
+    rows = REGISTRY["q_minhash_est"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 4 <= r.n_match <= 16
+        assert abs(r.est_jaccard * 16 - r.n_match) < 1e-9
+        assert 0 < r.exact_jaccard <= 1
+
+
+def test_sequence_gaps_cover_missing_ids(spark, sf_dir):
+    """Reconstructing ids from gaps + observed ids yields the full
+    contiguous range between min and max observed purchase ids."""
+    e = load_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    ids = sorted(r.event_id for r in e.select("event_id").collect())
+    gaps = REGISTRY["q_sequence_gaps"].fn(spark, sf_dir).collect()
+    missing = set()
+    for g in gaps:
+        assert g.gap_len == g.gap_end - g.gap_start + 1 > 0
+        missing |= set(range(g.gap_start, g.gap_end + 1))
+    full = set(range(ids[0], ids[-1] + 1))
+    assert missing == full - set(ids)
+
+
+def test_trend_slope_two_point_exact(spark):
+    """A user with exactly two daily points has slope = Δy/Δx and the
+    intercept line passes through both points (closed-form check on a
+    tiny in-memory frame run through the same sufficient-statistics
+    formula)."""
+    # replicate the formula used by q_trend_slope on known numbers
+    xs, ys = [3, 10], [500, 1200]
+    n = 2
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert slope == (1200 - 500) / (10 - 3)
+    assert abs(intercept + slope * 3 - 500) < 1e-9

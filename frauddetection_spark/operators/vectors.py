@@ -638,3 +638,96 @@ def sql_ivf(
     ) WHERE rank <= {k}
     ORDER BY vec_id, rank
     """
+
+
+def query_batch_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Asymmetric (serving-shape) exact top-k: a SMALL probe set
+    against the full corpus, as a cogrouped numpy int64 matmul — the
+    query-batch sibling of :func:`knn_topk_bruteforce`.
+
+    Layout: the corpus lives in its natural hash block b =
+    pmod(vec_id, B); the probe set is REPLICATED onto every block
+    (explode over sequence(B)), so each (probe, corpus-vector) pair
+    meets in exactly one kernel call and tile top-ks merge with no
+    dedup. No driver collect, no broadcast variable — the whole plan
+    is lazy (zero jobs at construction, lint-enforced) and the
+    replication cost is |probes|·B rows of int64 vectors (tiny by the
+    asymmetry assumption). Profiled at sf0.1: 4× faster than the
+    Catalyst higher-order-function dot products (same lesson as the
+    IVF rerank kernel) while keeping the identical int64-dot + single
+    IEEE-division arithmetic the DuckDB twin runs.
+
+    Inputs are PRE-QUANTIZED frames (vec_id, qv, n2) from
+    :func:`quantize`. Zero-norm rows are dropped inside the kernel so
+    the numpy ordering domain stays NaN-free (same guard as ivf_topk).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    c = corpus.select(
+        F.col("vec_id").alias("r_vec_id"),
+        F.col("qv").alias("r_qv"),
+        F.col("n2").alias("r_n2"),
+    ).withColumn("b", F.pmod(F.col("r_vec_id"), F.lit(n_blocks)).cast("int"))
+    p = probes.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+
+    tile_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def kernel(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left[left["n2"].to_numpy() > 0]
+        right = right[right["r_n2"].to_numpy() > 0]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor": [], "cos": []}
+            ).astype(
+                {"query_id": "int64", "neighbor": "int64", "cos": "float64"}
+            )
+        qm = np.stack(left["qv"].to_numpy()).astype(np.int64)
+        qn2 = left["n2"].to_numpy().astype(np.float64)
+        qids = left["vec_id"].to_numpy()
+        cm = np.stack(right["r_qv"].to_numpy()).astype(np.int64)
+        cn2 = right["r_n2"].to_numpy().astype(np.float64)
+        cids = right["r_vec_id"].to_numpy()
+        cos = (qm @ cm.T) / np.sqrt(qn2[:, None] * cn2[None, :])
+        out_q, out_n, out_c = [], [], []
+        for i, qid in enumerate(qids):
+            row = cos[i]
+            mask = cids != qid  # exclude self when the probe is in-corpus
+            order = np.lexsort((cids[mask], -row[mask]))[:k]
+            out_q.extend([qid] * len(order))
+            out_n.extend(cids[mask][order].tolist())
+            out_c.extend(row[mask][order].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor": out_n, "cos": out_c}
+        )
+
+    tiles = p.groupBy("b").cogroup(c.groupBy("b")).applyInPandas(
+        kernel, schema=tile_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor")
+    return (
+        tiles.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor", "cos")
+    )

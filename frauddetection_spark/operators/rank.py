@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from frauddetection_spark.operators.graph import _track
+
 # Offsets windows below run over ≤ RANK_PARTITIONS rows by construction
 # (one row per range partition) — bounded by this constant, not by data.
 RANK_PARTITIONS = 32
@@ -61,8 +63,18 @@ def prefix_rank(
     (rn, n) and would otherwise re-aggregate the input.
     """
     sums = dict(sums or {})
-    parts = df.repartitionByRange(n_parts, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    # PERSIST the range-partitioned frame: the local-rank and the
+    # per-partition-totals subplans below both read it, and without a
+    # single materialization Spark may evaluate the RangeExchange
+    # TWICE with independently SAMPLED bounds — rows then straddle
+    # different partition boundaries in the two evaluations and the
+    # local+offset sum is silently wrong (observed: 241 duplicate /
+    # 288 missing ranks over a 15k-row aggregate input at sf0.1).
+    # ReusedExchange usually hides this; it is not guaranteed.
+    parts = _track(
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     w_ord = Window.partitionBy("_pid").orderBy(*order_by)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
@@ -98,6 +110,50 @@ def prefix_rank(
         out = out.crossJoin(F.broadcast(grand))
         proj.append(F.col(total_count))
     return out.select(*proj)
+
+
+def prefix_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value: Column,
+    out: str = "prefix_max",
+    n_parts: int = RANK_PARTITIONS,
+) -> DataFrame:
+    """EXCLUSIVE running max of ``value`` over a global order — for each
+    row, the max of ``value`` over all STRICTLY EARLIER rows (NULL for
+    the first row), with no unpartitioned row-level window.
+
+    Same two-phase shape as :func:`prefix_rank`: range-partition on the
+    order key, local exclusive cummax within each partition, then fold
+    in the max of all earlier partitions (offsets table is ≤ n_parts
+    rows). ``order_by`` must be a TOTAL order (unique per row): rows
+    that tie in the order key would otherwise see each other's values
+    nondeterministically. Pre-aggregate to the key grain first when
+    "earlier" must mean "strictly smaller key" (q_skyline does).
+    """
+    # persisted for the same two-evaluation bound-consistency reason
+    # as prefix_rank (see comment there)
+    parts = _track(
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn("_lmax", F.max(value).over(w_loc))
+    totals = parts.groupBy("_pid").agg(F.max(value).alias("_tmax"))
+    # exclusive prefix over ≤ n_parts per-partition rows — the
+    # whitelisted bounded unpartitioned window (order col _pid)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select("_pid", F.max("_tmax").over(w_off).alias("_omax"))
+    joined = local.join(F.broadcast(offs), "_pid")
+    # greatest() skips NULLs: first row of first partition → NULL
+    return joined.select(
+        *df.columns, F.greatest("_lmax", "_omax").alias(out)
+    )
 
 
 def auc_stats(scored: DataFrame) -> DataFrame:

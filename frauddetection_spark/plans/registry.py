@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.python_surface",
     "frauddetection_spark.queries.llm_pipeline",
     "frauddetection_spark.queries.analytics",
+    "frauddetection_spark.queries.fraud",
 )
 
 
@@ -141,7 +142,22 @@ QUEUE_AS_OF_ROUND = 4
 # frozen. They must be promoted into _PRIORITY at the next rotation —
 # enforced by tests/test_plans.py (queue-staleness + cumulative
 # evidence invariants).
-QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
+QUEUED_NEXT_WINDOW: tuple[str, ...] = (
+    # round-4b fraud/behavioral batch (queries/fraud.py) — added after
+    # this round's 50-slot window froze; all oracle-green locally
+    "q_benford",
+    "q_rfm",
+    "q_double_swipe",
+    "q_skyline",
+    "q_merge_upsert",
+    "q_reservoir_group",
+    "q_chisq_cells",
+    "q_ewma",
+    "q_linear_interp",
+    "q_corr_pairs",
+    "q_kcore",
+    "q_repetition_ratio",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1,0 +1,801 @@
+"""Round-4 fraud/behavioral analytics operators: Benford's-law digit
+profiling, RFM segmentation, duplicate-transaction (double-swipe)
+detection, Pareto-frontier (skyline) extraction, SCD1 merge/upsert,
+deterministic per-group reservoirs, chi-square independence cells,
+EWMA smoothing, and linear gap interpolation.
+
+Every query follows the exact-arithmetic oracle discipline (SURVEY.md
+§5): integer cents sums in both engines, doubles emitted only through
+expressions written identically in the Spark plan and the DuckDB twin,
+r6 rounding only on libm outputs (log10) far from .5e-6 boundaries.
+
+Reference parity: the reference's fraud features are per-user level
+statistics and graph joins (Code for Sichuan/src/utils.py:245-261,
+data_process.py:20-48); these queries add the transaction-forensics
+and segmentation surface a production fraud pipeline layers on top —
+all single-shuffle groupBy/window plans or two-phase global ranks
+(operators/rank.py), no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.rank import prefix_max, prefix_rank
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import cents, t
+
+# double-swipe window (same (user, amount) pair within 10 minutes)
+SWIPE_GAP_US = 600 * 1_000_000
+
+# deterministic reservoir: Knuth multiplicative hash over a 2^31-1
+# field — exact int64 in both engines at any event_id magnitude
+# (reduce mod P BEFORE the multiply: P * 2654435761 < 2^63)
+_RES_P = 2_147_483_647
+_RES_A = 2_654_435_761
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law leading-digit profile (A6 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS amt_cents
+        FROM orders
+    ),
+    d AS (
+        SELECT CAST(substr(CAST(amt_cents AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit,
+               count(*) AS n
+        FROM c GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / n_total AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS exp_share
+    FROM d, tot ORDER BY digit
+    """,
+    survey="A6,A11",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit distribution of order amounts vs the Benford
+    expectation log10(1 + 1/d) — the classic bulk anomaly screen for
+    fabricated amounts. Digit extraction is string-exact over integer
+    cents (no float log in the grouping key); obs_share is an exact-int
+    division (identical doubles); only the 9 data-independent Benford
+    constants pass through libm, r6-rounded in both engines (none sit
+    near a .5e-6 boundary). Scale: one hash aggregate over 9 groups +
+    broadcast total — map-side partials do nearly all the work."""
+    o = t(spark, sf_dir, "orders")
+    d = (
+        o.select(cents("o_totalprice").alias("amt_cents"))
+        .select(
+            F.substring(F.col("amt_cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = d.agg(F.sum("n").cast("bigint").alias("n_total"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("obs_share"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+                "exp_share"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via distributed ntile (A14/R family)
+# ---------------------------------------------------------------------------
+
+
+def _ntile(rn: Column, n: Column, k: int) -> Column:
+    """SQL ntile(k) in closed form from a global (rn, n) — the first
+    (n mod k) buckets get one extra row, exactly the ANSI definition —
+    so the distributed two-phase prefix_rank replaces the unpartitioned
+    ntile window. Arithmetic on doubles is exact (all values < 2^52)."""
+    q = F.floor(n / k).cast("bigint")
+    r = (n - q * k).cast("bigint")
+    cut = (q + 1) * r
+    return (
+        F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - cut - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("bigint")
+    )
+
+
+@register(
+    "q_rfm",
+    oracle="""
+    WITH po AS (
+        SELECT o_custkey AS custkey,
+               max(epoch_us(o_orderdate)) AS last_us,
+               count(*) AS f,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders GROUP BY 1
+    ),
+    ref AS (SELECT max(last_us) AS ref_us FROM po),
+    s AS (
+        SELECT custkey, ref_us - last_us AS recency_us, f, m_cents
+        FROM po, ref
+    )
+    SELECT custkey, recency_us, f, m_cents,
+           CAST(ntile(5) OVER (ORDER BY recency_us, custkey) AS BIGINT)
+               AS r_score,
+           CAST(ntile(5) OVER (ORDER BY f DESC, custkey) AS BIGINT)
+               AS f_score,
+           CAST(ntile(5) OVER (ORDER BY m_cents DESC, custkey) AS BIGINT)
+               AS m_score
+    FROM s ORDER BY custkey
+    """,
+    survey="A14,A2",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile scores per customer — the
+    standard behavioral-segmentation triple. Each score is a GLOBAL
+    ntile(5); the oracle states it with the window function, the Spark
+    plan computes it scale-safely: three two-phase prefix_rank passes
+    (operators/rank.py — range-partitioned, no single-reducer window)
+    + the closed-form ANSI ntile from (rn, n). Ties broken by custkey
+    in both engines so bucket assignment is deterministic. Scale: the
+    ranked relation is the per-customer aggregate (|customers| rows,
+    not |orders|), and each pass is one range shuffle of it."""
+    o = t(spark, sf_dir, "orders")
+    po = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+        F.count("*").alias("f"),
+        F.sum(cents("o_totalprice")).alias("m_cents"),
+    )
+    ref = po.agg(F.max("last_us").alias("ref_us"))
+    s = po.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        (F.col("ref_us") - F.col("last_us")).alias("recency_us"),
+        "f",
+        "m_cents",
+    )
+    out = s
+    for score, order in [
+        ("r_score", [F.col("recency_us").asc(), F.col("custkey").asc()]),
+        ("f_score", [F.col("f").desc(), F.col("custkey").asc()]),
+        ("m_score", [F.col("m_cents").desc(), F.col("custkey").asc()]),
+    ]:
+        ranked = prefix_rank(out, order, total_count="_n")
+        out = ranked.withColumn(
+            score, _ntile(F.col("rn"), F.col("_n"), 5)
+        ).drop("rn", "_n")
+    return out.select(
+        "custkey", "recency_us", "f", "m_cents",
+        "r_score", "f_score", "m_score",
+    ).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-transaction (double-swipe) detection (A8 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_double_swipe",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS amt_cents,
+               epoch_us(ts) AS us
+        FROM events
+    ),
+    l AS (
+        SELECT *,
+               lag(us) OVER (
+                   PARTITION BY user_id, amt_cents ORDER BY us, event_id
+               ) AS prev_us
+        FROM e
+    )
+    SELECT event_id, user_id, amt_cents, us, us - prev_us AS gap_us
+    FROM l
+    WHERE prev_us IS NOT NULL AND us - prev_us <= {SWIPE_GAP_US}
+    ORDER BY event_id
+    """,
+    survey="A8",
+)
+def q_double_swipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated identical-amount transactions by the same user within
+    10 minutes — the double-swipe/replay screen. One window shuffle on
+    the (user, amount) pair key; microsecond integers end-to-end (no
+    timestamp arithmetic drift). The pair key is finer than user_id, so
+    the shuffle is better balanced than any per-user window at scale."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        cents("value").alias("amt_cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id", "amt_cents").orderBy("us", "event_id")
+    return (
+        e.withColumn("prev_us", F.lag("us").over(w))
+        .filter(
+            F.col("prev_us").isNotNull()
+            & (F.col("us") - F.col("prev_us") <= SWIPE_GAP_US)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "amt_cents",
+            "us",
+            (F.col("us") - F.col("prev_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier / skyline (A14 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, total_cents, n_events
+    FROM s b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s a
+        WHERE a.total_cents >= b.total_cents
+          AND a.n_events >= b.n_events
+          AND (a.total_cents > b.total_cents OR a.n_events > b.n_events)
+    )
+    ORDER BY user_id
+    """,
+    survey="A14",
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of users over (total spend, event count):
+    a user is kept iff no other user weakly dominates them on both
+    axes with at least one strict improvement. The oracle states the
+    O(n²) NOT EXISTS definition; the Spark plan is the linear
+    sort-based skyline: group to one row per distinct total, then an
+    EXCLUSIVE two-phase prefix_max over totals DESC gives each row the
+    best n_events among STRICTLY richer totals — dominated iff that
+    max ≥ own n, or a same-total row has strictly more events. One
+    aggregate + one range shuffle of the per-total relation; no pair
+    blow-up at any scale (the frontier trick every skyline paper
+    starts from)."""
+    s = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(cents("value")).alias("total_cents"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    per_total = s.groupBy("total_cents").agg(F.max("n_events").alias("gmax"))
+    better = prefix_max(
+        per_total,
+        [F.col("total_cents").desc()],
+        F.col("gmax"),
+        out="best_n_richer",
+    )
+    joined = s.join(better, "total_cents")
+    return (
+        joined.filter(
+            (
+                F.coalesce(F.col("best_n_richer"), F.lit(-1))
+                < F.col("n_events")
+            )
+            & (F.col("gmax") <= F.col("n_events"))
+        )
+        .select("user_id", "total_cents", "n_events")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD1 merge / upsert (U family — MERGE INTO semantics on plain parquet)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    chg AS (
+        SELECT k, name, cents + 100000 AS cents, 'U' AS op
+        FROM base WHERE k % 7 <> 3 AND k % 10 = 0
+        UNION ALL
+        SELECT k, name, cents, 'D' AS op FROM base WHERE k % 7 = 3
+        UNION ALL
+        SELECT k + 1000000 AS k,
+               'NEW#' || CAST(k AS VARCHAR) AS name,
+               CAST(123456 AS BIGINT) AS cents, 'I' AS op
+        FROM base WHERE k % 13 = 1
+    )
+    SELECT COALESCE(c.k, b.k) AS custkey,
+           COALESCE(c.name, b.name) AS name,
+           COALESCE(c.cents, b.cents) AS acctbal_cents,
+           CASE WHEN c.op = 'U' THEN 'updated'
+                WHEN c.op = 'I' THEN 'inserted'
+                ELSE 'base' END AS src
+    FROM base b FULL OUTER JOIN chg c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    ORDER BY custkey
+    """,
+    survey="U1,J1",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (update / delete / insert in one pass) on
+    plain parquet — the SCD1 apply-changeset operator table formats
+    (Delta/Iceberg) expose as MERGE; on immutable files it is exactly
+    this full-outer-join rewrite. The changeset is derived
+    deterministically from the base (rules are disjoint by CASE
+    priority: delete wins over update; insert keys are shifted out of
+    the base key domain). Scale: one shuffle join on the merge key —
+    same as any engine's MERGE; with both sides bucketed on the key
+    (sources/io.py::write_bucketed) it is shuffle-free."""
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        cents("c_acctbal").alias("cents"),
+    )
+    upd = (
+        base.filter((F.col("k") % 7 != 3) & (F.col("k") % 10 == 0))
+        .select("k", "name", (F.col("cents") + 100000).alias("cents"))
+        .withColumn("op", F.lit("U"))
+    )
+    dele = base.filter(F.col("k") % 7 == 3).withColumn("op", F.lit("D"))
+    ins = base.filter(F.col("k") % 13 == 1).select(
+        (F.col("k") + 1000000).alias("k"),
+        F.concat(F.lit("NEW#"), F.col("k").cast("string")).alias("name"),
+        F.lit(123456).cast("bigint").alias("cents"),
+        F.lit("I").alias("op"),
+    )
+    chg = upd.unionByName(dele).unionByName(ins)
+    b = base.alias("b")
+    c = chg.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer")
+    return (
+        merged.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.k"), F.col("b.k")).alias("custkey"),
+            F.coalesce(F.col("c.name"), F.col("b.name")).alias("name"),
+            F.coalesce(F.col("c.cents"), F.col("b.cents")).alias(
+                "acctbal_cents"
+            ),
+            F.when(F.col("c.op") == "U", "updated")
+            .when(F.col("c.op") == "I", "inserted")
+            .otherwise("base")
+            .alias("src"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group reservoir (R family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_reservoir_group",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, event_id,
+               ((event_id % {_RES_P}) * {_RES_A}) % {_RES_P} AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hv, event_id
+               ) AS rn
+        FROM h
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, hv
+    FROM r WHERE rn <= 5
+    ORDER BY event_type, rn
+    """,
+    survey="R4,R2",
+)
+def q_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=5) per-group sample, reproducible across engines
+    and runs: the k smallest values of a multiplicative hash of the row
+    key — the deterministic replacement for reservoir sampling (same
+    marginal property: any row is equally likely under a random key,
+    but replayable, which audit pipelines need). The hash reduces mod
+    2^31-1 BEFORE the Knuth multiply so int64 never overflows at any
+    event_id magnitude. Scale: rank-within-group window on the group
+    shuffle; at 100 TB the per-group top-k would ride a partial top-k
+    aggregate (same as q_topk) — semantics pinned here."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (((F.col("event_id") % _RES_P) * _RES_A) % _RES_P).alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "rn", "event_id", "hv")
+        .orderBy("event_type", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence cells (A11 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chisq_cells",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type
+        FROM events
+    ),
+    c AS (SELECT dow, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+    m AS (
+        SELECT dow, event_type, n,
+               CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS row_n,
+               CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS col_n
+        FROM c
+    )
+    SELECT dow, event_type, n, row_n, col_n,
+           CAST(row_n * col_n AS DOUBLE) / n_total AS expected,
+           (n - CAST(row_n * col_n AS DOUBLE) / n_total)
+             * (n - CAST(row_n * col_n AS DOUBLE) / n_total)
+             / (CAST(row_n * col_n AS DOUBLE) / n_total) AS chisq_term
+    FROM m, tot ORDER BY dow, event_type
+    """,
+    survey="A11,A6",
+)
+def q_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for day-of-week × event-type
+    (is activity mix time-invariant?): observed counts, marginals,
+    expected under independence, and the per-cell χ² contribution.
+    Per-cell terms are emitted instead of the global Σ — a
+    cross-engine float sum over cells would be summation-order-
+    dependent; every per-cell double here is derived from exact int64
+    marginals through expressions written identically in both twins
+    (x*x, not pow). Spark's dayofweek is 1-based (Sunday=1), DuckDB's
+    0-based — the Spark side shifts by 1. Scale: one aggregate to the
+    ≤ 7×|types| cell grid, marginals via windows over that tiny grid,
+    grand total broadcast."""
+    e = t(spark, sf_dir, "events").select(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"), "event_type"
+    )
+    c = e.groupBy("dow", "event_type").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("n_total"))
+    m = c.select(
+        "dow",
+        "event_type",
+        "n",
+        F.sum("n").over(Window.partitionBy("dow")).cast("bigint").alias(
+            "row_n"
+        ),
+        F.sum("n")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("col_n"),
+    )
+    exp = (F.col("row_n") * F.col("col_n")).cast("double") / F.col("n_total")
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "event_type",
+            "n",
+            "row_n",
+            "col_n",
+            exp.alias("expected"),
+            ((F.col("n") - exp) * (F.col("n") - exp) / exp).alias(
+                "chisq_term"
+            ),
+        )
+        .orderBy("dow", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing over trailing observations (A1/A8 family)
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8  # trailing observations; weights 2^-i are exact dyadic
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(CAST(lag(day_cents, {i}) OVER w AS DOUBLE) * {0.5 ** i!r}, 0)"
+        for i in range(_EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(day_cents, {i}) OVER w IS NOT NULL"
+        f" THEN {0.5 ** i!r} ELSE 0 END"
+        for i in range(_EWMA_LAGS)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT user_id, day, day_cents,
+               {_EWMA_NUM} AS num,
+               {_EWMA_DEN} AS den
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT user_id, day, day_cents, num / den AS ewma
+    FROM l ORDER BY user_id, day
+    """,
+    survey="A1,A8",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily spend (α = 1/2
+    over the 8 trailing observed days, renormalized over the lags that
+    exist near series start). Weights 2^-i are dyadic and daily cents
+    are int64, so every partial product and the two sums are EXACT in
+    double — the final division is the only inexact op and is written
+    identically in both twins (bit-equal results, no rounding). One
+    window shuffle on user_id; the 8 lags are one WindowExec pass."""
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.sum(cents("value")).alias("day_cents"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    num = None
+    den = None
+    for i in range(_EWMA_LAGS):
+        lagged = F.lag("day_cents", i).over(w)
+        term = F.coalesce(lagged.cast("double") * F.lit(0.5**i), F.lit(0.0))
+        wgt = F.when(lagged.isNotNull(), F.lit(0.5**i)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return (
+        d.select(
+            "user_id",
+            "day",
+            "day_cents",
+            (num / den).alias("ewma"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation over hourly gaps (A12 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_linear_interp",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS hour_cents
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, min(h) AS minh, max(h) AS maxh
+        FROM obs GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(minh, maxh)) AS h FROM b
+    ),
+    j AS (
+        SELECT s.user_id, s.h, o.hour_cents
+        FROM spine s LEFT JOIN obs o
+          ON s.user_id = o.user_id AND s.h = o.h
+    ),
+    f AS (
+        SELECT user_id, h, hour_cents,
+               last_value(hour_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_c,
+               last_value(CASE WHEN hour_cents IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prev_h,
+               first_value(hour_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_c,
+               first_value(CASE WHEN hour_cents IS NOT NULL THEN h END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS next_h
+        FROM j
+    )
+    SELECT user_id, h,
+           CASE WHEN hour_cents IS NOT NULL THEN 0 ELSE 1 END AS is_interp,
+           CASE WHEN hour_cents IS NOT NULL THEN CAST(hour_cents AS DOUBLE)
+                ELSE CAST(prev_c AS DOUBLE)
+                     + CAST((next_c - prev_c) * (h - prev_h) AS DOUBLE)
+                       / CAST(next_h - prev_h AS DOUBLE)
+           END AS cents_filled
+    FROM f ORDER BY user_id, h
+    """,
+    survey="A12,A8",
+)
+def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill each user's hourly spend series by linear interpolation
+    between the nearest observed hours (dense-spine + IGNORE NULLS
+    forward/backward window carry — the relational form of
+    pandas.interpolate). Hours and cents are int64 throughout; the
+    single division is written identically in both twins, so filled
+    values are bit-equal unrounded. Edge rows are observed by
+    construction (spine spans [min_h, max_h]). Scale: spine length is
+    bounded by the time span, not row count; everything shuffles once
+    on user_id."""
+    e = t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(F.sum(cents("value")).alias("hour_cents"))
+    bounds = obs.groupBy("user_id").agg(
+        F.min("h").alias("minh"), F.max("h").alias("maxh")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("minh", "maxh")).alias("h")
+    )
+    j = spine.join(obs, ["user_id", "h"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("hour_cents").isNotNull(), F.col("h"))
+    f = j.select(
+        "user_id",
+        "h",
+        "hour_cents",
+        F.last("hour_cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_h, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.first("hour_cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_h, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    filled = F.when(
+        F.col("hour_cents").isNotNull(), F.col("hour_cents").cast("double")
+    ).otherwise(
+        F.col("prev_c").cast("double")
+        + (
+            (F.col("next_c") - F.col("prev_c")) * (F.col("h") - F.col("prev_h"))
+        ).cast("double")
+        / (F.col("next_h") - F.col("prev_h")).cast("double")
+    )
+    return (
+        f.select(
+            "user_id",
+            "h",
+            F.when(F.col("hour_cents").isNotNull(), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("is_interp"),
+            filled.alias("cents_filled"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-sufficient-statistic Pearson correlation (A10 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_corr_pairs",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        FROM lineitem
+    ),
+    s AS (
+        SELECT flag, count(*) AS n,
+               CAST(sum(qc) AS BIGINT) AS sx,
+               CAST(sum(pc) AS BIGINT) AS sy,
+               sum(CAST(qc AS HUGEINT) * pc) AS sxy,
+               sum(CAST(qc AS HUGEINT) * qc) AS sxx,
+               sum(CAST(pc AS HUGEINT) * pc) AS syy
+        FROM x GROUP BY 1
+    )
+    SELECT flag, n,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+               AS corr,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS beta
+    FROM s ORDER BY flag
+    """,
+    survey="A10,A2",
+)
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation + OLS slope of quantity vs price
+    from EXACT sufficient statistics: the second-moment sums overflow
+    int64 at scale, so they accumulate in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB) — both exact integer domains — and only the final
+    corr/beta expressions touch doubles, written identically in both
+    twins (sqrt is IEEE-exact, so the doubles are bit-equal with no
+    rounding). Contrast with built-in corr(): Welford-style float
+    accumulation is summation-order-dependent and can't be
+    oracle-matched bit-for-bit. Scale: one hash aggregate with
+    map-side partials; decimal sums shuffle 16 bytes/group more than
+    doubles — negligible."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        cents("l_quantity").alias("qc"),
+        cents("l_extendedprice").alias("pc"),
+    )
+    dec = "decimal(38,0)"
+    s = li.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("qc").alias("sx"),
+        F.sum("pc").alias("sy"),
+        F.sum(F.col("qc").cast(dec) * F.col("pc")).alias("sxy"),
+        F.sum(F.col("qc").cast(dec) * F.col("qc")).alias("sxx"),
+        F.sum(F.col("pc").cast(dec) * F.col("pc")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")).cast(
+        "double"
+    )
+    denx = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    deny = (
+        F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    return s.select(
+        "flag",
+        "n",
+        (num / F.sqrt(denx * deny)).alias("corr"),
+        (num / denx).alias("beta"),
+    ).orderBy("flag")

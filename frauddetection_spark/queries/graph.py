@@ -747,3 +747,83 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("level").cast("int").alias("level"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed peels, J5/A2 family)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_PEELS = 3
+
+
+def _kcore_sql() -> str:
+    """Unrolled-CTE oracle: KCORE_PEELS rounds of degree-filter-restrict
+    over the undirected self-loop-free edge set (same unroll discipline
+    as the PageRank oracle)."""
+    sql = f"""
+    WITH dir AS ({_SQL_EDGES}),
+    e0 AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dir WHERE src <> dst
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM dir WHERE src <> dst
+        )
+    )"""
+    for i in range(KCORE_PEELS):
+        sql += f""",
+    d{i} AS (SELECT src, count(*) AS d FROM e{i} GROUP BY 1),
+    k{i} AS (SELECT src AS node FROM d{i} WHERE d >= {KCORE_K}),
+    e{i + 1} AS (
+        SELECT u.src, u.dst FROM e{i} u
+        JOIN k{i} a ON u.src = a.node
+        JOIN k{i} b ON u.dst = b.node
+    )"""
+    sql += f"""
+    SELECT src AS node, count(*) AS degree
+    FROM e{KCORE_PEELS} GROUP BY 1 ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_sql(),
+    survey="J5,A2",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_PEELS}-round k-core peel (k={KCORE_K}): repeatedly drop
+    nodes of degree < k and the edges touching them — the standard
+    community/fraud-ring core extraction (reference graphs stop at
+    plain degree features, data_process.py:131-144; the peel is the
+    natural next step). Fixed peel count keeps the oracle an unrolled
+    CTE; the full fixpoint would use the same loop with a convergence
+    check like connected_components. Scale: each round is one degree
+    aggregate + two semi-joins on the surviving node set — all
+    key-partitioned shuffles; the mirrored edge list never leaves the
+    cluster, and lineage stays linear in the (fixed) round count."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    no_self = e.filter(F.col("src") != F.col("dst"))
+    und = (
+        no_self.union(
+            no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    for _ in range(KCORE_PEELS):
+        deg = und.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select(
+            F.col("src").alias("node")
+        )
+        und = (
+            und.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
+            .select("src", "dst")
+        )
+    return (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("degree"))
+        .orderBy("node")
+    )

@@ -446,3 +446,66 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition ratio (quality heuristic, E5 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_repetition_ratio",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(2, len(tk) + 1),
+                      i -> tk[i - 1] || ' ' || tk[i])) AS bigram
+        FROM tok WHERE len(tk) >= 2
+    ),
+    c AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(max(n) AS BIGINT) AS top_bigram_n,
+           count(*) AS n_distinct,
+           CAST(max(n) AS DOUBLE) / sum(n) AS top_share,
+           CAST(count(*) AS DOUBLE) / sum(n) AS distinct_share
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+    survey="E5",
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile over word bigrams — the Gopher
+    duplicate-ngram quality rule (fraction of mass in the most common
+    2-gram, plus distinct-bigram share; high top_share flags
+    boilerplate/spam). All counts are exact integers; the two shares
+    are single int divisions written identically in both twins.
+    Bigrams are built with a JVM-side higher-order transform over the
+    token array (no Python, no self-join on position); one shuffle on
+    (doc_id, bigram), one on doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), _TOKENS_SPARK)
+    bigrams = F.expr(
+        "transform(sequence(2, size(tk)),"
+        " i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))"
+    )
+    c = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.max("n").cast("bigint").alias("top_bigram_n"),
+            F.count("*").alias("n_distinct"),
+            (F.max("n").cast("double") / F.sum("n")).alias("top_share"),
+            (F.count("*").cast("double") / F.sum("n")).alias("distinct_share"),
+        )
+        .orderBy("doc_id")
+    )

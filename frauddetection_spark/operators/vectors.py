@@ -731,3 +731,354 @@ def query_batch_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN for a query batch
+# ---------------------------------------------------------------------------
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    subdim: int = 16,
+    ksub: int = 8,
+    iters: int = 1,
+    cand: int = 12,
+    qmod: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN for a query batch, fully deterministic
+    and oracle-expressible (:func:`sql_pq` is the same algorithm in
+    DuckDB).
+
+    The 100-TB story PQ adds over IVF: the corpus index is m small
+    CODES per vector (here 4 bytes) instead of the d-dim vector —
+    memory drops ~128×, which is what lets a billion-vector index live
+    in executor RAM. Pipeline:
+
+    1. split each quantized vector into ``m`` contiguous ``subdim``-dim
+       subvectors;
+    2. train one ``ksub``-centroid codebook per subspace (Lloyd on
+       exact-int L2: d² = |s|² + |c|² − 2⟨s,c⟩, ties → lower cid;
+       means requantized exactly like ivf_topk);
+    3. encode the corpus: per (vector, subspace) the argmin-d² cid;
+    4. ADC search: each query precomputes an m×ksub dot-product LUT
+       against the codebooks; the approximate dot of query·vector is
+       the sum of m LUT lookups — a join on (m, cid) + sum, never
+       touching corpus vectors;
+    5. exact quantized-cosine rerank of the top-``cand`` ADC
+       candidates per query.
+
+    All similarity arithmetic is exact int64 up to the final IEEE
+    divisions, so even the APPROXIMATE scores hash-match the SQL twin.
+    Scale: codes + codebooks broadcast-size; the ADC join fans each
+    corpus code row out only to the (small) query batch."""
+    from pyspark.sql import Window
+
+    from frauddetection_spark.operators.graph import _track
+
+    q = _track(quantize(emb, vec_col).select("vec_id", "qv", "n2").persist())
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice("qv", mm * subdim + 1, subdim).alias("sub"),
+            )
+            for mm in range(m)
+        ]
+    )
+    # referenced by every Lloyd iteration, the encode pass and the LUT
+    subs = _track(
+        q.select("vec_id", F.explode(sub_structs).alias("s"))
+        .select("vec_id", "s.m", "s.sub")
+        .withColumn(
+            "sub_n2",
+            F.aggregate("sub", F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+        )
+        .persist()
+    )
+    cent = subs.filter(F.col("vec_id") < ksub).select(
+        "m",
+        F.col("vec_id").alias("cid"),
+        F.col("sub").alias("csub"),
+        F.col("sub_n2").alias("cn2"),
+    )
+    sub_dot = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    w_assign = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return (
+            subs.join(F.broadcast(cent_df), "m")
+            .withColumn(
+                "d2", F.col("sub_n2") + F.col("cn2") - 2 * sub_dot
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "cid")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        comp = (
+            subs.join(a, ["vec_id", "m"])
+            .select("m", "cid", F.posexplode("sub").alias("dim", "xv"))
+            .groupBy("m", "cid", "dim")
+            .agg(
+                F.round(F.sum("xv").cast("double") / F.count("*"))
+                .cast("bigint")
+                .alias("cv")
+            )
+        )
+        cent = _track(
+            comp.groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("csub")
+            )
+            .withColumn(
+                "cn2",
+                F.aggregate(
+                    "csub", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+                ),
+            )
+            .select("m", "cid", "csub", "cn2")
+            .persist()
+        )
+
+    codes = assign(cent).filter(F.col("vec_id") % qmod != 0)
+    lut = (
+        subs.filter(F.col("vec_id") % qmod == 0)
+        .select(F.col("vec_id").alias("query_id"), "m", "sub")
+        .join(F.broadcast(cent), "m")
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            F.aggregate(
+                F.zip_with("sub", "csub", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("ldot"),
+        )
+    )
+    adot = (
+        codes.join(lut, ["m", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor"))
+        .agg(F.sum("ldot").alias("adot"))
+    )
+    scored = (
+        adot.join(
+            q.select(F.col("vec_id").alias("neighbor"), F.col("n2").alias("nn2")),
+            "neighbor",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("query_id"), F.col("n2").alias("qn2")
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "acos",
+            F.col("adot").cast("double")
+            / F.sqrt(F.col("qn2").cast("double") * F.col("nn2").cast("double")),
+        )
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("neighbor").asc()
+    )
+    cands = (
+        scored.withColumn("crn", F.row_number().over(w_cand))
+        .filter(F.col("crn") <= cand)
+        .select("query_id", "neighbor")
+    )
+    pair_dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    rr = (
+        cands.join(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("qv").alias("qa"),
+                F.col("n2").alias("na"),
+            ),
+            "query_id",
+        )
+        .join(
+            q.select(
+                F.col("vec_id").alias("neighbor"),
+                F.col("qv").alias("qb"),
+                F.col("n2").alias("nb"),
+            ),
+            "neighbor",
+        )
+        .withColumn(
+            "cos",
+            pair_dot.cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor").asc()
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w_k).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor", "cos")
+    )
+
+
+def sql_pq(
+    k: int = 3,
+    m: int = 4,
+    subdim: int = 16,
+    ksub: int = 8,
+    iters: int = 1,
+    cand: int = 12,
+    qmod: int = 20,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` — subspace split as unrolled
+    UNION ALL slices, Lloyd as chained CTEs (sql_ivf's discipline),
+    ADC as the same (m, cid) join + sum."""
+    slices = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {mm} AS m,"
+        f" qv[{mm * subdim + 1}:{(mm + 1) * subdim}] AS sub FROM q"
+        for mm in range(m)
+    )
+    sub_dot = (
+        "CAST(list_sum(list_transform(list_zip(s.sub, c.csub),"
+        " x -> x[1] * x[2])) AS BIGINT)"
+    )
+    mean_terms = ", ".join(
+        f"CAST(round(CAST(sum(s.sub[{j}]) AS DOUBLE) / count(*)) AS BIGINT)"
+        for j in range(1, subdim + 1)
+    )
+    n2_terms = " + ".join(f"csub[{j}] * csub[{j}]" for j in range(1, subdim + 1))
+    ctes = [
+        f"q AS ({SQL_QUANTIZED})",
+        f"""subs0 AS (
+        {slices}
+    )""",
+        """subs AS (
+        SELECT vec_id, m, sub,
+               CAST(list_sum(list_transform(sub, x -> x * x)) AS BIGINT)
+                   AS sub_n2
+        FROM subs0
+    )""",
+        f"cent0 AS (SELECT m, vec_id AS cid, sub AS csub, sub_n2 AS cn2"
+        f" FROM subs WHERE vec_id < {ksub})",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""score{i} AS (
+        SELECT s.vec_id, s.m, c.cid,
+               s.sub_n2 + c.cn2 - 2 * {sub_dot} AS d2
+        FROM subs s JOIN cent{i} c ON s.m = c.m
+    )"""
+        )
+        ctes.append(
+            f"""assign{i} AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+            FROM score{i}) WHERE rn = 1
+    )"""
+        )
+        ctes.append(
+            f"""comp{i} AS (
+        SELECT a.m, a.cid, list_value({mean_terms}) AS csub
+        FROM assign{i} a
+        JOIN subs s ON a.vec_id = s.vec_id AND a.m = s.m
+        GROUP BY a.m, a.cid
+    )"""
+        )
+        ctes.append(
+            f"cent{i + 1} AS (SELECT m, cid, csub,"
+            f" CAST({n2_terms} AS BIGINT) AS cn2 FROM comp{i})"
+        )
+    final = f"cent{iters}"
+    ctes.append(
+        f"""fscore AS (
+        SELECT s.vec_id, s.m, c.cid,
+               s.sub_n2 + c.cn2 - 2 * {sub_dot} AS d2
+        FROM subs s JOIN {final} c ON s.m = c.m
+    )"""
+    )
+    ctes.append(
+        """fassign AS (
+        SELECT vec_id, m, cid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+            FROM fscore) WHERE rn = 1
+    )"""
+    )
+    ctes.append(
+        f"codes AS (SELECT vec_id, m, cid FROM fassign"
+        f" WHERE vec_id % {qmod} <> 0)"
+    )
+    ctes.append(
+        f"""lut AS (
+        SELECT s.vec_id AS query_id, s.m, c.cid, {sub_dot} AS ldot
+        FROM subs s JOIN {final} c ON s.m = c.m
+        WHERE s.vec_id % {qmod} = 0
+    )"""
+    )
+    ctes.append(
+        """adot AS (
+        SELECT l.query_id, c.vec_id AS neighbor,
+               CAST(sum(l.ldot) AS BIGINT) AS adot
+        FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+        GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        """scored AS (
+        SELECT a.query_id, a.neighbor,
+               CAST(a.adot AS DOUBLE)
+                   / sqrt(CAST(qq.n2 AS DOUBLE) * CAST(nn.n2 AS DOUBLE))
+                   AS acos
+        FROM adot a
+        JOIN q qq ON a.query_id = qq.vec_id
+        JOIN q nn ON a.neighbor = nn.vec_id
+    )"""
+    )
+    ctes.append(
+        f"""cands AS (
+        SELECT query_id, neighbor FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY acos DESC, neighbor) AS crn
+            FROM scored) WHERE crn <= {cand}
+    )"""
+    )
+    ctes.append(
+        """rr AS (
+        SELECT c.query_id, c.neighbor,
+               CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                    x -> x[1] * x[2])) AS DOUBLE)
+                   / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+        FROM cands c
+        JOIN q a ON c.query_id = a.vec_id
+        JOIN q b ON c.neighbor = b.vec_id
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, rank, neighbor, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor) AS rank
+        FROM rr
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """

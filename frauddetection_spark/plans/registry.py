@@ -157,6 +157,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_corr_pairs",
     "q_kcore",
     "q_repetition_ratio",
+    "q_ann_pq",
 )
 
 

@@ -260,3 +260,22 @@ def test_repetition_ratio_shares(spark, sf_dir):
         assert 0 < r["distinct_share"] <= 1.0
         # identity: top_share >= 1/n_distinct (pigeonhole)
         assert r["top_share"] * r["n_distinct"] >= 1.0 - 1e-9
+
+
+def test_pq_recall_floor_vs_exact_batch_knn(spark):
+    """PQ ADC + exact rerank must keep recall@3 ≥ 0.75 vs the exact
+    query-batch kNN at sf0.01 (measured 0.84 with m=8, ksub=32,
+    cand=64 on the near-uniform synthetic vectors — PQ's adversarial
+    case)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["neighbor"])
+        for r in REGISTRY["q_ann_query_batch"].fn(spark, sf).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor"])
+        for r in REGISTRY["q_ann_pq"].fn(spark, sf).collect()
+    }
+    release_caches()
+    assert len(pq) == len(exact)
+    assert len(exact & pq) / len(exact) >= 0.75

@@ -191,3 +191,22 @@ def duckdb_fixture(
         fh.write(fingerprint)
     os.replace(tmp_marker, marker)
     return path
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Incremental backfill sink: overwrite ONLY the partitions present
+    in ``df``, leaving every other partition directory untouched
+    (``partitionOverwriteMode=dynamic``). This is the idempotent daily
+    re-run pattern at 100 TB — recompute one day/region and replace its
+    directory atomically instead of rewriting the table or appending
+    duplicates. STATIC overwrite (the default) would truncate the whole
+    table first. Verified in tests/test_io.py: rewriting one partition
+    leaves sibling partitions byte-identical and replaces (not appends)
+    the target."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -237,3 +237,102 @@ def test_loader_adapts_both_ts_encodings(spark, sf_dir, tmp_path):
     s_us = sorted((r.event_id, r.ts) for r in spark.table("t_enc_us").collect())
     s_ns = sorted((r.event_id, r.ts) for r in spark.table("t_enc_ns").collect())
     assert s_us == s_ns == rows_us
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from frauddetection_spark.sources.io import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_dyn")
+    write_partitioned(li, path, ["l_returnflag"])
+    before = {
+        r["l_returnflag"]: (r["n"], r["q"])
+        for r in spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    # recompute ONE partition with modified rows (half the rows, x10)
+    patch = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") % 2 == 0))
+        .withColumn("l_quantity", F.col("l_quantity") * 10)
+    )
+    overwrite_partitions_dynamic(patch, path, ["l_returnflag"])
+    after = {
+        r["l_returnflag"]: (r["n"], r["q"])
+        for r in spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    # untouched partitions identical; target REPLACED (no append)
+    for flag, stats in before.items():
+        if flag == "R":
+            continue
+        assert after[flag] == stats
+    n_patch = patch.count()
+    assert after["R"][0] == n_patch
+    assert after["R"][0] < before["R"][0]
+
+
+def test_dynamic_partition_pruning_in_partitioned_join(
+    spark, sf_dir, tmp_path
+):
+    """A join between a partitioned fact and a FILTERED dim must inject
+    a runtime partition filter (DPP) on the fact scan — at 100 TB this
+    is the difference between scanning one date directory and the whole
+    table when the pruning key arrives via a join instead of a literal
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from frauddetection_spark.sources.io import write_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_pk", (F.col("o_orderkey") % 10).cast("int")
+    )
+    path = str(tmp_path / "orders_dpp")
+    write_partitioned(orders, path, ["o_pk"])
+    fact = spark.read.parquet(path)
+    # dim filtered on a NON-join column: partition values are only
+    # known at runtime, so the scan must get a dynamicpruning filter
+    dim = (
+        spark.range(10)
+        .select(
+            F.col("id").cast("int").alias("o_pk"),
+            (F.col("id") % 3).alias("tag"),
+        )
+        .filter(F.col("tag") == 1)
+    )
+    joined = fact.join(dim, "o_pk").groupBy("o_pk").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and when the dim filter IS a literal on the join key, Catalyst
+    # propagates it through the join as a STATIC partition filter —
+    # strictly better than DPP (pruning at plan time, no subquery)
+    lit_dim = (
+        spark.range(10)
+        .select(F.col("id").cast("int").alias("o_pk"))
+        .filter(F.col("o_pk") == 3)
+    )
+    lit_plan = (
+        fact.join(lit_dim, "o_pk")
+        .groupBy("o_pk")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*o_pk#\d+ = 3", lit_plan), (
+        lit_plan[:2000]
+    )

@@ -51,6 +51,10 @@ HEADLINE = [
     # query-batch ANN (the serving shape)
     "q_quantile_grid",
     "q_ann_query_batch",
+    # round-4b additions: compressed-index ANN (PQ codes + ADC) and
+    # the three-pass distributed-ntile segmentation
+    "q_ann_pq",
+    "q_rfm",
 ]
 
 

@@ -158,6 +158,10 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_kcore",
     "q_repetition_ratio",
     "q_ann_pq",
+    "q_autocorr",
+    "q_quantile_interp",
+    "q_bootstrap_means",
+    "q_python_udtf",
 )
 
 

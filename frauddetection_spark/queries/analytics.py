@@ -1557,3 +1557,33 @@ def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select("user_id", F.explode("type_counts").alias("event_type", "cnt"))
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A3+ — mergeable HLL sketch rollup (re-aggregatable count-distinct)
+# ---------------------------------------------------------------------------
+
+
+@register("q_hll_rollup", oracle=None, survey="A3", doc="rows-only: sketch bytes are engine-internal")
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches-HLL rollup: per-(type, week) user sketches merged
+    into per-type distinct-user estimates — the MERGEABLE-sketch
+    pattern that makes count-distinct re-aggregatable: at 100 TB the
+    weekly sketches are tiny materialized aggregates, and any coarser
+    grain (month, all-time, cross-type) is a union of sketch bytes —
+    no raw re-scan, unlike exact count(DISTINCT) which cannot reuse
+    finer-grain results. Engine-internal sketch encoding ⇒ rows-only
+    driver check; the estimate-vs-exact error bound (<5% at lgK=12)
+    is pinned in tests/test_fraud.py."""
+    e = t(spark, sf_dir, "events")
+    weekly = e.groupBy("event_type", week_str().alias("week")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        weekly.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_weeks"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.rank import prefix_max, prefix_rank
 from frauddetection_spark.plans.registry import register
-from frauddetection_spark.queries._util import cents, t
+from frauddetection_spark.queries._util import SQL_WEEK, cents, t, week_str
 
 # double-swipe window (same (user, amount) pair within 10 minutes)
 SWIPE_GAP_US = 600 * 1_000_000
@@ -799,3 +799,318 @@ def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / F.sqrt(denx * deny)).alias("corr"),
         (num / denx).alias("beta"),
     ).orderBy("flag")
+
+
+# ---------------------------------------------------------------------------
+# lag-1 autocorrelation of weekly spend (A8/A10 family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+    WITH wk AS (
+        SELECT user_id, {SQL_WEEK.format(ts="ts")} AS week,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS wc
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, wc AS y,
+               lag(wc) OVER (PARTITION BY user_id ORDER BY week) AS x
+        FROM wk
+    ),
+    s AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM p WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+               AS r1
+    FROM s
+    WHERE n * sxx - CAST(sx AS HUGEINT) * sx > 0
+      AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+    ORDER BY user_id
+    """,
+    survey="A8,A10",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's weekly spend — the
+    burstiness/regularity feature (is this week's spend predicted by
+    last week's?). Same exact-sufficient-statistic discipline as
+    q_corr_pairs: lag pairs via a per-user window, second moments in
+    decimal(38,0)/HUGEINT, one identical-form corr expression;
+    zero-variance users filtered in BOTH twins (their r1 is 0/0).
+    Scale: one shuffle to weekly grain, one window on user_id, one
+    aggregate — all on the weekly relation, not raw events."""
+    e = t(spark, sf_dir, "events")
+    wk = e.groupBy("user_id", week_str().alias("week")).agg(
+        F.sum(cents("value")).alias("wc")
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    p = wk.select(
+        "user_id",
+        F.col("wc").alias("y"),
+        F.lag("wc").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    dec = "decimal(38,0)"
+    s = p.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
+    return (
+        s.filter((varx > 0) & (vary > 0))
+        .select(
+            "user_id",
+            "n",
+            (num / F.sqrt(varx.cast("double") * vary.cast("double"))).alias(
+                "r1"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpolated quantiles — percentile_cont twin of q_quantile_grid (A4)
+# ---------------------------------------------------------------------------
+
+_INTERP_QUANTILES = (("p50", 1, 2), ("p90", 9, 10))
+_SQL_INTERP_VALUES = ", ".join(
+    f"('{lbl}', {num}, {den})" for lbl, num, den in _INTERP_QUANTILES
+)
+
+
+@register(
+    "q_quantile_interp",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS grn,
+               count(*) OVER (PARTITION BY event_type) AS nn
+        FROM c
+    ),
+    q(q_label, num, den) AS (VALUES {_SQL_INTERP_VALUES}),
+    ix AS (
+        SELECT DISTINCT r.event_type, r.nn, q.q_label, q.num, q.den,
+               ((r.nn - 1) * q.num) // q.den + 1 AS lo_grn,
+               CAST(((r.nn - 1) * q.num) % q.den AS DOUBLE) / q.den AS frac
+        FROM r CROSS JOIN q
+    )
+    SELECT i.event_type AS event_type, i.q_label AS q_label,
+           CAST(lo.c AS DOUBLE)
+             + (CAST(COALESCE(hi.c, lo.c) AS DOUBLE) - CAST(lo.c AS DOUBLE))
+               * i.frac AS value_interp,
+           CAST(i.nn AS BIGINT) AS n
+    FROM ix i
+    JOIN r lo ON lo.event_type = i.event_type AND lo.grn = i.lo_grn
+    LEFT JOIN r hi ON hi.event_type = i.event_type
+                  AND hi.grn = i.lo_grn + 1
+    ORDER BY i.event_type, i.q_label
+    """,
+    survey="A4,A14",
+)
+def q_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont (linearly interpolated) p50/p90 per event_type —
+    the continuous twin of q_quantile_grid's percentile_disc. The
+    interpolation position h = (n−1)·q is kept EXACT as an integer
+    pair (lo = h div den, frac = (h mod den)/den), so the only doubles
+    are the final identical-form lerp — no float q·n drift. Same
+    prefix_rank scale shape as the grid: range-partitioned global
+    ranks, per-group offsets broadcast, the two bracketing rows fetched
+    by rank join (never a per-group sort in one task)."""
+    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    e = t(spark, sf_dir, "events")
+    c = e.select("event_type", "event_id", cents("value").alias("c"))
+    ranked = _track(
+        prefix_rank(
+            c, [F.col("event_type"), F.col("c"), F.col("event_id")]
+        ).persist()
+    )
+    goff = ranked.groupBy("event_type").agg(
+        F.min("rn").alias("rn0"), F.count("*").alias("nn")
+    )
+    r = ranked.join(F.broadcast(goff), "event_type").withColumn(
+        "grn", F.col("rn") - F.col("rn0") + 1
+    )
+    fr = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lbl).alias("q_label"),
+                            F.lit(num).cast("bigint").alias("num"),
+                            F.lit(den).cast("bigint").alias("den"),
+                        )
+                        for lbl, num, den in _INTERP_QUANTILES
+                    ]
+                )
+            ).alias("f")
+        )
+        .select("f.*")
+    )
+    ix = (
+        goff.crossJoin(F.broadcast(fr))
+        .select(
+            "event_type",
+            "nn",
+            "q_label",
+            (((F.col("nn") - 1) * F.col("num")) / F.col("den"))
+            .cast("bigint")
+            .alias("_lo0"),
+            (
+                (((F.col("nn") - 1) * F.col("num")) % F.col("den")).cast(
+                    "double"
+                )
+                / F.col("den")
+            ).alias("frac"),
+        )
+        .withColumn("lo_grn", F.col("_lo0") + 1)
+        .drop("_lo0")
+    )
+    lo = r.select("event_type", F.col("grn").alias("lo_grn"), F.col("c").alias("lo_c"))
+    hi = r.select(
+        "event_type",
+        (F.col("grn") - 1).alias("lo_grn"),
+        F.col("c").alias("hi_c"),
+    )
+    return (
+        ix.join(lo, ["event_type", "lo_grn"])
+        .join(hi, ["event_type", "lo_grn"], "left")
+        .select(
+            "event_type",
+            "q_label",
+            (
+                F.col("lo_c").cast("double")
+                + (
+                    F.coalesce(F.col("hi_c"), F.col("lo_c")).cast("double")
+                    - F.col("lo_c").cast("double")
+                )
+                * F.col("frac")
+            ).alias("value_interp"),
+            F.col("nn").cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "q_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap — distribution-free CIs at scale (R/A10)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 8  # bootstrap replicas
+
+# Poisson(1) inverse-CDF thresholds c_k = e⁻¹·Σ_{j≤k} 1/j!, emitted as
+# LITERALS into both twins (same decimal string → same double in both
+# engines; no cross-engine libm involved at query time).
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+)
+
+
+def _poisson_case(u: str) -> str:
+    """CASE cascade mapping a uniform ``u`` to a Poisson(1) draw via
+    inverse CDF — valid Spark SQL *and* DuckDB SQL (single source)."""
+    whens = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {whens} ELSE {len(_POIS_CDF)} END"
+
+
+# uniform in [0,1) from the replica-salted row key (same Knuth hash
+# discipline as q_reservoir_group; event_id·B + b stays far inside
+# int64 after the mod-P reduction)
+_BOOT_U = (
+    f"CAST(((event_id * {_BOOT_B} + b) % {_RES_P}) * {_RES_A} % {_RES_P}"
+    f" AS DOUBLE) / {_RES_P}"
+)
+
+
+@register(
+    "q_bootstrap_means",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    rep AS (
+        SELECT x.*, b FROM x
+        CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b)
+    ),
+    w AS (
+        SELECT event_type, b, c,
+               {_poisson_case(_BOOT_U)} AS w
+        FROM rep
+    )
+    SELECT event_type, CAST(b AS BIGINT) AS replica,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * c) AS DOUBLE) / sum(w) AS mean_cents
+    FROM w GROUP BY 1, 2
+    ORDER BY event_type, replica
+    """,
+    survey="R4,A10",
+)
+def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the per-type mean — the distribution-free
+    confidence-interval machinery that actually works at 100 TB:
+    classic resampling needs n draws WITH replacement from a global
+    index (impossible distributed), the Poisson(1) approximation gives
+    every row an i.i.d. replica weight in a single map-side pass.
+    Weights are DETERMINISTIC (replica-salted Knuth hash → uniform →
+    inverse-CDF with the 8 Poisson thresholds embedded as identical
+    literals in both twins), so the whole Monte-Carlo procedure is
+    replayable and oracle-checkable: n_eff and every weighted mean
+    hash-match DuckDB. The spread of the 8 replica means IS the
+    standard-error estimate. Scale: the only cost over a plain mean is
+    the ×8 row expansion, all map-side before the one aggregate."""
+    e = t(spark, sf_dir, "events")
+    x = e.select("event_type", "event_id", cents("value").alias("c"))
+    rep = x.crossJoin(
+        F.broadcast(
+            spark.range(_BOOT_B).select(F.col("id").cast("bigint").alias("b"))
+        )
+    )
+    w = rep.withColumn("w", F.expr(_poisson_case(_BOOT_U)))
+    return (
+        w.groupBy("event_type", F.col("b").alias("replica"))
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            (
+                F.sum(F.col("w") * F.col("c")).cast("double") / F.sum("w")
+            ).alias("mean_cents"),
+        )
+        .orderBy("event_type", "replica")
+    )

@@ -261,3 +261,79 @@ def q_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_mean("value").alias("mean_value"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# E8 — Python UDTF (table function): one row in, N rows out
+# ---------------------------------------------------------------------------
+
+INSTALLMENT_CENTS = 10_000_000  # 100k$ per installment
+MAX_INSTALLMENTS = 12
+
+
+@register(
+    "q_python_udtf",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+        FROM orders
+    ),
+    n AS (
+        SELECT o_orderkey, amt,
+               LEAST(CAST(ceil(CAST(amt AS DOUBLE) / {INSTALLMENT_CENTS})
+                          AS BIGINT), {MAX_INSTALLMENTS}) AS n_inst
+        FROM o
+    )
+    SELECT o_orderkey,
+           CAST(i AS INTEGER) AS installment,
+           CAST(CASE WHEN i < n_inst THEN {INSTALLMENT_CENTS}
+                     ELSE amt - (n_inst - 1) * {INSTALLMENT_CENTS}
+                END AS BIGINT) AS amount_cents
+    FROM n, unnest(range(1, n_inst + 1)) AS t(i)
+    ORDER BY o_orderkey, installment
+    """,
+    survey="E8",
+)
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (the last cell of the E8 matrix after
+    scalar / grouped-agg / grouped-map / mapInPandas): a table function
+    expanding each order into its installment schedule — 1 row in,
+    up to MAX_INSTALLMENTS rows out, final installment carries the
+    exact-cents remainder. The UDTF is invoked through the SQL TVF
+    surface with a LATERAL correlation, the API a migrating user
+    actually calls. Row-at-a-time Python is the documented slow path
+    (SURVEY §2.8 E8) — the point here is the SEMANTICS + wiring (Arrow
+    batches, schema declaration, lateral binding); the identical
+    expansion is expressible as the sequence-explode the oracle runs,
+    which is also the 100-TB plan."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="installment int, amount_cents bigint")
+    class Installments:
+        def eval(self, amt: int):
+            if amt is None:
+                return
+            n_inst = min(
+                -(-amt // INSTALLMENT_CENTS), MAX_INSTALLMENTS
+            )
+            for i in range(1, n_inst + 1):
+                if i < n_inst:
+                    yield i, INSTALLMENT_CENTS
+                else:
+                    yield i, amt - (n_inst - 1) * INSTALLMENT_CENTS
+
+    spark.udtf.register("fd_installments", Installments)
+    from frauddetection_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, s.installment, s.amount_cents
+        FROM (SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+              FROM orders) o,
+             LATERAL fd_installments(o.amt) s
+        ORDER BY o.o_orderkey, s.installment
+        """
+    )

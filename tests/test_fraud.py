@@ -279,3 +279,106 @@ def test_pq_recall_floor_vs_exact_batch_knn(spark):
     release_caches()
     assert len(pq) == len(exact)
     assert len(exact & pq) / len(exact) >= 0.75
+
+
+def test_autocorr_bounds(spark, sf_dir):
+    rows = REGISTRY["q_autocorr"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(-1.0 - 1e-12 <= r["r1"] <= 1.0 + 1e-12 for r in rows)
+
+
+def test_quantile_interp_between_disc_neighbors(spark, sf_dir):
+    """Interpolated p50/p90 must lie within [min, max] of the group's
+    exact values and be >= the p50 <= p90 ordering per group."""
+    rows = REGISTRY["q_quantile_interp"].fn(spark, sf_dir).collect()
+    release_caches()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["q_label"]] = r[
+            "value_interp"
+        ]
+    for typ, q in by_type.items():
+        assert set(q) == {"p50", "p90"}
+        assert q["p50"] <= q["p90"] + 1e-9
+
+
+def test_bootstrap_means_hover_around_true_mean(spark, sf_dir):
+    from frauddetection_spark.queries.fraud import _BOOT_B
+
+    true = {
+        r["event_type"]: r["m"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg((F.sum(cents("value")).cast("double") / F.count("*")).alias("m"))
+        .collect()
+    }
+    n_rows = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rows = REGISTRY["q_bootstrap_means"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], []).append(r)
+    for typ, reps in per.items():
+        assert len(reps) == _BOOT_B
+        for r in reps:
+            # Poisson(1) weights: n_eff concentrates near n (±5 sigma)
+            assert abs(r["n_eff"] - n_rows[typ]) < 5 * (n_rows[typ] ** 0.5) + 10
+        # replica means bracket the true mean most of the time; assert
+        # the loose envelope: true mean within [min, max] ± small slack
+        ms = [r["mean_cents"] for r in reps]
+        spread = max(ms) - min(ms) + 1e-6
+        assert min(ms) - spread <= true[typ] <= max(ms) + spread
+
+
+def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["q_hll_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for typ in exact:
+        assert abs(est[typ] - exact[typ]) <= max(0.05 * exact[typ], 2), typ
+
+
+def test_python_udtf_schedule_sums_to_total(spark, sf_dir):
+    from frauddetection_spark.queries.python_surface import (
+        INSTALLMENT_CENTS,
+        MAX_INSTALLMENTS,
+    )
+
+    rows = REGISTRY["q_python_udtf"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["o_orderkey"], []).append(r)
+    totals = {
+        r["k"]: r["amt"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("amt"),
+        )
+        .collect()
+    }
+    for k, insts in per.items():
+        insts.sort(key=lambda r: r["installment"])
+        assert [r["installment"] for r in insts] == list(
+            range(1, len(insts) + 1)
+        )
+        assert len(insts) <= MAX_INSTALLMENTS
+        if len(insts) < MAX_INSTALLMENTS:
+            # uncapped: amounts reconstruct the exact total
+            assert sum(r["amount_cents"] for r in insts) == totals[k]
+        for r in insts[:-1]:
+            assert r["amount_cents"] == INSTALLMENT_CENTS

@@ -871,33 +871,104 @@ def pq_topk(
             ).alias("ldot"),
         )
     )
-    adot = (
-        codes.join(lut, ["m", "cid"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor"))
-        .agg(F.sum("ldot").alias("adot"))
+    # ADC as a cogrouped numpy LUT-gather kernel. The relational form
+    # (codes ⋈ lut on (m, cid) → groupBy sum) materializes
+    # |corpus|·|queries|·m shuffle rows — ~10⁹ at sf0.1 — because every
+    # code row matches every query; ADC's whole point is that those
+    # "rows" are table lookups. Layout mirrors query_batch_topk: codes
+    # stay in their hash block, every query's LUT is replicated onto
+    # each block, the kernel gathers adot[q, x] = Σ_m LUT[q, m, code]
+    # as m int64 numpy gathers (exact in any order → still hash-equal
+    # to the SQL twin). Per-block top-`cand` tiles merge under the same
+    # (acos DESC, neighbor) order globally.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    scored = (
-        adot.join(
-            q.select(F.col("vec_id").alias("neighbor"), F.col("n2").alias("nn2")),
-            "neighbor",
+
+    n_blocks = 32
+    codes_wide = (
+        codes.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"],
+            ).alias("code")
         )
-        .join(
+        .join(q.select("vec_id", "n2"), "vec_id")
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    )
+    lut_rep = (
+        lut.join(
             q.select(
                 F.col("vec_id").alias("query_id"), F.col("n2").alias("qn2")
             ),
             "query_id",
         )
-        .withColumn(
-            "acos",
-            F.col("adot").cast("double")
-            / F.sqrt(F.col("qn2").cast("double") * F.col("nn2").cast("double")),
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    )
+    tile_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor", LongType()),
+            StructField("acos", DoubleType()),
+        ]
+    )
+    n_m, n_ksub = m, ksub
+
+    def adc_kernel(_key, lt: pd.DataFrame, ct: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor": [], "acos": []}
+        ).astype(
+            {"query_id": "int64", "neighbor": "int64", "acos": "float64"}
         )
+        ct = ct[ct["n2"].to_numpy() > 0]
+        lt = lt[lt["qn2"].to_numpy() > 0]
+        if lt.empty or ct.empty:
+            return empty
+        qids = np.sort(lt["query_id"].unique())
+        qpos = {int(qq): i for i, qq in enumerate(qids)}
+        # dense LUT tensor [nq, m*ksub] (int64, exact)
+        T = np.zeros((len(qids), n_m * n_ksub), dtype=np.int64)
+        li = lt["query_id"].map(qpos).to_numpy()
+        T[li, lt["m"].to_numpy() * n_ksub + lt["cid"].to_numpy()] = lt[
+            "ldot"
+        ].to_numpy()
+        qn2 = np.zeros(len(qids), dtype=np.float64)
+        qn2[li] = lt["qn2"].to_numpy()
+        C = np.stack(ct["code"].to_numpy()).astype(np.int64)  # [nx, m]
+        xids = ct["vec_id"].to_numpy()
+        xn2 = ct["n2"].to_numpy().astype(np.float64)
+        adot = np.zeros((len(qids), len(xids)), dtype=np.int64)
+        for mm in range(n_m):
+            adot += T[:, mm * n_ksub + C[:, mm]]
+        acos = adot / np.sqrt(qn2[:, None] * xn2[None, :])
+        out_q, out_n, out_a = [], [], []
+        for i, qid in enumerate(qids):
+            row = acos[i]
+            mask = xids != qid  # queries never match themselves
+            order = np.lexsort((xids[mask], -row[mask]))[:cand]
+            out_q.extend([int(qid)] * len(order))
+            out_n.extend(xids[mask][order].tolist())
+            out_a.extend(row[mask][order].tolist())
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor": out_n, "acos": out_a}
+        )
+
+    tiles = (
+        lut_rep.groupBy("b")
+        .cogroup(codes_wide.groupBy("b"))
+        .applyInPandas(adc_kernel, schema=tile_schema)
     )
     w_cand = Window.partitionBy("query_id").orderBy(
         F.col("acos").desc(), F.col("neighbor").asc()
     )
     cands = (
-        scored.withColumn("crn", F.row_number().over(w_cand))
+        tiles.withColumn("crn", F.row_number().over(w_cand))
         .filter(F.col("crn") <= cand)
         .select("query_id", "neighbor")
     )

@@ -210,3 +210,67 @@ def overwrite_partitions_dynamic(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    key_a: str,
+    key_b: str,
+    n_partitions: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) layout over TWO numeric keys — the
+    multi-dimension file-pruning technique (Delta OPTIMIZE ZORDER BY's
+    core): each key is rank-normalized to 2^bits levels, the two
+    bit-strings are interleaved into one Morton value, and files are
+    range-split + sorted on it. A single-key sort makes the OTHER
+    key's per-file min/max spans useless (every file spans the full
+    range); the Z-curve keeps every file a small rectangle in (a, b)
+    space, so parquet row-group stats prune on BOTH predicates.
+    Verified in tests/test_io.py: mean per-file span shrinks
+    dramatically on the second dim vs a single-key sort.
+
+    Rank bucketing (via the two-phase prefix_rank — O(1) per row, no
+    cutpoint arrays) makes the curve robust to skewed value
+    distributions. Cost: two range shuffles for the ranks + one for
+    the final layout — a write-side job, amortized over every
+    downstream 2-D-predicate read."""
+    from pyspark.sql import functions as F
+
+    from frauddetection_spark.operators.graph import release_caches
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    levels = 1 << bits
+    ra = prefix_rank(
+        df, [F.col(key_a), F.col(key_b)], total_count="_n"
+    ).withColumnRenamed("rn", "_rna")
+    rb = prefix_rank(
+        ra, [F.col(key_b), F.col(key_a)], total_count="_n2"
+    ).withColumnRenamed("rn", "_rnb")
+    bucketed = rb.withColumn(
+        "_ba", ((F.col("_rna") - 1) * levels / F.col("_n")).cast("bigint")
+    ).withColumn(
+        "_bb", ((F.col("_rnb") - 1) * levels / F.col("_n2")).cast("bigint")
+    )
+    # interleave bits: z = Σ_i ((ba>>i & 1) << 2i+1 | (bb>>i & 1) << 2i)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(F.col("_ba"), i).bitwiseAND(1).cast("bigint")
+               * F.lit(1 << (2 * i + 1)))
+            + (F.shiftright(F.col("_bb"), i).bitwiseAND(1).cast("bigint")
+               * F.lit(1 << (2 * i)))
+        )
+    (
+        bucketed.withColumn("_z", z)
+        .repartitionByRange(n_partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_rna", "_rnb", "_n", "_n2", "_ba", "_bb", "_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    # the two prefix_rank passes persist their range frames; the write
+    # is the final action, so release them eagerly here
+    release_caches()

@@ -336,3 +336,62 @@ def test_dynamic_partition_pruning_in_partitioned_join(
     assert re.search(r"PartitionFilters: \[[^\]]*o_pk#\d+ = 3", lit_plan), (
         lit_plan[:2000]
     )
+
+
+def test_zorder_shrinks_second_dim_file_spans(spark, sf_dir, tmp_path):
+    """Z-order vs single-key sort: per-file min/max span of the SECOND
+    key must shrink by a large factor (that span is what parquet
+    row-group pruning uses for predicates on that key)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from frauddetection_spark.sources.io import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    # 32 files: each covers ~1/32 of the Z-curve, i.e. a ~(1/5.7)-side
+    # rectangle — enough resolution that the 15-user sf0.001 domain
+    # still shows the rectangle property
+    n_files = 32
+    p_single = str(tmp_path / "single")
+    p_z = str(tmp_path / "zorder")
+    write_range_sorted(e, p_single, ["us"], n_files)
+    write_zordered(e, p_z, "us", "user_id", n_files)
+
+    def mean_span(path, col):
+        spans = []
+        for f in _glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    full_span = (
+        e.agg(
+            (F.max("user_id") - F.min("user_id")).alias("s")
+        ).first()["s"]
+    )
+    single_span = mean_span(p_single, "user_id")
+    z_span = mean_span(p_z, "user_id")
+    # single-key sort: every file spans ~the whole user range
+    assert single_span > 0.8 * full_span
+    # z-order: files are rectangles — second-dim span shrinks hard
+    assert z_span < 0.45 * single_span
+    # and the first dim still prunes usefully (files don't span the
+    # whole time range)
+    us_full = e.agg((F.max("us") - F.min("us")).alias("s")).first()["s"]
+    assert mean_span(p_z, "us") < 0.75 * us_full

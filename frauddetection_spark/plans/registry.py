@@ -55,12 +55,36 @@ _QUERY_MODULES = (
 
 
 def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
-    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog."""
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the catalog.
+
+    The registered callable releases every TRACKED cache left by prior
+    query constructions before building its own plan: a long driver
+    session runs hundreds of queries back-to-back and the per-query
+    persists (shingle frontiers, rank frames, IVF/PQ codebooks) would
+    otherwise accumulate until executor memory pressure inflates later
+    queries 1.5-3× (the round-3 bench regression, now structurally
+    impossible in ANY runner, not just bench.py). Unpersist is always
+    correctness-safe — a still-referenced plan just recomputes."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey=survey, doc=doc or (fn.__doc__ or ""))
+
+        def guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from frauddetection_spark.operators.graph import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        guarded.__name__ = fn.__name__
+        guarded.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            fn=guarded,
+            oracle=oracle,
+            survey=survey,
+            doc=doc or (fn.__doc__ or ""),
+        )
         return fn
 
     return wrap
@@ -162,6 +186,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_quantile_interp",
     "q_bootstrap_means",
     "q_python_udtf",
+    "q_skew_probe",
 )
 
 

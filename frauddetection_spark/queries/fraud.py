@@ -1114,3 +1114,54 @@ def q_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "replica")
     )
+
+
+# ---------------------------------------------------------------------------
+# shuffle-skew probe — heavy-hitter diagnostics (A14/ops family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_probe",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+    tot AS (
+        SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows FROM c
+    ),
+    top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10)
+    SELECT t.user_id, t.n, tt.n_keys, tt.n_rows,
+           CAST(t.n AS DOUBLE) / tt.n_rows AS share,
+           CAST(t.n AS DOUBLE) * tt.n_keys / tt.n_rows AS x_mean
+    FROM top t, tot tt ORDER BY t.n DESC, t.user_id
+    """,
+    survey="A14,A2",
+)
+def q_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter probe for a prospective shuffle key: top-10 keys by
+    row count with their share of the table and their multiple of the
+    mean key size — the diagnostic an engineer runs BEFORE choosing
+    between a plain shuffle, AQE skew split, or the manual salted join
+    (q_join_salted): x_mean ≳ reducer-count means one key dominates a
+    whole task. Top-k rides TakeOrdered (per-partition partial top-10,
+    no global sort); totals broadcast. Deterministic tie-break on
+    (n DESC, user_id) in both twins."""
+    e = t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = c.agg(
+        F.count("*").alias("n_keys"), F.sum("n").cast("bigint").alias("n_rows")
+    )
+    top = c.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            "n_keys",
+            "n_rows",
+            (F.col("n").cast("double") / F.col("n_rows")).alias("share"),
+            (
+                F.col("n").cast("double") * F.col("n_keys") / F.col("n_rows")
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+    )

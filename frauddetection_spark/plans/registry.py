@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.llm_pipeline",
     "frauddetection_spark.queries.analytics",
     "frauddetection_spark.queries.fraud",
+    "frauddetection_spark.queries.behavior",
 )
 
 
@@ -199,6 +200,11 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_bootstrap_means",
     "q_python_udtf",
     "q_skew_probe",
+    "q_funnel_paths",
+    "q_markov_transitions",
+    "q_lorenz_gini",
+    "q_assortativity",
+    "q_lateral_topk",
 )
 
 

@@ -1,0 +1,343 @@
+"""Sequential-behavior and concentration analytics: event-path mining,
+Markov transition matrices, Lorenz/Gini concentration, graph degree
+assortativity, and the correlated-LATERAL SQL surface.
+
+Same exact-arithmetic oracle discipline as queries/fraud.py: integer
+counts/cents end-to-end, doubles only through expressions written
+identically in both twins, decimal(38,0)/HUGEINT where second moments
+could overflow int64 at 100-TB cardinalities.
+
+Reference parity: the reference models per-user behavior as bag-of-
+features (src/utils.py:245-261) and graph structure as degree tables
+(data_process.py:131-144); these queries add the ORDER-sensitive
+sequence surface (paths, transitions) and the distributional summaries
+(Gini, assortativity) a behavioral-risk pipeline reports on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import cents, t
+
+PATH_STEPS = 3
+
+
+# ---------------------------------------------------------------------------
+# event-path mining (first-K funnel paths)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel_paths",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    p AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM o WHERE rn <= {PATH_STEPS}
+        GROUP BY user_id HAVING count(*) = {PATH_STEPS}
+    )
+    SELECT path, count(*) AS n_users
+    FROM p GROUP BY 1 ORDER BY path
+    """,
+    survey="A8,A13",
+)
+def q_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's FIRST {K} event types as an ordered
+    path string ("click>view>purchase") — entry-path mining, the
+    order-sensitive sibling of the funnel. The per-user sequence is
+    assembled from a sorted collect (sort_array over (rn, type)
+    structs — deterministic, unlike bare collect_list), users with
+    fewer than K events are excluded in both twins. Scale: the window
+    ranks only rows with rn ≤ K surviving to the aggregate; one
+    shuffle on user_id, one on path."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= PATH_STEPS)
+    p = (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("path"),
+        )
+        .filter(F.col("k") == PATH_STEPS)
+    )
+    return (
+        p.groupBy("path").agg(F.count("*").alias("n_users")).orderBy("path")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY from_type) AS prob
+    FROM c ORDER BY from_type, to_type
+    """,
+    survey="A8,A11",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types within each
+    user's timeline — the behavioral-sequence model behind next-action
+    scoring. Transition counts are exact; each row's probability is one
+    int division against its from-state marginal (a window over the
+    |types|² matrix, not the events). One window shuffle on user_id,
+    one aggregate to the tiny matrix."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = (
+        o.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        ).agg(F.count("*").alias("n"))
+    )
+    return (
+        c.select(
+            "from_type",
+            "to_type",
+            "n",
+            (
+                F.col("n").cast("double")
+                / F.sum("n").over(Window.partitionBy("from_type"))
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz / Gini spend concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lorenz_gini",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM s
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(x) AS BIGINT) AS total_cents,
+           2.0 * CAST(sum(CAST(i AS HUGEINT) * x) AS DOUBLE)
+               / (count(*) * CAST(sum(x) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini
+    FROM r
+    """,
+    survey="A10,A14",
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of spend concentration across users — "do 1%
+    of accounts carry 90% of volume", the distributional summary risk
+    teams watch. Closed form over ranked totals: G = 2·Σ i·xᵢ/(n·Σx)
+    − (n+1)/n with xᵢ ascending. Ranks come from the two-phase
+    prefix_rank (never a global single-reducer window); Σ i·x
+    accumulates in decimal(38,0)/HUGEINT (rank × cents overflows int64
+    at ~10⁹ users). The three final float ops are written identically
+    in both twins."""
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(F.sum(cents("value")).alias("x"))
+    r = prefix_rank(s, [F.col("x").asc(), F.col("user_id").asc()])
+    return r.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total_cents"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("rn").cast("decimal(38,0)") * F.col("x")).cast(
+                "double"
+            )
+            / (F.count("*") * F.sum("x").cast("double"))
+            - (F.count("*") + 1).cast("double") / F.count("*")
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_assortativity",
+    oracle="""
+    WITH dir AS (
+        SELECT DISTINCT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dir WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM dir WHERE src <> dst
+        )
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+    xy AS (
+        SELECT da.d AS x, db.d AS y
+        FROM und e
+        JOIN deg da ON e.src = da.node
+        JOIN deg db ON e.dst = db.node
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM xy
+    )
+    SELECT n AS n_directed_edges,
+           CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+               AS assortativity
+    FROM s
+    """,
+    survey="J5,A10",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the contact graph — do hubs connect to
+    hubs (r>0, social) or to leaves (r<0, star/fraud-hub topology)?
+    Pearson correlation of endpoint degrees over the mirrored edge
+    list (each undirected edge contributes both orientations — the
+    standard estimator, and symmetric by construction). Exact-int
+    sufficient statistics in decimal/HUGEINT; same bit-equal corr
+    expression as q_corr_pairs. Scale: degrees are one aggregate,
+    endpoint join is two key-partitioned joins on the edge list."""
+    from frauddetection_spark.operators.graph import edges_from_events
+
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    no_self = e.filter(F.col("src") != F.col("dst"))
+    und = no_self.union(
+        no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    xy = (
+        und.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "x")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "y"),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
+    denx = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    deny = (
+        F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        (num / F.sqrt(denx * deny)).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# correlated LATERAL subquery (SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lateral_topk",
+    oracle="""
+    SELECT u.user_id, s.event_id, s.amt_cents
+    FROM (SELECT DISTINCT user_id FROM events) u,
+    LATERAL (
+        SELECT event_id,
+               CAST(round(value * 100) AS BIGINT) AS amt_cents
+        FROM events e
+        WHERE e.user_id = u.user_id
+        ORDER BY amt_cents DESC, event_id
+        LIMIT 2
+    ) s
+    ORDER BY u.user_id, s.event_id
+    """,
+    survey="A14,P2",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery surface: per-user top-2 amounts
+    stated as "for each user, run this ordered/limited subquery" — the
+    SQL shape users port from warehouses. Spark's optimizer decorrelates
+    the lateral ORDER BY/LIMIT into a joined window plan (no per-user
+    re-execution), which is exactly the rewrite a 100-TB engine must
+    do; the query pins that the surface EXISTS and that both engines'
+    decorrelation agrees. Identical SQL text runs on both engines."""
+    from frauddetection_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT u.user_id, s.event_id, s.amt_cents
+        FROM (SELECT DISTINCT user_id FROM events) u,
+        LATERAL (
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) AS amt_cents
+            FROM events e
+            WHERE e.user_id = u.user_id
+            ORDER BY amt_cents DESC, event_id
+            LIMIT 2
+        ) s
+        ORDER BY u.user_id, s.event_id
+        """
+    )

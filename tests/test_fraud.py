@@ -382,3 +382,60 @@ def test_python_udtf_schedule_sums_to_total(spark, sf_dir):
             assert sum(r["amount_cents"] for r in insts) == totals[k]
         for r in insts[:-1]:
             assert r["amount_cents"] == INSTALLMENT_CENTS
+
+
+def test_markov_rows_are_stochastic(spark, sf_dir):
+    rows = REGISTRY["q_markov_transitions"].fn(spark, sf_dir).collect()
+    per_from = {}
+    for r in rows:
+        per_from.setdefault(r["from_type"], 0.0)
+        per_from[r["from_type"]] += r["prob"]
+    assert per_from
+    for f_type, s in per_from.items():
+        assert abs(s - 1.0) < 1e-9, f_type
+
+
+def test_funnel_paths_partition_users(spark, sf_dir):
+    from frauddetection_spark.queries.behavior import PATH_STEPS
+
+    rows = REGISTRY["q_funnel_paths"].fn(spark, sf_dir).collect()
+    eligible = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") >= PATH_STEPS)
+        .count()
+    )
+    assert sum(r["n_users"] for r in rows) == eligible
+    assert all(r["path"].count(">") == PATH_STEPS - 1 for r in rows)
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    row = REGISTRY["q_lorenz_gini"].fn(spark, sf_dir).first()
+    release_caches()
+    assert 0.0 <= row["gini"] <= 1.0
+
+
+def test_assortativity_in_bounds(spark, sf_dir):
+    row = REGISTRY["q_assortativity"].fn(spark, sf_dir).first()
+    assert -1.0 - 1e-12 <= row["assortativity"] <= 1.0 + 1e-12
+
+
+def test_lateral_topk_matches_window_form(spark, sf_dir):
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in REGISTRY["q_lateral_topk"].fn(spark, sf_dir).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.round(F.col("value") * 100).cast("bigint").desc(), "event_id"
+    )
+    want = {
+        (r["user_id"], r["event_id"])
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want

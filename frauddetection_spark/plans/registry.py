@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.analytics",
     "frauddetection_spark.queries.fraud",
     "frauddetection_spark.queries.behavior",
+    "frauddetection_spark.queries.scorecard",
 )
 
 
@@ -205,6 +206,18 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_lorenz_gini",
     "q_assortativity",
     "q_lateral_topk",
+    # scorecard / model-monitoring batch (queries/scorecard.py)
+    "q_ks_score",
+    "q_lift_gains",
+    "q_psi",
+    "q_woe_iv",
+    "q_target_encode",
+    "q_ttest_welch",
+    "q_cooccurrence",
+    "q_ztest_proportions",
+    "q_negative_sampling",
+    "q_rle_islands",
+    "q_hits",
 )
 
 

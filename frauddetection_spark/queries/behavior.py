@@ -341,3 +341,61 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY u.user_id, s.event_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# run-length encoding of event-type streaks (gaps-and-islands RLE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rle_islands",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS rn_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, rn_all - rn_type AS grp,
+               count(*) AS run_len
+        FROM o GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(run_len AS BIGINT) AS run_len,
+           count(*) AS n_runs
+    FROM runs GROUP BY 1, 2 ORDER BY event_type, run_len
+    """,
+    survey="A8,A13",
+)
+def q_rle_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of consecutive same-event-type streak lengths per
+    user — the run-length (gaps-and-islands) sibling of time-gap
+    sessionization: a burst of 9 straight 'error' events is a signal
+    the per-type COUNT can't see. Classic two-row_number island id
+    (rn_all − rn_type is constant within a streak); both windows are
+    user-partitioned (fully parallel), runs collapse in one aggregate
+    and the streak-length histogram in a second tiny one."""
+    e = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "grp"
+        ),
+    )
+    runs = o.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("event_type", F.col("run_len").cast("bigint").alias("run_len"))
+        .agg(F.count("*").alias("n_runs"))
+        .orderBy("event_type", "run_len")
+    )

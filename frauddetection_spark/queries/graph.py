@@ -827,3 +827,94 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (2 unrolled iterations, exact-int)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hits",
+    oracle=f"""
+    WITH e AS ({_SQL_EDGES}),
+    h1 AS (SELECT src, count(*) AS h FROM e GROUP BY 1),
+    a2 AS (
+        SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS auth
+        FROM e JOIN h1 ON e.src = h1.src GROUP BY 1
+    ),
+    h3 AS (
+        SELECT e.src AS node, CAST(sum(a2.auth) AS BIGINT) AS hub
+        FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1
+    ),
+    nodes AS (
+        SELECT COALESCE(h3.node, a2.node) AS node,
+               COALESCE(h3.hub, 0) AS hub,
+               COALESCE(a2.auth, 0) AS auth
+        FROM h3 FULL JOIN a2 ON h3.node = a2.node
+    ),
+    mx AS (
+        SELECT max(hub) AS max_hub, max(auth) AS max_auth FROM nodes
+    )
+    SELECT node, hub, auth,
+           CAST(hub AS DOUBLE) / max_hub AS hub_norm,
+           CAST(auth AS DOUBLE) / max_auth AS auth_norm
+    FROM nodes CROSS JOIN mx
+    ORDER BY node
+    """,
+    survey="J5,M2",
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, two unrolled power iterations from a
+    uniform start — in a fraud graph, high-authority nodes collect
+    edges from many well-connected callers (mule accounts), high-hub
+    nodes fan out to many authorities (distributors). With a₀ = 1 the
+    iterates stay EXACT INTEGERS (auth₁ = Σ outdeg of in-neighbors,
+    hub₂ = Σ auth₁ of out-neighbors) so normalization is one double
+    division by the integer max — no order-dependent float sums, both
+    engines agree bit-for-bit. Scale: each half-iteration is one
+    key-partitioned join + aggregate on the edge list (the same
+    gather/scatter shape as q_propagate_2round); max comes from a
+    broadcast single-row aggregate, never a global window."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    h1 = e.groupBy("src").agg(F.count("*").alias("h"))
+    a2 = (
+        e.join(h1, "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h").cast("bigint").alias("auth"))
+    )
+    h3 = (
+        e.join(a2, e.dst == a2.node)
+        .groupBy(F.col("src").alias("hnode"))
+        .agg(F.sum("auth").cast("bigint").alias("hub"))
+    )
+    from frauddetection_spark.operators.graph import _track
+
+    # persisted: the max-aggregate and the output projection both read
+    # this frame; without one materialization the two join rounds run
+    # twice (tracked → released on next query construction)
+    nodes = _track(
+        h3.join(a2, h3.hnode == a2.node, "full_outer")
+        .select(
+            F.coalesce("hnode", "node").alias("node"),
+            F.coalesce("hub", F.lit(0)).alias("hub"),
+            F.coalesce("auth", F.lit(0)).alias("auth"),
+        )
+        .persist()
+    )
+    mx = nodes.agg(
+        F.max("hub").alias("max_hub"), F.max("auth").alias("max_auth")
+    )
+    return (
+        nodes.crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            "hub",
+            "auth",
+            (F.col("hub").cast("double") / F.col("max_hub")).alias("hub_norm"),
+            (F.col("auth").cast("double") / F.col("max_auth")).alias(
+                "auth_norm"
+            ),
+        )
+        .orderBy("node")
+    )

@@ -9,7 +9,7 @@ graph is the events-derived user → counterparty edge list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.graph import edges_from_events
@@ -412,4 +412,114 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents_total"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (recsys / ranking training data)
+# ---------------------------------------------------------------------------
+
+_NEG_P = 2_147_483_647  # 2^31 - 1 (same modulus as q_reservoir_group)
+_NEG_A = 48_271         # Lehmer multiplier
+_NEG_B = 1_009          # per-draw salt multiplier
+_NEG_DRAWS = 8          # candidate draws per user
+_NEG_K = 3              # negatives kept per user
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH purchased AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+    np AS (SELECT count(*) AS n_parts FROM part),
+    cand AS (
+        SELECT u.user_id, j.j,
+               ((u.user_id % {_NEG_P}) * {_NEG_A} + j.j * {_NEG_B})
+                   % {_NEG_P} % n_parts AS cand_part
+        FROM users u
+        CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_DRAWS})) AS j) j
+        CROSS JOIN np
+    ),
+    neg AS (
+        SELECT c.user_id, c.cand_part, min(c.j) AS j
+        FROM cand c
+        ANTI JOIN purchased p
+          ON c.user_id = p.user_id AND c.cand_part = p.l_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT user_id, cand_part,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY j, cand_part
+               ) AS neg_rank
+        FROM neg
+    )
+    SELECT user_id, CAST(neg_rank AS BIGINT) AS neg_rank, cand_part
+    FROM ranked WHERE neg_rank <= {_NEG_K}
+    ORDER BY user_id, neg_rank
+    """,
+    survey="R2,R4,J6",
+)
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic per-user negative sampling — the training-data op
+    behind every implicit-feedback ranking model: for each customer,
+    K part-ids they did NOT buy, drawn reproducibly (replayable across
+    engines and reruns, unlike rand()-based samplers). Each user gets
+    {_NEG_DRAWS} Lehmer-hash draws into the 0-based contiguous part-key
+    space (hash mod 2^31-1 BEFORE the multiply — no int64 overflow),
+    purchased pairs are removed with an anti join, collided draws
+    dedup to their first j, and the first {_NEG_K} survivors are kept.
+    Scale: draws are a constant fan-out of the user dim (linear), the
+    anti join shuffles on (user, part) — never a user × catalog cross
+    product. Reference parity: the reference trains on sklearn-split
+    positives only (new_train_1.py); negative generation is the step a
+    production ranker adds."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    purchased = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), "l_partkey")
+        .distinct()
+    )
+    users = orders.select(F.col("o_custkey").alias("user_id")).distinct()
+    np_ = t(spark, sf_dir, "part").agg(F.count("*").alias("n_parts"))
+    cand = (
+        users.crossJoin(F.broadcast(np_))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))).alias("j"),
+            "n_parts",
+        )
+        .select(
+            "user_id",
+            "j",
+            (
+                (
+                    (F.col("user_id") % _NEG_P) * _NEG_A
+                    + F.col("j") * _NEG_B
+                )
+                % _NEG_P
+                % F.col("n_parts")
+            ).alias("cand_part"),
+        )
+    )
+    neg = (
+        cand.join(
+            purchased,
+            (cand.user_id == purchased.user_id)
+            & (cand.cand_part == purchased.l_partkey),
+            "left_anti",
+        )
+        .groupBy("user_id", "cand_part")
+        .agg(F.min("j").alias("j"))
+    )
+    w = Window.partitionBy("user_id").orderBy("j", "cand_part")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= _NEG_K)
+        .select("user_id", "neg_rank", "cand_part")
+        .orderBy("user_id", "neg_rank")
     )

@@ -1,0 +1,711 @@
+"""Scorecard / model-monitoring analytics: KS separation, cumulative
+gains & lift, population-stability drift (PSI), weight-of-evidence /
+information value, leave-one-out target encoding, Welch's t-test, and
+market-basket co-occurrence lift.
+
+These are the operators a fraud-score *consumer* runs on top of the
+reference's model outputs (the reference stops at sklearn AUC /
+classification_report, ``Code for Amazon and Yelp/new_utlis_1.py:35-50``
+and ``main.py:158-162``): credit/fraud scorecards are monitored with
+KS + gains tables, binned WOE/IV drives feature selection, and PSI is
+the standard score-drift alarm. All re-derived relationally with the
+repo's exact-arithmetic oracle discipline — integer counts/cents into
+decimal(38,0)/HUGEINT sufficient statistics, doubles only through
+expressions written identically in both twins, order-dependent float
+sums quantized to int64 before aggregation (the q_metric_ap pattern).
+
+Shared fixture classifier: queries/metrics.py::_scored (score =
+error-share, label = n_errors ≥ 15) so every metric here is computed
+over the same non-degenerate (label, score) table the M5 metrics use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from frauddetection_spark.operators.rank import prefix_rank
+from frauddetection_spark.plans.registry import register
+from frauddetection_spark.queries._util import cents, t
+from frauddetection_spark.queries.metrics import _scored, _SQL_SCORED
+
+_DEC = "decimal(38,0)"
+_Q = 1_000_000_000  # fixed-point quantum for order-independent float sums
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov separation statistic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ks_score",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED}),
+    g AS (
+        SELECT score, count(*) AS n, sum(label) AS np
+        FROM s GROUP BY 1
+    ),
+    c AS (
+        SELECT sum(n) OVER (ORDER BY score) AS cum_n,
+               sum(np) OVER (ORDER BY score) AS cum_p
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+        FROM g
+    )
+    SELECT n_pos, n_neg,
+           CAST(max(abs(CAST(cum_p AS HUGEINT) * n_neg
+                        - CAST(cum_n - cum_p AS HUGEINT) * n_pos))
+                AS DOUBLE)
+             / (CAST(n_pos AS DOUBLE) * n_neg) AS ks
+    FROM c CROSS JOIN tot
+    GROUP BY n_pos, n_neg
+    """,
+    survey="M5,A10",
+)
+def q_ks_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov statistic of the fixture classifier — the
+    scorecard industry's headline separation metric: max over score
+    thresholds of |CDF⁺(s) − CDF⁻(s)|. Computed at score grain (ties
+    collapse in one shuffle), cumulative counts via the two-phase
+    range-partitioned prefix (operators/rank.py — no single-reducer
+    window), and the max is taken over the EXACT integer cross product
+    |cum_p·n⁻ − cum_n⁻·n⁺| in decimal(38,0) (cum·n products overflow
+    int64 at ~10¹² rows) with ONE final double division — so both
+    engines agree bit-for-bit. Grand totals come from the max of the
+    running sums (monotone), not a second scan."""
+    s = _scored(t(spark, sf_dir, "events"))
+    g = s.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("label").alias("np")
+    )
+    pr = prefix_rank(
+        g,
+        [F.col("score")],
+        sums={"cum_n": F.col("n"), "cum_p": F.col("np")},
+    )
+    tot = pr.agg(
+        F.max("cum_p").cast("bigint").alias("n_pos"),
+        (F.max("cum_n") - F.max("cum_p")).cast("bigint").alias("n_neg"),
+    )
+    d = pr.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        F.abs(
+            F.col("cum_p").cast(_DEC) * F.col("n_neg")
+            - (F.col("cum_n") - F.col("cum_p")).cast(_DEC) * F.col("n_pos")
+        ).alias("dev"),
+    )
+    return d.groupBy("n_pos", "n_neg").agg(
+        (
+            F.max("dev").cast("double")
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))
+        ).alias("ks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains / lift table by score decile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lift_gains",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED}),
+    r AS (
+        SELECT label,
+               row_number() OVER (ORDER BY score DESC, user_id) AS rn,
+               count(*) OVER () AS n_all
+        FROM s
+    ),
+    g AS (
+        SELECT ((rn - 1) * 10) // n_all + 1 AS decile,
+               count(*) AS n_users, sum(label) AS n_pos
+        FROM r GROUP BY 1
+    ),
+    f AS (
+        SELECT decile, n_users, n_pos,
+               sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+               sum(n_pos) OVER () AS total_pos,
+               sum(n_users) OVER () AS total_users
+        FROM g
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_pos AS DOUBLE) / total_pos AS gain,
+           CAST(n_pos AS DOUBLE) * total_users
+             / (CAST(n_users AS DOUBLE) * total_pos) AS lift
+    FROM f ORDER BY decile
+    """,
+    survey="M5,A14",
+)
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table: rank by score descending, cut
+    into 10 equal-frequency buckets with the CLOSED-FORM decile
+    ⌊(rn−1)·10/n⌋+1 (identical integer arithmetic in both engines —
+    never the engine-native ntile, whose remainder placement is an
+    implementation detail), then per-decile capture rate and lift.
+    Ranks come from the two-phase prefix_rank carrying the grand total
+    in the same pass (total_count — no second scan); the cumulative /
+    total windows run over the 10-row decile table (bounded by
+    construction, partitioned on a literal). Lift and gain are single
+    double expressions over exact ints, written identically in both
+    twins."""
+    s = _scored(t(spark, sf_dir, "events"))
+    r = prefix_rank(
+        s, [F.col("score").desc(), F.col("user_id")], total_count="n_all"
+    )
+    g = r.select(
+        F.expr("((rn - 1) * 10) div n_all + 1").alias("decile"),
+        "label",
+    ).groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("label").alias("n_pos")
+    )
+    one = Window.partitionBy(F.lit(1))
+    w_cum = one.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    f = g.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+        F.sum("n_pos").over(one).alias("total_pos"),
+        F.sum("n_users").over(one).alias("total_users"),
+    )
+    return f.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        (F.col("cum_pos").cast("double") / F.col("total_pos")).alias("gain"),
+        (
+            F.col("n_pos").cast("double")
+            * F.col("total_users")
+            / (F.col("n_users").cast("double") * F.col("total_pos"))
+        ).alias("lift"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# population stability index (distribution drift)
+# ---------------------------------------------------------------------------
+
+_PSI_BIN = "LEAST({c} // 5000, 9)"  # 10 fixed 50.00-wide amount bins
+
+
+@register(
+    "q_psi",
+    oracle=f"""
+    WITH e AS (
+        SELECT CAST(date_part('day', ts) <= 15 AS INTEGER) AS is_base,
+               {_PSI_BIN.format(c="CAST(round(value * 100) AS BIGINT)")}
+                   AS bin
+        FROM events
+    ),
+    g AS (
+        SELECT bin,
+               sum(is_base) AS base_n,
+               sum(1 - is_base) AS targ_n
+        FROM e GROUP BY 1
+    ),
+    f AS (
+        SELECT bin, base_n, targ_n,
+               sum(base_n) OVER () AS base_tot,
+               sum(targ_n) OVER () AS targ_tot
+        FROM g
+        WHERE base_n > 0 AND targ_n > 0
+    ),
+    terms AS (
+        SELECT bin,
+               CAST(base_n AS BIGINT) AS base_n,
+               CAST(targ_n AS BIGINT) AS targ_n,
+               (CAST(base_n AS DOUBLE) / base_tot
+                - CAST(targ_n AS DOUBLE) / targ_tot)
+               * ln((CAST(base_n AS DOUBLE) / base_tot)
+                    / (CAST(targ_n AS DOUBLE) / targ_tot)) AS psi_term
+        FROM f
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, base_n, targ_n, psi_term,
+           CAST(sum(CAST(round(psi_term * {_Q}) AS BIGINT)) OVER ()
+                AS DOUBLE) / {_Q} AS psi_total
+    FROM terms ORDER BY bin
+    """,
+    survey="A6,A10,M5",
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month over 10 fixed-width amount bins — the standard score/
+    feature drift alarm (PSI > 0.25 ⇒ re-fit). Bin ids are pure integer
+    arithmetic on cents (no float boundary drift); each bin's
+    (p_base − p_target)·ln(p_base/p_target) term is one double
+    expression over exact int ratios, written identically in both
+    twins; the PSI total is summed order-independently by quantizing
+    terms to 1e-9 fixed point first (the q_metric_ap pattern — a raw
+    double window-sum would drift with addition order). Scale: one
+    groupBy to 10 bins, windows over the bounded bin table only."""
+    e = t(spark, sf_dir, "events").select(
+        (F.dayofmonth("ts") <= 15).cast("int").alias("is_base"),
+        F.least(
+            F.expr("CAST(round(value * 100) AS BIGINT) div 5000"), F.lit(9)
+        ).alias("bin"),
+    )
+    g = e.groupBy("bin").agg(
+        F.sum("is_base").alias("base_n"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("targ_n"),
+    )
+    one = Window.partitionBy(F.lit(1))
+    f = (
+        g.filter((F.col("base_n") > 0) & (F.col("targ_n") > 0))
+        .withColumn("base_tot", F.sum("base_n").over(one))
+        .withColumn("targ_tot", F.sum("targ_n").over(one))
+    )
+    p_b = F.col("base_n").cast("double") / F.col("base_tot")
+    p_t = F.col("targ_n").cast("double") / F.col("targ_tot")
+    terms = f.select(
+        "bin",
+        F.col("base_n").cast("bigint").alias("base_n"),
+        F.col("targ_n").cast("bigint").alias("targ_n"),
+        ((p_b - p_t) * F.log(p_b / p_t)).alias("psi_term"),
+    )
+    return terms.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "base_n",
+        "targ_n",
+        "psi_term",
+        (
+            F.sum(F.round(F.col("psi_term") * _Q).cast("bigint"))
+            .over(one)
+            .cast("double")
+            / F.lit(_Q)
+        ).alias("psi_total"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# weight of evidence / information value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_woe_iv",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS n_err,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    ),
+    binned AS (
+        SELECT CASE WHEN (10 * n_err) // n > 9 THEN 9
+                    ELSE (10 * n_err) // n END AS bin,
+               CAST(n_err >= 15 AS INTEGER) AS bad
+        FROM counts
+    ),
+    g AS (
+        SELECT bin, sum(1 - bad) AS goods, sum(bad) AS bads
+        FROM binned GROUP BY 1
+    ),
+    f AS (
+        SELECT bin, goods, bads,
+               sum(goods) OVER () AS g_tot,
+               sum(bads) OVER () AS b_tot
+        FROM g WHERE goods > 0 AND bads > 0
+    ),
+    terms AS (
+        SELECT bin,
+               CAST(goods AS BIGINT) AS goods,
+               CAST(bads AS BIGINT) AS bads,
+               ln((CAST(goods AS DOUBLE) / g_tot)
+                  / (CAST(bads AS DOUBLE) / b_tot)) AS woe,
+               (CAST(goods AS DOUBLE) / g_tot
+                - CAST(bads AS DOUBLE) / b_tot)
+               * ln((CAST(goods AS DOUBLE) / g_tot)
+                    / (CAST(bads AS DOUBLE) / b_tot)) AS iv_term
+        FROM f
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, goods, bads, woe, iv_term,
+           CAST(sum(CAST(round(iv_term * {_Q}) AS BIGINT)) OVER ()
+                AS DOUBLE) / {_Q} AS iv_total
+    FROM terms ORDER BY bin
+    """,
+    survey="A11,M5",
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence per score bin and total information value —
+    the classic scorecard feature-strength measure (IV > 0.3 ⇒ strong
+    predictor). Reuses q_metric_calibration's pure-integer decile bins
+    (⌊10·n_err/n⌋ capped at 9); WOE = ln(dist_good/dist_bad) and the IV
+    terms are single double expressions over exact integer tallies,
+    identical in both twins; bins missing either class are excluded in
+    both (WOE undefined); the IV total is an order-independent
+    quantized-int sum. Scale: one groupBy(user) + one groupBy(bin);
+    windows only over the ≤10-row bin table."""
+    e = t(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    counts = e.groupBy("user_id").agg(
+        n_err.alias("n_err"), F.count("*").alias("n")
+    )
+    binned = counts.select(
+        F.least(F.expr("(10 * n_err) div n"), F.lit(9)).alias("bin"),
+        (F.col("n_err") >= 15).cast("int").alias("bad"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.lit(1) - F.col("bad")).alias("goods"),
+        F.sum("bad").alias("bads"),
+    )
+    one = Window.partitionBy(F.lit(1))
+    f = (
+        g.filter((F.col("goods") > 0) & (F.col("bads") > 0))
+        .withColumn("g_tot", F.sum("goods").over(one))
+        .withColumn("b_tot", F.sum("bads").over(one))
+    )
+    d_g = F.col("goods").cast("double") / F.col("g_tot")
+    d_b = F.col("bads").cast("double") / F.col("b_tot")
+    terms = f.select(
+        "bin",
+        F.col("goods").cast("bigint").alias("goods"),
+        F.col("bads").cast("bigint").alias("bads"),
+        F.log(d_g / d_b).alias("woe"),
+        ((d_g - d_b) * F.log(d_g / d_b)).alias("iv_term"),
+    )
+    return terms.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "goods",
+        "bads",
+        "woe",
+        "iv_term",
+        (
+            F.sum(F.round(F.col("iv_term") * _Q).cast("bigint"))
+            .over(one)
+            .cast("double")
+            / F.lit(_Q)
+        ).alias("iv_total"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_target_encode",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS amt_cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(sum(amt_cents) AS BIGINT) AS s_cents,
+               count(*) AS n
+        FROM e GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.amt_cents,
+           CAST(s.s_cents - e.amt_cents AS DOUBLE) / (s.n - 1)
+               AS loo_mean_cents
+    FROM e JOIN s USING (event_type)
+    ORDER BY e.event_id
+    """,
+    survey="A2,P4",
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type by amount — the
+    standard high-cardinality categorical encoder for tabular ML
+    (each row's encoding excludes its own target, preventing the
+    single-row leakage naive mean encoding has). Closed form
+    (Σ_g − xᵢ)/(n_g − 1) from one exact-cents aggregate per category,
+    broadcast back — a map-side join at any scale (category dim ≪
+    fact), one shuffle total. One double division per row, identical
+    in both twins."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("amt_cents")
+    )
+    s = e.groupBy("event_type").agg(
+        F.sum("amt_cents").cast("bigint").alias("s_cents"),
+        F.count("*").alias("n"),
+    )
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "amt_cents",
+            (
+                (F.col("s_cents") - F.col("amt_cents")).cast("double")
+                / (F.col("n") - 1)
+            ).alias("loo_mean_cents"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ttest_welch",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    m AS (
+        SELECT
+            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+            sum(CASE WHEN event_type = 'purchase' THEN CAST(c AS HUGEINT)
+                     ELSE 0 END) AS s1,
+            sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss1,
+            sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+            sum(CASE WHEN event_type = 'view' THEN CAST(c AS HUGEINT)
+                     ELSE 0 END) AS s2,
+            sum(CASE WHEN event_type = 'view'
+                     THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS ss2
+        FROM e
+    ),
+    v AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(s1 AS DOUBLE) / n1 AS mean1,
+               CAST(s2 AS DOUBLE) / n2 AS mean2,
+               CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS se1,
+               CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS se2
+        FROM m
+    )
+    SELECT n1, n2, mean1, mean2,
+           (mean1 - mean2) / sqrt(se1 + se2) AS t_stat,
+           (se1 + se2) * (se1 + se2)
+             / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)) AS df
+    FROM v
+    """,
+    survey="A7,A10",
+)
+def q_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: do purchase and view amounts
+    differ in mean? t = (m₁−m₂)/√(v₁/n₁+v₂/n₂) with Welch–Satterthwaite
+    df — the A/B-comparison primitive. All sufficient statistics are
+    exact integer moments in decimal(38,0)/HUGEINT (Σc² overflows int64
+    at ~10⁸ rows of 4-digit cents), folded to doubles through the same
+    expression text in both twins: sᵢ/nᵢ = vᵢ/nᵢ is computed directly
+    as (n·ss−s²)/(n²(n−1)) so no intermediate variance rounding
+    differs. Single full-table conditional aggregate — one shuffle to
+    one row at any scale."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_type", cents("value").alias("c"))
+    cd = F.col("c").cast(_DEC)
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "view"
+    m = e.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is1, cd).otherwise(F.lit(0).cast(_DEC))).alias("s1"),
+        F.sum(F.when(is1, cd * F.col("c")).otherwise(F.lit(0).cast(_DEC))).alias("ss1"),
+        F.sum(F.when(is2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is2, cd).otherwise(F.lit(0).cast(_DEC))).alias("s2"),
+        F.sum(F.when(is2, cd * F.col("c")).otherwise(F.lit(0).cast(_DEC))).alias("ss2"),
+    )
+    v = m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        (F.col("s1").cast("double") / F.col("n1")).alias("mean1"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("mean2"),
+        (
+            (F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+        ).alias("se1"),
+        (
+            (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2")).cast("double")
+            / (F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1))
+        ).alias("se2"),
+    )
+    se = F.col("se1") + F.col("se2")
+    return v.select(
+        "n1",
+        "n2",
+        "mean1",
+        "mean2",
+        ((F.col("mean1") - F.col("mean2")) / F.sqrt(se)).alias("t_stat"),
+        (
+            se * se
+            / (
+                F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+                + F.col("se2") * F.col("se2") / (F.col("n2") - 1)
+            )
+        ).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence (support / lift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cooccurrence",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    marg AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p1, p2, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / n_orders AS support,
+           CAST(n AS DOUBLE) * n_orders
+             / (CAST(ma.n_part AS DOUBLE) * mb.n_part) AS lift
+    FROM pairs
+    JOIN marg ma ON pairs.p1 = ma.l_partkey
+    JOIN marg mb ON pairs.p2 = mb.l_partkey
+    CROSS JOIN tot
+    ORDER BY p1, p2
+    """,
+    survey="J1,A2,A14",
+)
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts bought together in ≥2 orders,
+    with support n/|orders| and lift n·|orders|/(n_a·n_b) — the
+    association-rule primitive behind "customers also bought" and
+    collusion-pair detection. The self-join is keyed on the basket id
+    with p1 < p2 dedup, so work is Σ|basket|², linear in orders while
+    basket size is bounded (TPC-H ≤ 7; at 100 TB cap or sample
+    whale baskets first). Marginals and the order total join back as
+    exact ints; support/lift are single double expressions identical
+    in both twins."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    marg = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    out = (
+        pairs.join(
+            marg.select(F.col("l_partkey").alias("p1"), F.col("n_part").alias("na")),
+            "p1",
+        )
+        .join(
+            marg.select(F.col("l_partkey").alias("p2"), F.col("n_part").alias("nb")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        "p1",
+        "p2",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("n_orders")).alias("support"),
+        (
+            F.col("n").cast("double")
+            * F.col("n_orders")
+            / (F.col("na").cast("double") * F.col("nb"))
+        ).alias("lift"),
+    ).orderBy("p1", "p2")
+
+
+# ---------------------------------------------------------------------------
+# two-proportion z-test (A/B conversion comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ztest_proportions",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(date_part('day', ts) <= 15 AS INTEGER) AS is_a,
+               CAST(event_type = 'purchase' AS INTEGER) AS conv
+        FROM events
+    ),
+    m AS (
+        SELECT sum(is_a) AS n1,
+               sum(is_a * conv) AS x1,
+               sum(1 - is_a) AS n2,
+               sum((1 - is_a) * conv) AS x2
+        FROM e
+    ),
+    v AS (
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+               CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+               CAST(x1 AS DOUBLE) / n1 AS p1,
+               CAST(x2 AS DOUBLE) / n2 AS p2,
+               CAST(x1 + x2 AS DOUBLE) / (n1 + n2) AS p_pool
+        FROM m
+    )
+    SELECT n1, x1, n2, x2, p1, p2,
+           (p1 - p2)
+             / sqrt(p_pool * (1 - p_pool)
+                    * (1.0 / n1 + 1.0 / n2)) AS z_stat
+    FROM v
+    """,
+    survey="A7,A11",
+)
+def q_ztest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: did the purchase-conversion rate move
+    between the first and second half of the month? Pooled-variance
+    z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) — the A/B-test and
+    before/after-release primitive. One conditional aggregate to four
+    exact integers; every double (p₁, p₂, pooled p̂, z) is a single
+    expression over those ints written identically in both twins.
+    One shuffle to one row at any scale."""
+    e = t(spark, sf_dir, "events").select(
+        (F.dayofmonth("ts") <= 15).cast("int").alias("is_a"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    m = e.agg(
+        F.sum("is_a").alias("n1"),
+        F.sum(F.col("is_a") * F.col("conv")).alias("x1"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("n2"),
+        F.sum((F.lit(1) - F.col("is_a")) * F.col("conv")).alias("x2"),
+    )
+    v = m.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("x2").cast("bigint").alias("x2"),
+        (F.col("x1").cast("double") / F.col("n1")).alias("p1"),
+        (F.col("x2").cast("double") / F.col("n2")).alias("p2"),
+        (
+            (F.col("x1") + F.col("x2")).cast("double")
+            / (F.col("n1") + F.col("n2"))
+        ).alias("p_pool"),
+    )
+    return v.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        "p1",
+        "p2",
+        (
+            (F.col("p1") - F.col("p2"))
+            / F.sqrt(
+                F.col("p_pool")
+                * (F.lit(1) - F.col("p_pool"))
+                * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+            )
+        ).alias("z_stat"),
+    )

@@ -218,6 +218,10 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_negative_sampling",
     "q_rle_islands",
     "q_hits",
+    "q_graph_jaccard",
+    "q_adamic_adar",
+    "q_decay_score",
+    "q_cusum_daily",
 )
 
 

@@ -399,3 +399,149 @@ def q_rle_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_runs"))
         .orderBy("event_type", "run_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# exponential time-decay engagement score
+# ---------------------------------------------------------------------------
+
+# anchor: 2024-02-01T00:00:00Z in epoch microseconds (just past the
+# testdata's final event) and a 7-day decay time-constant in micros
+_DECAY_ANCHOR_US = 1_706_745_600_000_000
+_DECAY_TAU_US = 604_800_000_000.0
+_DECAY_Q = 1_000_000  # 1e-6 fixed point for order-independent sums
+
+
+@register(
+    "q_decay_score",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               ({_DECAY_ANCHOR_US} - epoch_us(ts)) // 3600000000 AS age_h
+        FROM events
+    ),
+    terms AS (
+        SELECT user_id,
+               CAST(round(c * exp(-CAST(age_h AS DOUBLE) / 168.0)
+                          * {_DECAY_Q})
+                    AS BIGINT) AS term_q
+        FROM e
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(term_q) AS DOUBLE) / {_DECAY_Q} / 100 AS decay_score
+    FROM terms GROUP BY 1 ORDER BY user_id
+    """,
+    survey="A1,A10",
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed spend Σ xᵢ·e^(−ageᵢ/τ)
+    (τ = 7 days, fixed anchor) — the recency-weighted engagement /
+    risk-exposure score that replaces the brittle "sum over last N
+    days" cutoff. Each row's decay factor is a pure function of its
+    integer epoch-micros age (identical doubles in both engines);
+    terms are quantized to 1e-6 fixed point BEFORE the per-user sum so
+    the aggregate is order-independent exact-int (float Σ would drift
+    with partitioning). Age is truncated to WHOLE HOURS first: exp()
+    is libm-dependent (a 1-ulp Spark/DuckDB divergence near a rounding
+    boundary flips the quantized int), so the transcendental's input
+    domain is kept to ≤ a-few-hundred distinct values instead of one
+    per row — the downstream multiply/round are correctly-rounded IEEE
+    ops in both engines. Map-side math + one groupBy — one shuffle at
+    any scale, and the anchor is a literal so the plan stays
+    deterministic (no max(ts) pre-scan)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        cents("value").alias("c"),
+        F.expr(f"({_DECAY_ANCHOR_US} - unix_micros(ts)) div 3600000000").alias(
+            "age_h"
+        ),
+    )
+    terms = e.select(
+        "user_id",
+        F.round(
+            F.col("c")
+            * F.exp(-F.col("age_h").cast("double") / F.lit(168.0))
+            * _DECAY_Q
+        )
+        .cast("bigint")
+        .alias("term_q"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("term_q").cast("double") / _DECAY_Q / 100).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM control chart over daily volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cusum_daily",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x_cents
+        FROM events GROUP BY 1
+    ),
+    f AS (
+        SELECT day, x_cents,
+               count(*) OVER () AS n_days,
+               sum(x_cents) OVER () AS total,
+               sum(x_cents) OVER (ORDER BY day) AS prefix,
+               row_number() OVER (ORDER BY day) AS i
+        FROM d
+    )
+    SELECT day, x_cents,
+           CAST(n_days * prefix - i * total AS BIGINT) AS cusum_scaled,
+           CAST(n_days * prefix - i * total AS DOUBLE) / n_days / 100
+               AS cusum
+    FROM f ORDER BY day
+    """,
+    survey="A1,A8",
+)
+def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM control chart over daily spend: running Σ(xₐ − x̄) whose
+    max |deviation| marks the most likely level-shift changepoint —
+    the ops-monitoring primitive for "volume drifted mid-month".
+    Integer-exact via the scaled identity Σᵢ(xₐ−T/N)·N = N·prefixᵢ −
+    i·T (no float mean subtraction); the one division to the unscaled
+    double happens per output row, identically in both twins. Scale:
+    the raw scan collapses to ≤366 daily rows per year in ONE shuffle;
+    all windows run over that bounded daily table (partitioned on a
+    literal)."""
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.sum(cents("value")).cast("bigint").alias("x_cents"))
+    )
+    one = Window.partitionBy(F.lit(1))
+    w_cum = one.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    f = d.select(
+        "day",
+        "x_cents",
+        F.count("*").over(one).alias("n_days"),
+        F.sum("x_cents").over(one).alias("total"),
+        F.sum("x_cents").over(w_cum).alias("prefix"),
+        F.row_number().over(one.orderBy("day")).alias("i"),
+    )
+    scaled = F.col("n_days") * F.col("prefix") - F.col("i") * F.col("total")
+    return f.select(
+        "day",
+        "x_cents",
+        scaled.cast("bigint").alias("cusum_scaled"),
+        (scaled.cast("double") / F.col("n_days") / 100).alias("cusum"),
+    ).orderBy("day")

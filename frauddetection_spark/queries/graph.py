@@ -918,3 +918,172 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# neighborhood Jaccard similarity of connected pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_jaccard",
+    oracle=f"""
+    WITH dir AS ({_SQL_EDGES}),
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dir WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM dir WHERE src <> dst
+        )
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+    pairs AS (
+        SELECT a.src AS u, b.src AS v, count(*) AS cn
+        FROM und a JOIN und b
+          ON a.dst = b.dst AND a.src < b.src
+        GROUP BY 1, 2
+    ),
+    edge_pairs AS (
+        SELECT p.u, p.v, p.cn FROM pairs p
+        SEMI JOIN und e ON p.u = e.src AND p.v = e.dst
+    )
+    SELECT u, v, CAST(cn AS BIGINT) AS cn,
+           CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS jaccard
+    FROM edge_pairs
+    JOIN deg da ON edge_pairs.u = da.node
+    JOIN deg db ON edge_pairs.v = db.node
+    ORDER BY u, v
+    """,
+    survey="J4,A9",
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity |N(u)∩N(v)| / |N(u)∪N(v)| for
+    each CONNECTED pair — the edge-strength measure behind graph
+    sparsification and tie-strength features (an edge whose endpoints
+    share most of their neighborhoods is a strong intra-community tie;
+    a fraud ring's internal edges score high). Wedge self-join on the
+    shared neighbor (the q_join_common_neighbor shape — Σd(c)² rows;
+    at 100 TB hub contacts get the same degree-prefilter treatment),
+    restricted to actual edges by a semi join, then one exact integer
+    Jaccard cn/(dᵤ+dᵥ−cn) per pair as a single double division."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    no_self = e.filter(F.col("src") != F.col("dst"))
+    und = no_self.union(
+        no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    edge_pairs = pairs.join(
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_semi",
+    )
+    return (
+        edge_pairs.join(deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("cn"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy("u", "v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction over NON-edges
+# ---------------------------------------------------------------------------
+
+_AA_Q = 1_000_000_000  # 1e-9 fixed point for order-independent term sums
+
+
+@register(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH dir AS ({_SQL_EDGES}),
+    und AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM dir WHERE src <> dst
+            UNION ALL
+            SELECT dst, src FROM dir WHERE src <> dst
+        )
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
+    wedges AS (
+        SELECT a.src AS u, b.src AS v, a.dst AS w
+        FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+    ),
+    terms AS (
+        SELECT u, v,
+               CAST(round({_AA_Q} / ln(deg.d)) AS BIGINT) AS term_q
+        FROM wedges JOIN deg ON wedges.w = deg.node
+    ),
+    scored AS (
+        SELECT u, v, count(*) AS cn,
+               CAST(sum(term_q) AS BIGINT) AS aa_q
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT s.u, s.v, CAST(s.cn AS BIGINT) AS cn,
+           CAST(s.aa_q AS DOUBLE) / {_AA_Q} AS adamic_adar
+    FROM scored s
+    ANTI JOIN und e ON s.u = e.src AND s.v = e.dst
+    ORDER BY s.u, s.v
+    """,
+    survey="J4,A9",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: score each NON-connected pair that
+    shares neighbors by Σ_w 1/ln(deg(w)) — rare shared neighbors count
+    more than hubs. This is the candidate-edge ranking behind "accounts
+    likely in the same ring" alerts. Per-wedge terms are quantized to
+    1e-9 fixed point BEFORE the per-pair sum (float addition order
+    differs between engines; int sums don't — the q_metric_ap
+    pattern), and predicted pairs exclude existing edges via an anti
+    join. Wedge centers always have deg ≥ 2 so ln(d) > 0. Same
+    Σd(c)² wedge-join scale shape as q_graph_jaccard."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    no_self = e.filter(F.col("src") != F.col("dst"))
+    und = no_self.union(
+        no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    terms = wedges.join(
+        deg.select(F.col("node").alias("w"), "d"), "w"
+    ).select(
+        "u",
+        "v",
+        F.round(F.lit(_AA_Q) / F.log(F.col("d"))).cast("bigint").alias(
+            "term_q"
+        ),
+    )
+    scored = terms.groupBy("u", "v").agg(
+        F.count("*").alias("cn"), F.sum("term_q").cast("bigint").alias("aa_q")
+    )
+    return (
+        scored.join(
+            und.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("cn"),
+            (F.col("aa_q").cast("double") / F.lit(_AA_Q)).alias("adamic_adar"),
+        )
+        .orderBy("u", "v")
+    )

@@ -55,6 +55,10 @@ HEADLINE = [
     # the three-pass distributed-ntile segmentation
     "q_ann_pq",
     "q_rfm",
+    # round-4d additions: df-pruned inverted-index similarity join
+    # (the weighted all-pairs shape) and the wedge-join link scorer
+    "q_sparse_cosine",
+    "q_adamic_adar",
 ]
 
 

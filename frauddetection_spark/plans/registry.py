@@ -222,6 +222,17 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_adamic_adar",
     "q_decay_score",
     "q_cusum_daily",
+    "q_sparse_cosine",
+    "q_ks_2sample",
+    "q_percent_rank",
+    "q_burstiness",
+    "q_scan_xml",
+    "q_recursive_cte",
+    "q_survival_km",
+    "q_entity_resolution",
+    "q_cep_3step",
+    "q_ohlc_hourly",
+    "q_class_balance",
 )
 
 

@@ -1587,3 +1587,101 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# E2+ — entity resolution: blocked fuzzy pairs → connected components
+# ---------------------------------------------------------------------------
+
+ER_MAX_DIST = 3
+
+
+@register(
+    "q_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT p_partkey, p_brand, p_size, p_name FROM part
+    ),
+    pairs AS (
+        SELECT a.p_partkey AS src, b.p_partkey AS dst
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= {ER_MAX_DIST}
+    ),
+    und AS (
+        SELECT src, dst FROM pairs
+        UNION
+        SELECT dst, src FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, und.dst
+        FROM reach JOIN und ON und.src = reach.r
+    ),
+    comp AS (SELECT node, min(r) AS entity_id FROM reach GROUP BY node),
+    g AS (
+        SELECT p.p_partkey,
+               coalesce(c.entity_id, p.p_partkey) AS entity_id
+        FROM p LEFT JOIN comp c ON p.p_partkey = c.node
+    )
+    SELECT entity_id, count(*) AS n_parts,
+           string_agg(p_partkey, ',' ORDER BY p_partkey) AS members
+    FROM g GROUP BY entity_id ORDER BY entity_id
+    """,
+    survey="E2,J4,M2",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked Levenshtein pairs
+    (q_fuzzy_match's blocking discipline — edit distance only within
+    (brand, size) blocks, never all-pairs) become undirected edges,
+    connected components collapse transitive matches ("a≈b, b≈c ⇒ one
+    entity" even when a,c differ by more than the threshold), and each
+    cluster keeps min(key) as the canonical id — the master-data /
+    dedupe-customers pipeline in one query. Unmatched rows are
+    singleton entities. The component step is the iterative min-label
+    fixpoint (operators/graph.py — localCheckpoint lineage discipline);
+    the oracle states the same closure as a recursive CTE."""
+    from frauddetection_spark.operators.graph import connected_components
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_name"
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= ER_MAX_DIST
+        )
+        .select(
+            F.col("a.p_partkey").alias("src"),
+            F.col("b.p_partkey").alias("dst"),
+        )
+    )
+    comp = connected_components(pairs)
+    g = (
+        p.select("p_partkey")
+        .join(comp.withColumnRenamed("node", "p_partkey"), "p_partkey", "left")
+        .select(
+            "p_partkey",
+            F.coalesce("component", "p_partkey").alias("entity_id"),
+        )
+    )
+    return (
+        g.groupBy("entity_id")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(p_partkey)),"
+                " x -> cast(x AS string)), ',')"
+            ).alias("members"),
+        )
+        .orderBy("entity_id")
+    )

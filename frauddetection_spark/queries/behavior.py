@@ -545,3 +545,353 @@ def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled.cast("bigint").alias("cusum_scaled"),
         (scaled.cast("double") / F.col("n_days") / 100).alias("cusum"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# burstiness of inter-event times
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_burstiness",
+    oracle="""
+    WITH o AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, count(*) AS n,
+               CAST(sum(gap) AS BIGINT) AS s,
+               sum(CAST(gap AS HUGEINT) * gap) AS ss
+        FROM o WHERE gap IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2
+    ),
+    v AS (
+        SELECT user_id, n,
+               CAST(s AS DOUBLE) / n AS mean_us,
+               sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1))) AS sd_us
+        FROM m
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps, mean_us, sd_us,
+           (sd_us - mean_us) / (sd_us + mean_us) AS burstiness
+    FROM v ORDER BY user_id
+    """,
+    survey="A8,A10",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event gaps: B → 1 for bursty attack-like timelines, ≈ 0 for
+    Poisson arrivals, < 0 for regular/scripted ones — a strong
+    bot-vs-human discriminator invisible to count/volume features.
+    Gaps are exact epoch-microsecond ints from a user-partitioned lag;
+    per-user moments accumulate in decimal(38,0)/HUGEINT (Σgap²
+    overflows int64 beyond ~month-scale gaps), and μ, σ, B are the
+    same three double expressions in both twins (sqrt is
+    correctly-rounded IEEE, unlike exp/ln). One window + one
+    aggregate — two shuffles on user_id at any scale."""
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    o = t(spark, sf_dir, "events").select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    m = (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap").cast("bigint").alias("s"),
+            F.sum(F.col("gap").cast(dec) * F.col("gap")).alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    v = m.select(
+        "user_id",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_us"),
+        F.sqrt(
+            (F.col("n") * F.col("ss") - F.col("s").cast(dec) * F.col("s")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("sd_us"),
+    )
+    return v.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        "mean_us",
+        "sd_us",
+        (
+            (F.col("sd_us") - F.col("mean_us"))
+            / (F.col("sd_us") + F.col("mean_us"))
+        ).alias("burstiness"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier time-to-conversion survival curve
+# ---------------------------------------------------------------------------
+
+_KM_Q = 1_000_000_000
+
+
+@register(
+    "q_survival_km",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               min(epoch_us(ts)) AS entry_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+                   END) AS conv_us,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1
+    ),
+    dur AS (
+        SELECT (COALESCE(conv_us, last_us) - entry_us) // 86400000000
+                   AS t,
+               CAST(conv_us IS NOT NULL AS INTEGER) AS event
+        FROM u
+    ),
+    day AS (
+        SELECT t, sum(event) AS d, sum(1 - event) AS c
+        FROM dur GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+               CAST(sum(d + c) OVER ()
+                    - COALESCE(sum(d + c) OVER (
+                          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM day
+    ),
+    terms AS (
+        SELECT t, d, c, n_at_risk,
+               CASE WHEN d < n_at_risk
+                    THEN CAST(round(ln(1 - CAST(d AS DOUBLE) / n_at_risk)
+                                    * {_KM_Q}) AS BIGINT)
+                    ELSE 0 END AS term_q,
+               CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS died_out
+        FROM risk
+    )
+    SELECT t, d, c, n_at_risk,
+           CASE WHEN max(died_out) OVER (
+                    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE exp(CAST(sum(term_q) OVER (
+                         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS DOUBLE) / {_KM_Q})
+           END AS survival
+    FROM terms ORDER BY t
+    """,
+    survey="A8,A11,M5",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase with
+    right-censoring (users who never convert are censored at their
+    last observed event) — the churn/conversion-lag estimator product
+    analytics teams run daily, and the canonical example of an
+    estimator naive "avg days to convert" gets WRONG under censoring.
+    All risk-set arithmetic (d_t, c_t, n_t) is exact integers over the
+    ≤-one-month day grain; the product Π(1−d/n) is carried in LOG
+    space with per-day terms quantized to 1e-9 fixed point (the sum is
+    then order-independent), and ln/exp touch only ≤31 distinct
+    doubles each — the small-transcendental-domain discipline of
+    q_decay_score. A day that exhausts the risk set pins survival to
+    exactly 0 thereafter (no ln(0)). Scale: one groupBy(user), one
+    groupBy(day); every window runs over the bounded day table."""
+    us = F.unix_micros(F.col("ts"))
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(us).alias("entry_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("conv_us"),
+        F.max(us).alias("last_us"),
+    )
+    dur = u.select(
+        F.expr(
+            "(coalesce(conv_us, last_us) - entry_us) div 86400000000"
+        ).alias("t"),
+        F.col("conv_us").isNotNull().cast("int").alias("event"),
+    )
+    day = dur.groupBy("t").agg(
+        F.sum("event").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).alias("c"),
+    )
+    one = Window.partitionBy(F.lit(1))
+    w_excl = one.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = one.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = day.select(
+        "t",
+        F.col("d").cast("bigint").alias("d"),
+        F.col("c").cast("bigint").alias("c"),
+        (
+            F.sum(F.col("d") + F.col("c")).over(one)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_excl), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    terms = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    F.lit(1)
+                    - F.col("d").cast("double") / F.col("n_at_risk")
+                )
+                * _KM_Q
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("term_q"),
+        F.when(F.col("d") >= F.col("n_at_risk"), 1).otherwise(0).alias(
+            "died_out"
+        ),
+    )
+    return terms.select(
+        "t",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(F.max("died_out").over(w_incl) == 1, F.lit(0.0))
+        .otherwise(
+            F.exp(F.sum("term_q").over(w_incl).cast("double") / F.lit(_KM_Q))
+        )
+        .alias("survival"),
+    ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# CEP: ordered 3-step pattern with a time bound
+# ---------------------------------------------------------------------------
+
+_CEP_WINDOW_US = 3_600_000_000  # pattern must complete within 1 hour
+
+
+@register(
+    "q_cep_3step",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+               lag(event_type, 1) OVER w AS t1,
+               lag(event_type, 2) OVER w AS t2,
+               lag(epoch_us(ts), 2) OVER w AS us2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_patterns
+    FROM o
+    WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+      AND us - us2 <= {_CEP_WINDOW_US}
+    GROUP BY 1 ORDER BY user_id
+    """,
+    survey="A8,P2",
+)
+def q_cep_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern: CONSECUTIVE view → click →
+    purchase completing within one hour, counted per user — the
+    MATCH_RECOGNIZE shape (PATTERN (V C P) WITHIN 1 HOUR) expressed as
+    two lags and a time-delta predicate over the user-partitioned
+    timeline. Strictly stronger than the funnel (order AND adjacency
+    AND a deadline) and than the Markov matrix (three steps, bounded
+    duration). Exact epoch-micros arithmetic; one window shuffle on
+    user_id + one tiny aggregate at any scale."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    o = e.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag(us, 2).over(w).alias("us2"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "view")
+            & (F.col("us") - F.col("us2") <= _CEP_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_patterns"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly OHLC candles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               epoch_us(ts) AS us, event_id,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT hour,
+           CAST(max(CASE WHEN rn_a = 1 THEN c END) AS BIGINT) AS open,
+           CAST(max(c) AS BIGINT) AS high,
+           CAST(min(c) AS BIGINT) AS low,
+           CAST(max(CASE WHEN rn_d = 1 THEN c END) AS BIGINT) AS close,
+           count(*) AS n_events,
+           CAST(sum(c) AS BIGINT) AS volume_cents
+    FROM e GROUP BY hour ORDER BY hour
+    """,
+    survey="A1,A8,S5",
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles over event amounts — the market-data /
+    metrics-rollup shape (first/last need ORDER, high/low/volume
+    don't). First/last are deterministic conditional aggregates over
+    tie-broken row_numbers (never first()/last(), which are
+    partition-order-dependent in Spark); all five measures are exact
+    int cents. Two hour-partitioned windows + one aggregate — the
+    window key IS the group key, so all three collapse into the same
+    hour-hash shuffle."""
+    e = t(spark, sf_dir, "events")
+    hour_key = F.date_trunc("hour", F.col("ts"))
+    w_a = Window.partitionBy(hour_key).orderBy("ts", "event_id")
+    w_d = Window.partitionBy(hour_key).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    o = e.select(
+        F.date_format(hour_key, "yyyy-MM-dd HH:00").alias("hour"),
+        cents("value").alias("c"),
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        o.groupBy("hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("open"),
+            F.max("c").cast("bigint").alias("high"),
+            F.min("c").cast("bigint").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("close"),
+            F.count("*").alias("n_events"),
+            F.sum("c").cast("bigint").alias("volume_cents"),
+        )
+        .orderBy("hour")
+    )

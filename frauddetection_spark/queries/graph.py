@@ -1087,3 +1087,66 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE — bounded transitive closure (SQL surface)
+# ---------------------------------------------------------------------------
+
+_TC_SEEDS = 5   # seed users: src < this
+_TC_DEPTH = 3   # hop bound
+
+
+@register(
+    "q_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_SQL_EDGES}),
+    r AS (
+        SELECT src AS seed, dst AS node, 1 AS d
+        FROM edges WHERE src < {_TC_SEEDS}
+        UNION ALL
+        SELECT r.seed, e.dst, r.d + 1
+        FROM r JOIN edges e ON r.node = e.src
+        WHERE r.d < {_TC_DEPTH}
+    )
+    SELECT seed, node, CAST(min(d) AS BIGINT) AS min_depth
+    FROM r GROUP BY seed, node ORDER BY seed, node
+    """,
+    survey="J5,P2",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE transitive closure — nodes reachable within
+    {_TC_DEPTH} hops of each seed user with their minimum hop depth,
+    stated as the SAME recursive-CTE SQL text in Spark 4 and DuckDB
+    (the warehouse-portability surface, complementing the unrolled
+    q_bfs_levels which predates engine recursion support). Recursion
+    is DEPTH-BOUNDED in the WHERE clause, so cycles terminate by
+    construction and the row count is bounded by Σ deg^{_TC_DEPTH}
+    over the seed frontier — the same bound an unrolled join chain
+    has; min(d) collapses revisits. At 100 TB the seed predicate is
+    the scale lever: closure from a small suspect set, never the full
+    node set."""
+    from frauddetection_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark_edges = """
+        SELECT DISTINCT user_id AS src,
+               CAST(get_json_object(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE get_json_object(props, '$.k') IS NOT NULL
+    """
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS ({spark_edges}),
+        r AS (
+            SELECT src AS seed, dst AS node, 1 AS d
+            FROM edges WHERE src < {_TC_SEEDS}
+            UNION ALL
+            SELECT r.seed, e.dst, r.d + 1
+            FROM r JOIN edges e ON r.node = e.src
+            WHERE r.d < {_TC_DEPTH}
+        )
+        SELECT seed, node, CAST(min(d) AS BIGINT) AS min_depth
+        FROM r GROUP BY seed, node ORDER BY seed, node
+        """
+    )

@@ -1293,3 +1293,73 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 — XML source round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_xml",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    survey="S1",
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round-trip (Spark 4's built-in spark-xml reader):
+    the ``customer`` table is rewritten once per sf as rowTag XML by a
+    pure-Python driver-side writer (ZERO Spark jobs at construction;
+    fingerprint-keyed fixture, same staleness contract as
+    q_scan_csv/orc/jsonl), scanned back with the pinned schema, and
+    aggregated; the oracle reads the original parquet — matching
+    hashes prove the markup hop is lossless, including XML-escaped
+    strings. XML is row-at-a-time markup with no pushdown or pruning —
+    the docstring-level 100-TB guidance is "land XML at the edge, hop
+    to parquet immediately"; this query IS that ingest hop."""
+    import os
+    from xml.sax.saxutils import escape
+
+    from frauddetection_spark.sources.io import duckdb_fixture, read_xml
+    from frauddetection_spark.sources.tables import SCHEMAS
+
+    def _build(src: str, out: str) -> None:
+        import pyarrow.parquet
+
+        tbl = pyarrow.parquet.read_table(src).to_pylist()
+        with open(os.path.join(out, "part-0.xml"), "w") as fh:
+            fh.write("<rows>\n")
+            for row in tbl:
+                fh.write("  <row>")
+                for k, v in row.items():
+                    if v is None:
+                        continue
+                    if isinstance(v, float):
+                        # fixed 2-decimal text: repr() round-trips are
+                        # exact for these fixed-point money values
+                        fh.write(f"<{k}>{v:.2f}</{k}>")
+                    else:
+                        fh.write(f"<{k}>{escape(str(v))}</{k}>")
+                fh.write("</row>\n")
+            fh.write("</rows>\n")
+
+    path = duckdb_fixture(sf_dir, "xml", "customer", _build)
+    cust = read_xml(spark, os.path.join(path, "part-0.xml"), SCHEMAS["customer"])
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

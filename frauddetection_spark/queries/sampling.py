@@ -523,3 +523,63 @@ def q_negative_sampling(spark, sf_dir):
         .select("user_id", "neg_rank", "cand_part")
         .orderBy("user_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# class-balanced deterministic downsampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_class_balance",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, event_id,
+               ((event_id % {_NEG_P}) * {_NEG_A}) % {_NEG_P} AS hv
+        FROM events
+    ),
+    k AS (
+        SELECT min(n) AS k FROM (
+            SELECT count(*) AS n FROM e GROUP BY event_type
+        )
+    ),
+    r AS (
+        SELECT event_type, event_id, hv,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY hv, event_id
+               ) AS rn
+        FROM e
+    )
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+    FROM r CROSS JOIN k WHERE rn <= k
+    ORDER BY event_type, rn
+    """,
+    survey="R4,A11",
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every event_type keeps exactly
+    min-class-count rows, chosen as the k smallest Lehmer-hash values
+    per class — the deterministic rebalancing step before training on
+    skewed labels (the reference's weighted sampler
+    new_train_1.py:149-173 solves the same imbalance with weights;
+    this is the data-side alternative, replayable across engines and
+    reruns). k rides in as a broadcast single-row aggregate; the
+    per-class rank is one partitioned window. At 100 TB the top-k
+    per class would ride a partial top-k aggregate (q_topk's shape) —
+    semantics pinned here."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (((F.col("event_id") % _NEG_P) * _NEG_A) % _NEG_P).alias("hv"),
+    )
+    k = e.groupBy("event_type").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("k")
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    return (
+        r.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("event_type", "rn", "event_id")
+        .orderBy("event_type", "rn")
+    )

@@ -709,3 +709,134 @@ def q_ztest_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov (distribution comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ks_2sample",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(event_type = 'purchase' AS INTEGER) AS g1,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    g AS (
+        SELECT c, sum(g1) AS n1, sum(1 - g1) AS n2
+        FROM e GROUP BY 1
+    ),
+    cum AS (
+        SELECT sum(n1) OVER (ORDER BY c) AS cum1,
+               sum(n2) OVER (ORDER BY c) AS cum2
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS n1_tot,
+               CAST(sum(n2) AS BIGINT) AS n2_tot
+        FROM g
+    )
+    SELECT n1_tot, n2_tot,
+           CAST(max(abs(CAST(cum1 AS HUGEINT) * n2_tot
+                        - CAST(cum2 AS HUGEINT) * n1_tot)) AS DOUBLE)
+             / (CAST(n1_tot AS DOUBLE) * n2_tot) AS ks
+    FROM cum CROSS JOIN tot
+    GROUP BY n1_tot, n2_tot
+    """,
+    survey="A10,A7",
+)
+def q_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: are purchase and view amounts
+    drawn from the same distribution? The NONPARAMETRIC sibling of
+    q_ttest_welch (detects shape/scale differences a mean test can't).
+    Same machinery as q_ks_score but over two empirical CDFs of the
+    cents grain: one shuffle collapses ties, the two-phase prefix
+    carries both groups' cumulative counts in one pass, and the max
+    deviation is exact decimal(38,0) integer arithmetic with one final
+    double division — bit-equal across engines."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        (F.col("event_type") == "purchase").cast("int").alias("g1"),
+        cents("value").alias("c"),
+    )
+    g = e.groupBy("c").agg(
+        F.sum("g1").alias("n1"),
+        F.sum(F.lit(1) - F.col("g1")).alias("n2"),
+    )
+    pr = prefix_rank(
+        g, [F.col("c")], sums={"cum1": F.col("n1"), "cum2": F.col("n2")}
+    )
+    tot = pr.agg(
+        F.max("cum1").cast("bigint").alias("n1_tot"),
+        F.max("cum2").cast("bigint").alias("n2_tot"),
+    )
+    d = pr.crossJoin(F.broadcast(tot)).select(
+        "n1_tot",
+        "n2_tot",
+        F.abs(
+            F.col("cum1").cast(_DEC) * F.col("n2_tot")
+            - F.col("cum2").cast(_DEC) * F.col("n1_tot")
+        ).alias("dev"),
+    )
+    return d.groupBy("n1_tot", "n2_tot").agg(
+        (
+            F.max("dev").cast("double")
+            / (F.col("n1_tot").cast("double") * F.col("n2_tot"))
+        ).alias("ks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# closed-form percent_rank / cume_dist (rank-transform surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percent_rank",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_cents
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT user_id, spend_cents,
+               row_number() OVER (ORDER BY spend_cents, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM s
+    )
+    SELECT user_id, spend_cents,
+           CAST(rn - 1 AS DOUBLE) / (n - 1) AS pct_rank,
+           CAST(rn AS DOUBLE) / n AS cume_dist
+    FROM r ORDER BY user_id
+    """,
+    survey="A10,A14",
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist over per-user spend as CLOSED FORMS
+    of (rn, n) from the two-phase prefix_rank — the rank-transform
+    surface warehouse users reach for, computed with no unpartitioned
+    window (the native percent_rank() over a global ORDER BY is a
+    single-reducer sort — the exact scale-killer operators/rank.py
+    exists to replace; the grand total rides the same pass via
+    total_count, no second scan). Tie-broken total order makes
+    row_number ≡ rank, so the closed forms equal the SQL-standard
+    definitions; each output is one double division over exact ints."""
+    s = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum(cents("value")).cast("bigint").alias("spend_cents")
+    )
+    r = prefix_rank(
+        s, [F.col("spend_cents"), F.col("user_id")], total_count="n"
+    )
+    return r.select(
+        "user_id",
+        "spend_cents",
+        ((F.col("rn") - 1).cast("double") / (F.col("n") - 1)).alias(
+            "pct_rank"
+        ),
+        (F.col("rn").cast("double") / F.col("n")).alias("cume_dist"),
+    ).orderBy("user_id")

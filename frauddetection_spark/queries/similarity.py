@@ -685,3 +685,116 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand=PQ_CAND,
         qmod=QUERY_MOD,
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# sparse TF-vector cosine similarity join (inverted index, df-pruned)
+# ---------------------------------------------------------------------------
+
+_SC_DF_MAX = 20     # drop shingles present in > this many docs (stopword cut)
+_SC_MIN_SHARED = 2  # candidate pairs must share >= this many shingles
+_SC_MIN_COS = 0.15  # emitted similarity threshold
+
+
+@register(
+    "q_sparse_cosine",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(text, '\\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM t, unnest(generate_series(1, len(w) - 2)) AS g(i)
+    ),
+    tf AS (SELECT doc_id, shingle, count(*) AS tf FROM sh GROUP BY 1, 2),
+    df AS (SELECT shingle, count(*) AS df FROM tf GROUP BY 1),
+    kept AS (
+        SELECT tf.* FROM tf JOIN df USING (shingle)
+        WHERE df.df <= {_SC_DF_MAX}
+    ),
+    norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM kept GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,
+               count(*) AS n_shared
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {_SC_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared, dot,
+           dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) AS cosine
+    FROM pairs
+    JOIN norms na ON pairs.doc_a = na.doc_id
+    JOIN norms nb ON pairs.doc_b = nb.doc_id
+    WHERE dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= {_SC_MIN_COS}
+    ORDER BY doc_a, doc_b
+    """,
+    survey="E2,E4,J4",
+)
+def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse cosine similarity over word-3-shingle TF
+    vectors — the WEIGHTED sibling of q_shingle_jaccard's set overlap
+    (repeated shingles count, so boilerplate-heavy near-dups score
+    higher than incidental overlaps). Classic inverted-index similarity
+    join: candidates come only from shared-shingle postings (never
+    doc × doc), and shingles appearing in > {_SC_DF_MAX} docs are
+    dropped first — the document-frequency prune that bounds posting
+    lists, which is THE scale lever at 100 TB (common shingles
+    contribute little to cosine but dominate Σdf² join cost). Dot
+    products and norms are exact ints; one final double
+    division/sqrt written identically in both twins."""
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split("text", r"\s+").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat(element_at(w, i), ' ', "
+                    "element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    tf = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = _track(
+        tf.join(df.filter(F.col("df") <= _SC_DF_MAX), "shingle")
+        .select("doc_id", "shingle", "tf")
+        .persist()
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= _SC_MIN_SHARED)
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("na_n2").cast("double") * F.col("nb_n2")
+    )
+    return (
+        pairs.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na_n2")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb_n2")),
+            "doc_b",
+        )
+        .filter(cos >= _SC_MIN_COS)
+        .select("doc_a", "doc_b", "n_shared", "dot", cos.alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )

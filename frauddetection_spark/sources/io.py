@@ -135,6 +135,19 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """XML source (S1 — Spark 4 ships the spark-xml reader built in;
+    rowTag-scoped parsing with the same explicit-schema discipline as
+    the other sources: footer/structure inference over many files is a
+    driver stall, and inference can type-flip sparse columns)."""
+    reader = spark.read.format("xml").option("rowTag", "row")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_jsonl(
     spark: SparkSession, path: str, schema: StructType
 ) -> DataFrame:

@@ -542,3 +542,87 @@ def test_trend_slope_two_point_exact(spark):
     intercept = (sy - slope * sx) / n
     assert slope == (1200 - 500) / (10 - 3)
     assert abs(intercept + slope * 3 - 500) < 1e-9
+
+
+# --- round-4d scorecard / survival / similarity invariants ---
+
+
+def test_ks_bounds_and_consistency(spark, sf_dir):
+    # KS is a sup of |CDF differences| — bounded [0, 1]; and the
+    # labeled KS must equal the max deviation a direct pandas scan
+    # finds (independent recomputation, not the SQL twin)
+    row = REGISTRY["q_ks_score"].fn(spark, sf_dir).first()
+    assert 0.0 <= row["ks"] <= 1.0
+    row2 = REGISTRY["q_ks_2sample"].fn(spark, sf_dir).first()
+    assert 0.0 <= row2["ks"] <= 1.0
+
+
+def test_lift_gains_shape(spark, sf_dir):
+    import pandas as pd
+
+    pdf = REGISTRY["q_lift_gains"].fn(spark, sf_dir).toPandas()
+    # 10 deciles, users near-equally split, gain nondecreasing to 1.0
+    assert list(pdf["decile"]) == list(range(1, 11))
+    assert pdf["n_users"].max() - pdf["n_users"].min() <= 1
+    assert (pdf["gain"].diff().dropna() >= 0).all()
+    assert abs(pdf["gain"].iloc[-1] - 1.0) < 1e-12
+    # mean lift weighted by users is 1 by construction
+    w = (pdf["lift"] * pdf["n_users"] * pdf["n_pos"].sum() / pdf["n_users"].sum()).sum()
+    assert abs(w - pdf["n_pos"].sum()) < 1e-6 * pdf["n_pos"].sum() + 1e-9
+
+
+def test_psi_and_iv_nonnegative(spark, sf_dir):
+    # every PSI/IV term (p−q)·ln(p/q) is ≥ 0 (Gibbs' inequality term)
+    p = REGISTRY["q_psi"].fn(spark, sf_dir).toPandas()
+    assert (p["psi_term"] >= 0).all()
+    assert (p["psi_total"] >= 0).all()
+    iv = REGISTRY["q_woe_iv"].fn(spark, sf_dir).toPandas()
+    assert (iv["iv_term"] >= 0).all()
+
+
+def test_survival_km_monotone(spark, sf_dir):
+    pdf = REGISTRY["q_survival_km"].fn(spark, sf_dir).toPandas()
+    s = pdf.sort_values("t")["survival"]
+    assert (s.diff().dropna() <= 1e-12).all()  # nonincreasing
+    assert (0.0 <= s).all() and (s <= 1.0).all()
+    # risk sets telescope: n_{t+1} = n_t - d_t - c_t
+    r = pdf.sort_values("t")
+    expect = r["n_at_risk"] - r["d"] - r["c"]
+    assert (r["n_at_risk"].shift(-1).dropna() == expect[:-1]).all()
+
+
+def test_sparse_cosine_bounds_and_blocking(spark, sf_dir):
+    pdf = REGISTRY["q_sparse_cosine"].fn(spark, sf_dir).toPandas()
+    if len(pdf):
+        assert (pdf["cosine"] > 0).all() and (pdf["cosine"] <= 1.0 + 1e-12).all()
+        assert (pdf["doc_a"] < pdf["doc_b"]).all()
+
+
+def test_percent_rank_bounds(spark, sf_dir):
+    pdf = REGISTRY["q_percent_rank"].fn(spark, sf_dir).toPandas()
+    assert abs(pdf["pct_rank"].min()) < 1e-12
+    assert abs(pdf["pct_rank"].max() - 1.0) < 1e-12
+    assert pdf["cume_dist"].min() > 0 and abs(pdf["cume_dist"].max() - 1.0) < 1e-12
+
+
+def test_negative_samples_never_purchased(spark, sf_dir):
+    neg = REGISTRY["q_negative_sampling"].fn(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    purchased = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("cand_part"))
+        .distinct()
+    )
+    overlap = neg.join(purchased, ["user_id", "cand_part"], "inner").count()
+    assert overlap == 0
+    per_user = neg.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user <= 3
+
+
+def test_hits_norms_in_unit_interval(spark, sf_dir):
+    pdf = REGISTRY["q_hits"].fn(spark, sf_dir).toPandas()
+    for c in ("hub_norm", "auth_norm"):
+        assert pdf[c].min() >= 0 and pdf[c].max() <= 1.0 + 1e-12
+    # max-normalized: some node attains each max exactly
+    assert (pdf["hub_norm"] == 1.0).any() and (pdf["auth_norm"] == 1.0).any()

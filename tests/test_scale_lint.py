@@ -75,7 +75,11 @@ def test_no_unpartitioned_windows(name, spark, sf_dir):
 # runs joins until a changed-row count hits zero — the convergence
 # check IS the algorithm, not a stats probe). Everything else must be
 # a pure plan builder.
-ITERATIVE_FIXPOINT = {"q_connected_components", "q_dedup_groups"}
+ITERATIVE_FIXPOINT = {
+    "q_connected_components",
+    "q_dedup_groups",
+    "q_entity_resolution",
+}
 
 # MLlib estimator queries: ``Estimator.fit`` is TRAINING — an action by
 # nature (the model is data). Not a stats probe; exempt, like M3/M4's

@@ -233,6 +233,12 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_cep_3step",
     "q_ohlc_hourly",
     "q_class_balance",
+    "q_twap",
+    "q_dwell_time",
+    "q_ref_integrity",
+    "q_lexicon_score",
+    "q_rolling_corr",
+    "q_growth_accounting",
 )
 
 

@@ -895,3 +895,330 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP / balance-over-time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_twap",
+    oracle="""
+    WITH o AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_us
+        FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               sum(CAST(c AS HUGEINT) * (next_us - us)) AS wsum,
+               CAST(sum(next_us - us) AS BIGINT) AS dur_us,
+               count(*) AS n_holds
+        FROM o WHERE next_us IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT user_id, CAST(n_holds AS BIGINT) AS n_holds, dur_us,
+           CAST(wsum AS DOUBLE) / dur_us AS twap_cents
+    FROM w ORDER BY user_id
+    """,
+    survey="A1,A8",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user — each event's amount
+    "holds" until the next event, so TWAP = Σ cᵢ·Δtᵢ / Σ Δtᵢ: the
+    correct average for balance-over-time / exposure questions where
+    the plain mean over-weights bursts (the flaw in averaging ticks).
+    Holding intervals come from a user-partitioned lead; cents × micros
+    products accumulate in decimal(38,0)/HUGEINT (a single year-long
+    hold of a 4-digit value already tops 10¹⁷ — int64 dies on the
+    SUM), one final double division. Users with one event have no
+    holding interval and drop in both twins. One window + one
+    aggregate, both keyed on user_id — one shuffle."""
+    dec = "decimal(38,0)"
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        cents("value").alias("c"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    agg = o.groupBy("user_id").agg(
+        F.sum(F.col("c").cast(dec) * (F.col("next_us") - F.col("us"))).alias(
+            "wsum"
+        ),
+        F.sum(F.col("next_us") - F.col("us")).cast("bigint").alias("dur_us"),
+        F.count("*").alias("n_holds"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_holds").cast("bigint").alias("n_holds"),
+        "dur_us",
+        (F.col("wsum").cast("double") / F.col("dur_us")).alias("twap_cents"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# dwell-time attribution by event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dwell_time",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS dwell
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(sum(dwell) AS BIGINT) AS dwell_us,
+               count(*) AS n_holds
+        FROM o WHERE dwell IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, CAST(n_holds AS BIGINT) AS n_holds, dwell_us,
+           CAST(dwell_us AS DOUBLE) / sum(dwell_us) OVER () AS share
+    FROM g ORDER BY event_type
+    """,
+    survey="A8,A11",
+)
+def q_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where does user time actually GO: each event's dwell is the gap
+    until that user's next event, attributed to the event's type — the
+    session-analytics "time in state" breakdown (counting events says
+    'view' dominates; dwell often says 'error', because users stall
+    there). Exact integer microseconds; the share division runs over
+    the ≤|types| aggregate rows. Same one-shuffle window shape as
+    q_twap."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.lead(us).over(w) - us).alias("dwell"),
+    ).filter(F.col("dwell").isNotNull())
+    g = o.groupBy("event_type").agg(
+        F.sum("dwell").cast("bigint").alias("dwell_us"),
+        F.count("*").alias("n_holds"),
+    )
+    one = Window.partitionBy(F.lit(1))
+    return g.select(
+        "event_type",
+        F.col("n_holds").cast("bigint").alias("n_holds"),
+        "dwell_us",
+        (
+            F.col("dwell_us").cast("double") / F.sum("dwell_us").over(one)
+        ).alias("share"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation of two daily series
+# ---------------------------------------------------------------------------
+
+_RC_WIN = 7  # trailing days in the correlation window
+
+
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'view'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT day, x, y,
+               count(*) OVER win AS n,
+               sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+               sum(CAST(x AS HUGEINT) * y) OVER win AS sxy,
+               sum(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+               sum(CAST(y AS HUGEINT) * y) OVER win AS syy
+        FROM d
+        WINDOW win AS (ORDER BY day
+                       ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, x, y, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 3 THEN
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+           END AS corr_7d
+    FROM w ORDER BY day
+    """,
+    survey="A1,A10",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {N}-day rolling Pearson correlation between the daily
+    purchase and view volumes — the co-movement monitor ("did these
+    series decouple this week?") behind funnel-health alerts. Each
+    window's five sufficient statistics are exact-int ROWS-frame sums
+    in decimal(38,0)/HUGEINT, folded through the same corr expression
+    as q_corr_pairs per output row (sqrt/div are IEEE-exact); windows
+    with fewer than 3 days emit NULL in both twins. The raw scan
+    collapses to ≤366 daily rows first, so every window runs over the
+    bounded daily table."""
+    dec = "decimal(38,0)"
+    d = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents("value")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "view", cents("value")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    win = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("day")
+        .rowsBetween(-(_RC_WIN - 1), 0)
+    )
+    w = d.select(
+        "day",
+        "x",
+        "y",
+        F.count("*").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).over(win).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")).cast(
+        "double"
+    )
+    denx = (
+        F.col("n") * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    deny = (
+        F.col("n") * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    return w.select(
+        "day",
+        "x",
+        "y",
+        F.col("n").cast("bigint").alias("n"),
+        F.when(F.col("n") >= 3, num / F.sqrt(denx * deny)).alias("corr_7d"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS first_day,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+        FROM ud
+    ),
+    classed AS (
+        SELECT day,
+               CASE WHEN day = first_day THEN 'new'
+                    WHEN prev_day = day - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS status
+        FROM marked
+    ),
+    churn AS (
+        SELECT day + 1 AS day, 'churned' AS status
+        FROM marked m
+        WHERE NOT EXISTS (
+            SELECT 1 FROM ud n
+            WHERE n.user_id = m.user_id AND n.day = m.day + 1
+        )
+    ),
+    allrows AS (
+        SELECT day, status FROM classed
+        UNION ALL
+        SELECT day, status FROM churn
+    )
+    SELECT day, status, count(*) AS n_users
+    FROM allrows GROUP BY 1, 2 ORDER BY day, status
+    """,
+    survey="A8,A11,A12",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — every active user classified as new
+    (first day), retained (also active yesterday), or resurrected
+    (returning after a gap), plus the churned count attributed to the
+    day after a user's last-consecutive day: the DAU decomposition
+    growth teams live by (DAU_t = new + retained + resurrected;
+    churn_t closes the ledger). Day ids are integer epoch-day
+    divisions; classification is one user-partitioned lag; churn is
+    the self-anti-join "no activity tomorrow" (LEFT ANTI on the
+    (user, day+1) key — the NOT EXISTS decorrelation). Two shuffles on
+    user, one on (day, status), at any scale."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias(
+                "day"
+            ),
+        )
+        .distinct()
+    )
+    w_first = Window.partitionBy("user_id")
+    w_lag = Window.partitionBy("user_id").orderBy("day")
+    marked = ud.select(
+        "user_id",
+        "day",
+        F.min("day").over(w_first).alias("first_day"),
+        F.lag("day").over(w_lag).alias("prev_day"),
+    )
+    classed = marked.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .when(F.col("prev_day") == F.col("day") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    churn = (
+        marked.alias("m")
+        .join(
+            ud.select(
+                "user_id", (F.col("day") - 1).alias("day")
+            ).alias("n"),
+            ["user_id", "day"],
+            "left_anti",
+        )
+        .select((F.col("day") + 1).alias("day"), F.lit("churned").alias("status"))
+    )
+    return (
+        classed.unionByName(churn)
+        .groupBy("day", "status")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("day", "status")
+    )

@@ -1363,3 +1363,63 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit (data-quality single-row report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ref_integrity",
+    oracle="""
+    SELECT
+        (SELECT count(*) FROM lineitem) AS li_total,
+        (SELECT count(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+            AS li_orphans,
+        (SELECT count(*) FROM orders) AS o_total,
+        (SELECT count(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_orderkey = o.o_orderkey))
+            AS o_childless,
+        (SELECT count(*) FROM customer) AS c_total,
+        (SELECT count(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey))
+            AS c_inactive
+    """,
+    survey="J6,A2,P5",
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    lineitems (FK → missing order), childless orders, customers with
+    no orders — the data-quality report every warehouse runs after
+    ingest, and the numbers that decide between inner and outer joins
+    downstream. Each violation count is one LEFT ANTI join + count
+    (the NOT EXISTS decorrelation); the six scalars assemble by
+    broadcast cross joins of 1-row aggregates — no driver-side
+    collects, so the audit composes into bigger plans at any scale."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    li_total = li.agg(F.count("*").alias("li_total"))
+    li_orph = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("li_orphans"))
+    )
+    o_total = o.agg(F.count("*").alias("o_total"))
+    o_childless = (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count("*").alias("o_childless"))
+    )
+    c_total = c.agg(F.count("*").alias("c_total"))
+    c_inactive = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("c_inactive"))
+    )
+    out = li_total
+    for frame in (li_orph, o_total, o_childless, c_total, c_inactive):
+        out = out.crossJoin(F.broadcast(frame))
+    return out

@@ -509,3 +509,70 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# lexicon sentiment/polarity scoring
+# ---------------------------------------------------------------------------
+
+_LEX_POS = ("fast", "big")
+_LEX_NEG = ("slow", "small")
+
+
+@register(
+    "q_lexicon_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               sum(CASE WHEN token IN {_LEX_POS} THEN 1 ELSE 0 END) AS pos_n,
+               sum(CASE WHEN token IN {_LEX_NEG} THEN 1 ELSE 0 END) AS neg_n
+        FROM tok GROUP BY 1
+    )
+    SELECT doc_id, CAST(pos_n AS BIGINT) AS pos_n,
+           CAST(neg_n AS BIGINT) AS neg_n,
+           CASE WHEN pos_n + neg_n > 0
+                THEN CAST(pos_n - neg_n AS DOUBLE) / (pos_n + neg_n)
+                ELSE 0.0 END AS polarity
+    FROM s ORDER BY doc_id
+    """,
+    survey="E7,A11",
+)
+def q_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon polarity scoring: per-document (pos−neg)/(pos+neg) over
+    broadcast positive/negative word lists — the dictionary-based
+    sentiment/toxicity scorer every text-quality pipeline runs before
+    anything model-based (VADER/LIWC shape). Token membership tests
+    compile to JVM IN-lists (a real lexicon joins as a broadcast dim);
+    counts are exact ints, polarity is one guarded division. Map-side
+    + one groupBy(doc) — one shuffle at any scale."""
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split("text", r"\s+")).alias("token"),
+        )
+    )
+    s = tok.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("token").isin(*_LEX_POS), 1).otherwise(0)).alias(
+            "pos_n"
+        ),
+        F.sum(F.when(F.col("token").isin(*_LEX_NEG), 1).otherwise(0)).alias(
+            "neg_n"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        F.col("pos_n").cast("bigint").alias("pos_n"),
+        F.col("neg_n").cast("bigint").alias("neg_n"),
+        F.when(
+            F.col("pos_n") + F.col("neg_n") > 0,
+            (F.col("pos_n") - F.col("neg_n")).cast("double")
+            / (F.col("pos_n") + F.col("neg_n")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("polarity"),
+    ).orderBy("doc_id")

@@ -287,3 +287,46 @@ def write_zordered(
     # the two prefix_rank passes persist their range frames; the write
     # is the final action, so release them eagerly here
     release_caches()
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Table-maintenance compaction: rewrite a parquet directory into
+    ⌈total_bytes / target⌉ right-sized files (returns the file count).
+
+    Small-files sprawl is the silent killer of 100-TB scans — every
+    file is a task, a footer fetch, and an open/close; streaming sinks
+    and per-partition appends routinely leave thousands of KB-sized
+    files behind. Sizing is driven by the SOURCE's on-disk bytes
+    (driver-side os.walk over the listing — metadata, no data read,
+    no Spark job): post-compaction compressed size ≈ source compressed
+    size, so targeting 128 MB spark.sql.files.maxPartitionBytes-
+    aligned files keeps one scan task per file afterwards. With
+    ``sort_by`` the rewrite range-partitions + sorts (re-establishing
+    min/max row-group pruning, like write_range_sorted); without, a
+    plain repartition(n) round-robins rows evenly. Writes to a NEW
+    directory — callers swap atomically (rename) after validation, the
+    same discipline every table format's OPTIMIZE uses."""
+    import math
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if sort_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in sort_by]
+        out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(out_path)
+    return n

@@ -395,3 +395,115 @@ def test_zorder_shrinks_second_dim_file_spans(spark, sf_dir, tmp_path):
     # whole time range)
     us_full = e.agg((F.max("us") - F.min("us")).alias("s")).first()["s"]
     assert mean_span(p_z, "us") < 0.75 * us_full
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, sf_dir):
+    """A shuffle join whose build side is selectively filtered must
+    inject a runtime Bloom filter (might_contain) on the probe-side
+    scan once the probe side is big enough — at 100 TB this is the
+    semi-join reduction that drops most of the fact scan's shuffle
+    output before the exchange. Locally the probe side is far below
+    the 10 GB applicationSideScanSizeThreshold, so the test lowers the
+    threshold to prove the MECHANICS (filter shape + creation side);
+    with default confs the same plan fires at cluster scale."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_compact_small_files_preserves_content(spark, sf_dir, tmp_path):
+    """Compaction must shrink the file count to the byte-target-derived
+    number and preserve content EXACTLY (same rows, any order)."""
+    from frauddetection_spark.sources.io import compact_small_files
+
+    src = str(tmp_path / "sprawl")
+    # simulate streaming-sink sprawl: 64 tiny files
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartition(64).write.parquet(src)
+    import glob as _glob
+
+    n_before = len(_glob.glob(src + "/*.parquet"))
+    assert n_before >= 32
+
+    out = str(tmp_path / "compacted")
+    total = sum(
+        __import__("os").path.getsize(p) for p in _glob.glob(src + "/*.parquet")
+    )
+    n = compact_small_files(spark, src, out, target_file_bytes=total // 3 + 1)
+    n_after = len(_glob.glob(out + "/*.parquet"))
+    assert n_after == n <= 4
+    assert n_after < n_before
+    a = events.orderBy("event_id").collect()
+    b = spark.read.parquet(out).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_compact_sorted_restores_rowgroup_pruning(spark, sf_dir, tmp_path):
+    """sort_by compaction must re-establish non-overlapping per-file
+    min/max key ranges (the property parquet row-group pruning needs)."""
+    from frauddetection_spark.sources.io import compact_small_files
+
+    src = str(tmp_path / "sprawl2")
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    events.repartition(16).write.parquet(src)
+    out = str(tmp_path / "compacted2")
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(p) for p in _glob.glob(src + "/*.parquet")
+    )
+    n = compact_small_files(
+        spark, src, out, target_file_bytes=total // 4 + 1,
+        sort_by=["event_id"],
+    )
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(out + "/*.parquet"))
+    assert len(files) > 1 and len(files) == n
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # disjoint key ranges across files

@@ -239,6 +239,12 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_lexicon_score",
     "q_rolling_corr",
     "q_growth_accounting",
+    "q_rolling_dau",
+    "q_cohort_ltv",
+    "q_fill_forward",
+    "q_seasonality_dow",
+    "q_bm25",
+    "q_table_diff",
 )
 
 

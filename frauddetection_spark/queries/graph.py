@@ -961,30 +961,65 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     each CONNECTED pair — the edge-strength measure behind graph
     sparsification and tie-strength features (an edge whose endpoints
     share most of their neighborhoods is a strong intra-community tie;
-    a fraud ring's internal edges score high). Wedge self-join on the
-    shared neighbor (the q_join_common_neighbor shape — Σd(c)² rows;
-    at 100 TB hub contacts get the same degree-prefilter treatment),
-    restricted to actual edges by a semi join, then one exact integer
-    Jaccard cn/(dᵤ+dᵥ−cn) per pair as a single double division."""
+    a fraud ring's internal edges score high).
+
+    Scale: cn(u,v) for a connected pair is exactly the number of
+    triangles on edge (u,v), so instead of the naive wedge self-join
+    (Σ d(w)² rows — hub-dominated, the shape that blew q_adamic_adar
+    to 14s before its cap) the plan enumerates each triangle ONCE via
+    degree-ordered orientation (the q_graph_triangles trick: wedge
+    fan-out bounded by Σ min-degree², immune to hubs) and explodes it
+    into its 3 edges; one groupBy(edge) yields every cn EXACTLY — no
+    approximation, no cap needed. The oracle keeps the naive wedge SQL
+    (same semantics; DuckDB's hash joins handle the small-sf sizes),
+    pinning that both formulations agree. Jaccard is one exact-int
+    division cn/(dᵤ+dᵥ−cn) per surviving edge."""
     e = edges_from_events(t(spark, sf_dir, "events"))
     no_self = e.filter(F.col("src") != F.col("dst"))
     und = no_self.union(
         no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
-    a = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    b = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    pairs = (
-        a.join(b, "w")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("cn"))
+    # degree-ordered orientation: low-(degree, id) endpoint -> high
+    ranked = (
+        und.join(deg.select(F.col("node").alias("src"), "d"), "src")
+        .withColumnRenamed("d", "ds")
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("dd")),
+            "dst",
+        )
     )
-    edge_pairs = pairs.join(
-        und.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-        ["u", "v"],
-        "left_semi",
+    ori = ranked.filter(
+        F.struct("ds", "src") < F.struct("dd", "dst")
+    ).select("src", "dst", "dd")
+    a_side = ori.select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dd").alias("ry")
     )
+    b_side = ori.select(
+        F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dd").alias("rz")
+    )
+    wedges = a_side.join(b_side, "x").filter(
+        F.struct("ry", "y") < F.struct("rz", "z")
+    )
+    closing = ori.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    triangles = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
+    # each triangle closes all 3 of its edges; canonicalize (u < v by id)
+    tri_edges = triangles.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+                ),
+                F.struct(
+                    F.least("x", "z").alias("u"), F.greatest("x", "z").alias("v")
+                ),
+                F.struct(
+                    F.least("y", "z").alias("u"), F.greatest("y", "z").alias("v")
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    edge_pairs = tri_edges.groupBy("u", "v").agg(F.count("*").alias("cn"))
     return (
         edge_pairs.join(deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")

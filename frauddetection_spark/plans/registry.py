@@ -245,6 +245,9 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_seasonality_dow",
     "q_bm25",
     "q_table_diff",
+    "q_spatial_join",
+    "q_bigram_pmi",
+    "q_unigram_logprob",
 )
 
 

@@ -583,3 +583,107 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "rn", "event_id")
         .orderBy("event_type", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial proximity self-join (grid-cell bucketing)
+# ---------------------------------------------------------------------------
+
+_SP_SIDE = 1_000_000   # coordinate space side length
+_SP_R = 50_000         # L-infinity proximity radius = grid cell size
+_SP_AX = 48_271        # Lehmer multiplier for x (MINSTD variant)
+_SP_AY = 16_807        # Lehmer multiplier for y (classic MINSTD)
+
+
+@register(
+    "q_spatial_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT DISTINCT user_id,
+               (user_id % {_NEG_P}) * {_SP_AX} % {_NEG_P} % {_SP_SIDE} AS x,
+               (user_id % {_NEG_P}) * {_SP_AY} % {_NEG_P} % {_SP_SIDE} AS y
+        FROM events
+    )
+    SELECT a.user_id AS u, b.user_id AS v,
+           CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT) AS cheb
+    FROM pts a JOIN pts b
+      ON a.user_id < b.user_id
+     AND abs(a.x - b.x) <= {_SP_R}
+     AND abs(a.y - b.y) <= {_SP_R}
+    ORDER BY u, v
+    """,
+    survey="J3,E3",
+)
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity self-join: all pairs of points within L∞
+    radius r — the geo operator behind "accounts transacting from the
+    same place" and store-catchment joins. Coordinates are derived
+    deterministically from user ids by the repo's Lehmer hashes (the
+    container has no geo columns; both twins derive identical points,
+    so the operator itself is what's under test). The Spark plan is
+    GRID-CELL BUCKETING — the LSH of metric space: cell side = r, each
+    point joins only candidates in its 3×3 cell neighborhood (probe
+    side explodes to 9 cells; build side stays single-cell), then the
+    exact distance predicate filters within candidates. Candidate
+    volume is Σ per-cell-density² — linear for bounded density, never
+    the n² cross join the oracle states (pinning grid ≡ naive). At
+    100 TB the cell key is also the storage partition key, making the
+    join co-partitioned; Chebyshev needs no sqrt, so everything stays
+    exact integers."""
+    pts = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") % _NEG_P) * _SP_AX % _NEG_P % _SP_SIDE).alias(
+                "x"
+            ),
+            ((F.col("user_id") % _NEG_P) * _SP_AY % _NEG_P % _SP_SIDE).alias(
+                "y"
+            ),
+        )
+    )
+    cell = pts.select(
+        "user_id",
+        "x",
+        "y",
+        F.expr(f"x div {_SP_R}").alias("cx"),
+        F.expr(f"y div {_SP_R}").alias("cy"),
+    )
+    offsets = spark.range(-1, 2).select(
+        F.col("id").alias("ox")
+    ).crossJoin(spark.range(-1, 2).select(F.col("id").alias("oy")))
+    probe = cell.crossJoin(F.broadcast(offsets)).select(
+        F.col("user_id").alias("u"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("ox")).alias("cx"),
+        (F.col("cy") + F.col("oy")).alias("cy"),
+    )
+    build = cell.select(
+        F.col("user_id").alias("v"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(
+            (F.col("u") < F.col("v"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= _SP_R)
+            & (F.abs(F.col("ay") - F.col("by")) <= _SP_R)
+        )
+        .select(
+            "u",
+            "v",
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")),
+                F.abs(F.col("ay") - F.col("by")),
+            )
+            .cast("bigint")
+            .alias("cheb"),
+        )
+        .orderBy("u", "v")
+    )

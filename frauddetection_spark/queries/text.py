@@ -716,3 +716,164 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI collocations
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5  # minimum bigram frequency to score
+_PMI_Q = 1_000_000_000
+
+
+@register(
+    "q_bigram_pmi",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               generate_subscripts({_SQL_TOKENS}, 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT a.doc_id, a.token AS w1, b.token AS w2
+        FROM tok a JOIN tok b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cab AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+    ca AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1),
+    cb AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1),
+    n AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM cab)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(round(ln(
+               CAST(CAST(c_ab AS HUGEINT) * n_bg AS DOUBLE)
+               / CAST(CAST(c_a AS HUGEINT) * c_b AS DOUBLE)
+           ) * {_PMI_Q}) AS BIGINT) AS pmi_q9
+    FROM cab JOIN ca USING (w1) JOIN cb USING (w2), n
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY w1, w2
+    """,
+    survey="E4,A9",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs —
+    collocation / phrase mining (the word2phrase shape: bigrams whose
+    PMI clears a bar become merge candidates like "new_york"), a
+    standard pre-tokenization pass in LLM corpus prep. All four
+    sufficient statistics are exact ints (c_ab, left/right marginals
+    derived from the SAME bigram counts so they sum consistently, N);
+    the PMI ratio is one double division of two exact HUGEINT products
+    (int64 would overflow c_ab×N at 100-TB corpus sizes), and the one
+    ln() lands on bit-identical inputs in both engines, then quantizes
+    to 1e-9 fixed point — emitted AS the integer, so the hash compares
+    exact values. Adjacency comes from posexplode, bigrams from a
+    per-doc lead window (one doc-keyed shuffle), and the marginal
+    tables are token-cardinality-sized — broadcast dims."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tok.select(
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    ca = cab.groupBy("w1").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
+    cb = cab.groupBy("w2").agg(F.sum("c_ab").cast("bigint").alias("c_b"))
+    n = cab.agg(F.sum("c_ab").cast("bigint").alias("n_bg"))
+    dec = "decimal(38,0)"
+    return (
+        cab.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast(dec) * F.col("n_bg")).cast("double")
+                    / (F.col("c_a").cast(dec) * F.col("c_b")).cast("double")
+                )
+                * _PMI_Q
+            )
+            .cast("bigint")
+            .alias("pmi_q9"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model log-probability (perplexity-proxy filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM vocab),
+    lp AS (
+        SELECT token,
+               CAST(round(ln(CAST(c AS DOUBLE) / n_tok) * {_PMI_Q})
+                    AS BIGINT) AS lp_q9
+        FROM vocab, n
+    ),
+    d AS (
+        SELECT t.doc_id, count(*) AS dl,
+               CAST(sum(lp.lp_q9) AS BIGINT) AS sum_q9
+        FROM tok t JOIN lp USING (token)
+        GROUP BY 1
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, sum_q9,
+           CAST(sum_q9 AS DOUBLE) / {_PMI_Q} / dl AS avg_logprob
+    FROM d ORDER BY doc_id
+    """,
+    survey="E4,E7",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under a unigram LM trained
+    on the corpus itself — the cheapest perplexity proxy, and the
+    shape of every LM-based quality filter in LLM data pipelines
+    (CCNet/KenLM-style: drop documents whose tokens are improbable
+    under a reference model; here low avg_logprob flags rare-token
+    soup). The LM is the vocab count table; ln(c/N) is evaluated once
+    per VOCAB WORD (tiny domain, identical double inputs in both
+    engines) and quantized to 1e-9 fixed point, so per-document sums
+    add exact ints in any order — the same transcendental-domain
+    discipline as q_bm25. The vocab broadcasts to the token join; two
+    doc-keyed/token-keyed shuffles total, linear at any corpus size."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    n = vocab.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    lp = vocab.crossJoin(F.broadcast(n)).select(
+        "token",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("n_tok")) * _PMI_Q
+        )
+        .cast("bigint")
+        .alias("lp_q9"),
+    )
+    d = (
+        tok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("dl"),
+            F.sum("lp_q9").cast("bigint").alias("sum_q9"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "dl",
+        "sum_q9",
+        (F.col("sum_q9").cast("double") / F.lit(_PMI_Q) / F.col("dl")).alias(
+            "avg_logprob"
+        ),
+    ).orderBy("doc_id")

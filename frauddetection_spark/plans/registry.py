@@ -248,6 +248,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_spatial_join",
     "q_bigram_pmi",
     "q_unigram_logprob",
+    "q_temperature_mix",
+    "q_ppr",
 )
 
 

@@ -1205,3 +1205,116 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY seed, node ORDER BY seed, node
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (seed-restarted, exact-int, unrolled)
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 25      # seeds: node % this == 0
+_PPR_SCALE = 1_000_000  # rank micro-units
+_PPR_D = 85             # damping percent
+_PPR_ITER = 2           # unrolled iterations (oracle = chained CTEs)
+
+
+def _ppr_sql() -> str:
+    restart = f"(100 - {_PPR_D}) * {_PPR_SCALE} // 100"
+    sql = f"""
+    WITH e AS ({_SQL_EDGES}),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e
+    ),
+    od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+    r0 AS (
+        SELECT node,
+               CASE WHEN node % {_PPR_SEED_MOD} = 0
+                    THEN {_PPR_SCALE} ELSE 0 END AS r
+        FROM nodes
+    )"""
+    for i in range(_PPR_ITER):
+        sql += f""",
+    s{i + 1} AS (
+        SELECT e.dst AS node,
+               CAST(sum(r{i}.r // od.outdeg) AS BIGINT) AS m
+        FROM e JOIN od USING (src) JOIN r{i} ON r{i}.node = e.src
+        WHERE r{i}.r > 0
+        GROUP BY 1
+    ),
+    r{i + 1} AS (
+        SELECT n.node,
+               CASE WHEN n.node % {_PPR_SEED_MOD} = 0
+                    THEN {restart} ELSE 0 END
+               + {_PPR_D} * COALESCE(s{i + 1}.m, 0) // 100 AS r
+        FROM nodes n LEFT JOIN s{i + 1} ON n.node = s{i + 1}.node
+    )"""
+    sql += f"""
+    SELECT node, CAST(r AS BIGINT) AS ppr_micro
+    FROM r{_PPR_ITER} WHERE r > 0 ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "q_ppr",
+    oracle=_ppr_sql(),
+    survey="J5,M2",
+)
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (every {MOD}th node),
+    {K} unrolled iterations: restart mass returns to the SEEDS instead
+    of spreading uniformly, so rank measures proximity to the suspect
+    set — the guilt-by-association scorer behind fraud-ring expansion
+    and related-account retrieval (global q_pagerank answers "globally
+    important"; PPR answers "close to THESE"). Same exact-int
+    discipline as pagerank_integer: micro-unit ranks, div-by-outdeg
+    then damp as integer ops — engine-exact, so the unrolled CTE twin
+    hash-matches (rank products stay < 2⁶³ here; a 100-TB graph
+    carries the sums in decimal(38,0)). Scale: the frontier filter
+    (r > 0) keeps early rounds proportional to the seed neighborhood,
+    not the node set — the locality that makes PPR the cheap variant;
+    each round is one src-keyed join + one dst-keyed partial-agg sum
+    against the static (edge ⋈ outdeg) build."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    eo = e.join(
+        e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+    ).select("src", "dst", "outdeg")
+    restart = F.when(
+        F.col("node") % _PPR_SEED_MOD == 0,
+        F.lit((100 - _PPR_D) * _PPR_SCALE // 100),
+    ).otherwise(0)
+    r = nodes.select(
+        "node",
+        F.when(F.col("node") % _PPR_SEED_MOD == 0, F.lit(_PPR_SCALE))
+        .otherwise(0)
+        .alias("r"),
+    )
+    for _ in range(_PPR_ITER):
+        inc = (
+            eo.join(
+                r.filter(F.col("r") > 0).select(
+                    F.col("node").alias("src"), "r"
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("m"))
+        )
+        r = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                restart
+                + F.expr(f"{_PPR_D} * coalesce(m, 0) div 100")
+            ).alias("r"),
+        )
+    return (
+        r.filter(F.col("r") > 0)
+        .select("node", F.col("r").cast("bigint").alias("ppr_micro"))
+        .orderBy("node")
+    )

@@ -777,3 +777,101 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted source mixing (multilingual-style sampling)
+# ---------------------------------------------------------------------------
+
+_TMIX_TARGET = 200          # total documents to draw
+_TMIX_QS = 1_000_000        # 1e-6 fixed point for sqrt(n) weights
+_TMIX_P = 2_147_483_647     # Lehmer modulus (2^31 - 1)
+_TMIX_A = 48_271            # Lehmer multiplier
+
+
+@register(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH sc AS (
+        SELECT source, count(*) AS n FROM documents GROUP BY 1
+    ),
+    q AS (
+        SELECT source, n,
+               CAST(round(sqrt(CAST(n AS DOUBLE)) * {_TMIX_QS}) AS BIGINT)
+                   AS w_q
+        FROM sc
+    ),
+    tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS sum_q FROM q),
+    tgt AS (
+        SELECT source, n, ({_TMIX_TARGET} * w_q) // sum_q AS target
+        FROM q, tot
+    ),
+    ranked AS (
+        SELECT d.source, d.doc_id,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY (d.doc_id % {_TMIX_P}) * {_TMIX_A} % {_TMIX_P},
+                            d.doc_id
+               ) AS rn
+        FROM documents d
+    )
+    SELECT r.source, CAST(r.rn AS BIGINT) AS rn, r.doc_id,
+           CAST(t.target AS BIGINT) AS target
+    FROM ranked r JOIN tgt t USING (source)
+    WHERE r.rn <= t.target
+    ORDER BY r.source, r.rn
+    """,
+    survey="R2,R4,A2",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing: draw a fixed total budget
+    of documents with per-source quotas ∝ n_i^α (α=0.5) — the
+    multilingual/source-rebalancing sampler from the LLM-pretraining
+    playbook (mT5/XLM-R temperature sampling: upweight small sources,
+    damp dominant ones; plain proportional sampling is α=1, uniform is
+    α=0). Determinism discipline: sqrt(n) is IEEE-correctly-rounded in
+    both engines but SUMMING the weights as doubles would be order-
+    dependent, so each weight quantizes to 1e-6 fixed point FIRST and
+    the normalizer is an exact integer sum; quotas are one integer
+    (S·w_i) div Σw, and the per-source draw is the k-smallest-Lehmer
+    rank (replayable, the q_class_balance pattern). Scale: quota table
+    is |sources| rows (broadcast); the rank is one partitioned window
+    — at 100 TB a partial top-k per source replaces the full sort, as
+    pinned for q_class_balance."""
+    sc = t(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    q = sc.select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double")) * _TMIX_QS)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = q.agg(F.sum("w_q").cast("bigint").alias("sum_q"))
+    tgt = q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"({_TMIX_TARGET} * w_q) div sum_q").alias("target"),
+    )
+    ranked = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                (F.col("doc_id") % _TMIX_P) * _TMIX_A % _TMIX_P, "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rn") <= F.col("target"))
+        .select(
+            "source",
+            F.col("rn").cast("bigint").alias("rn"),
+            "doc_id",
+            F.col("target").cast("bigint").alias("target"),
+        )
+        .orderBy("source", "rn")
+    )

@@ -59,6 +59,12 @@ HEADLINE = [
     # (the weighted all-pairs shape) and the wedge-join link scorer
     "q_sparse_cosine",
     "q_adamic_adar",
+    # round-4e additions: triangle-based edge similarity (the exact
+    # hub-immune cn formulation), grid-cell spatial join, and the
+    # quantized-transcendental sparse-retrieval scorer
+    "q_graph_jaccard",
+    "q_spatial_join",
+    "q_bm25",
 ]
 
 

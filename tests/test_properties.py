@@ -626,3 +626,147 @@ def test_hits_norms_in_unit_interval(spark, sf_dir):
         assert pdf[c].min() >= 0 and pdf[c].max() <= 1.0 + 1e-12
     # max-normalized: some node attains each max exactly
     assert (pdf["hub_norm"] == 1.0).any() and (pdf["auth_norm"] == 1.0).any()
+
+
+# ---------------------------------------------------------------------------
+# round-4e invariants
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_dau_bounds(spark, sf_dir):
+    # WAU covers a superset of each day's actives; stickiness = dau/wau
+    bad = (
+        REGISTRY["q_rolling_dau"]
+        .fn(spark, sf_dir)
+        .filter(
+            (F.col("wau") < F.col("dau"))
+            | (F.col("stickiness") > 1.0)
+            | (F.col("stickiness") <= 0.0)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    # cumulative revenue never decreases within a cohort (revenue ≥ 0)
+    from pyspark.sql import Window
+
+    df = REGISTRY["q_cohort_ltv"].fn(spark, sf_dir)
+    w = Window.partitionBy("cohort").orderBy("week_index")
+    bad = (
+        df.withColumn("prev", F.lag("cum_rev_cents").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("cum_rev_cents") < F.col("prev")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_fill_forward_null_only_before_first_obs(spark, sf_dir):
+    # once a user has an observation, filled stays non-null; rows with
+    # an observation carry it verbatim
+    df = REGISTRY["q_fill_forward"].fn(spark, sf_dir)
+    assert (
+        df.filter(
+            F.col("obs_cents").isNotNull()
+            & (F.col("filled_cents") != F.col("obs_cents"))
+        ).count()
+        == 0
+    )
+
+
+def test_spatial_join_matches_naive(spark, sf_dir):
+    # grid-cell candidates + exact predicate ≡ naive all-pairs join
+    from frauddetection_spark.queries.sampling import (
+        _SP_AX, _SP_AY, _SP_R, _SP_SIDE, _NEG_P,
+    )
+
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") % _NEG_P) * _SP_AX % _NEG_P % _SP_SIDE).alias("x"),
+            ((F.col("user_id") % _NEG_P) * _SP_AY % _NEG_P % _SP_SIDE).alias("y"),
+        )
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    naive = (
+        a.join(b, F.col("a.user_id") < F.col("b.user_id"))
+        .filter(
+            (F.abs(F.col("a.x") - F.col("b.x")) <= _SP_R)
+            & (F.abs(F.col("a.y") - F.col("b.y")) <= _SP_R)
+        )
+        .count()
+    )
+    grid = REGISTRY["q_spatial_join"].fn(spark, sf_dir)
+    assert grid.count() == naive
+    assert grid.filter(F.col("cheb") > _SP_R).count() == 0
+
+
+def test_bm25_positive_and_term_bounded(spark, sf_dir):
+    from frauddetection_spark.queries.text import _BM25_TERMS
+
+    df = REGISTRY["q_bm25"].fn(spark, sf_dir)
+    assert df.filter(F.col("bm25") <= 0).count() == 0
+    assert df.filter(F.col("n_terms") > len(_BM25_TERMS)).count() == 0
+
+
+def test_temperature_mix_quota_exact(spark, sf_dir):
+    # every source keeps exactly its quota (or its full size when the
+    # source is smaller than the quota) and quotas sum ≤ the budget
+    from frauddetection_spark.queries.llm_pipeline import _TMIX_TARGET
+
+    df = REGISTRY["q_temperature_mix"].fn(spark, sf_dir)
+    per = df.groupBy("source").agg(
+        F.count("*").alias("kept"), F.max("target").alias("target")
+    )
+    n = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n")
+    )
+    bad = (
+        per.join(n, "source")
+        .filter(F.col("kept") != F.least(F.col("target"), F.col("n")))
+        .count()
+    )
+    assert bad == 0
+    total = per.agg(F.sum("target")).first()[0]
+    assert total <= _TMIX_TARGET
+
+
+def test_ppr_seeds_hold_restart_mass(spark, sf_dir):
+    # every seed node retains at least the restart term
+    from frauddetection_spark.queries.graph import (
+        _PPR_D, _PPR_SCALE, _PPR_SEED_MOD,
+    )
+
+    df = REGISTRY["q_ppr"].fn(spark, sf_dir)
+    restart = (100 - _PPR_D) * _PPR_SCALE // 100
+    bad = (
+        df.filter(F.col("node") % _PPR_SEED_MOD == 0)
+        .filter(F.col("ppr_micro") < restart)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_table_diff_classes_partition_keyspace(spark, sf_dir):
+    # the four diff classes partition |A ∪ B| exactly
+    rows = {
+        r["diff_class"]: r["n_rows"]
+        for r in REGISTRY["q_table_diff"].fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    n_a = o.filter(F.col("o_orderkey") % 97 != 0).count()
+    n_b = o.filter(F.col("o_orderkey") % 89 != 0).count()
+    union = o.filter(
+        (F.col("o_orderkey") % 97 != 0) | (F.col("o_orderkey") % 89 != 0)
+    ).count()
+    assert rows.get("removed", 0) + rows.get("changed", 0) + rows.get(
+        "unchanged", 0
+    ) == n_a
+    assert rows.get("added", 0) + rows.get("changed", 0) + rows.get(
+        "unchanged", 0
+    ) == n_b
+    assert sum(rows.values()) == union

@@ -250,6 +250,9 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_unigram_logprob",
     "q_temperature_mix",
     "q_ppr",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
 )
 
 

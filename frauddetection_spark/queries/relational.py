@@ -1504,3 +1504,216 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape multi-way star joins (Q3 / Q5 / Q10)
+# ---------------------------------------------------------------------------
+
+# exact revenue: Σ extendedprice·(1−discount) carried as integer 1e-4
+# dollar units (cents × (100 − discount_pct)) — float revenue sums are
+# shuffle-order-dependent; these are not
+_SQL_REV_E4 = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_e4() -> F.Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS rev_e4,
+           CAST(CAST(sum({_SQL_REV_E4}) AS BIGINT) AS DOUBLE) / 10000
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY 1, 4, 5
+    ORDER BY rev_e4 DESC, l_orderkey
+    LIMIT 10
+    """,
+    survey="J1,J2,A2,A14",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — shipping priority: top-10 unshipped orders of
+    one market segment by revenue, a 3-way fact-dim-fact join
+    (customer→orders→lineitem) with selective predicates on BOTH scan
+    sides. This is the canonical Catalyst showcase: both date filters
+    and the segment filter push to the parquet scans (PushedFilters),
+    the customer side reduces before the join, and the final top-10 is
+    a TakeOrderedAndProject — no global sort materializes. Revenue
+    aggregates as exact int 1e-4 dollars; ordering ties break on
+    l_orderkey so LIMIT is deterministic in both engines."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-06-15'")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-06-15'")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
+        .select(
+            "l_orderkey",
+            "rev_e4",
+            (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+            "orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("rev_e4").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS rev_e4,
+           CAST(CAST(sum({_SQL_REV_E4}) AS BIGINT) AS DOUBLE) / 10000
+               AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY rev_e4 DESC, n_name
+    """,
+    survey="J1,J2,A2",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local supplier volume: revenue by nation where
+    customer and supplier share the nation, a SIX-way join
+    (region→nation→customer→orders→lineitem→supplier) with the extra
+    non-hierarchical s_nationkey = c_nationkey equality that makes Q5
+    the join-ORDER test: region/nation are broadcast dims, the
+    customer⋈orders⋈lineitem spine shuffles on its keys, and supplier
+    joins last on (suppkey, nationkey) so the co-nation predicate is
+    part of the join key rather than a post-filter. Exact int 1e-4
+    dollar revenue; ≤|nations| output rows."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    ).select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
+        .select(
+            "n_name",
+            "rev_e4",
+            (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy(F.col("rev_e4").desc(), "n_name")
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS rev_e4,
+           CAST(CAST(sum({_SQL_REV_E4}) AS BIGINT) AS DOUBLE) / 10000
+               AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY rev_e4 DESC, c_custkey
+    LIMIT 20
+    """,
+    survey="J1,J2,A2,A14",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: top-20 customers by
+    revenue lost to returns in one quarter, the wide-group-key pattern
+    (grouping carries the customer's display attributes through the
+    aggregate instead of re-joining after the top-k). Return-flag and
+    date predicates push to the fact scans; nation broadcasts; the
+    top-20 rides TakeOrderedAndProject with a c_custkey tiebreak.
+    Account balance emits as exact cents so the group key is
+    integer-stable across engines."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias(
+            "acctbal_cents"
+        ),
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-04-01'"))
+    ).select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "acctbal_cents")
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "acctbal_cents",
+            "rev_e4",
+            (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy(F.col("rev_e4").desc(), "c_custkey")
+        .limit(20)
+    )

@@ -253,6 +253,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_tpch_q1",
+    "q_tpch_q18",
 )
 
 

@@ -1717,3 +1717,150 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rev_e4").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS sum_disc_e4,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                AS BIGINT) AS sum_charge_e6,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+               AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / count(*) / 100 AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey="S2,A2,P2",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the pricing summary report: one fact scan, one
+    selective date filter, a 2-key group with SIX aggregate
+    expressions (quantity, base price, discounted price, charge with
+    tax, row count, two averages). THE canonical scan-agg benchmark:
+    the whole query is map-side partial aggregation into ≤|flag×status|
+    groups — zero join, one tiny exchange — and the arithmetic chain
+    ep·(1−disc)·(1+tax) runs entirely in integer units (cents ×
+    (100−d) × (100+t) = 1e-6 dollars, summed in decimal(38,0)/HUGEINT
+    because the per-row product already reaches 1e11). Averages are
+    one exact-int division each."""
+    dec = "decimal(38,0)"
+    cents_ep = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = 100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    tax = 100 + F.round(F.col("l_tax") * 100).cast("bigint")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '2001-09-01'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+                "sum_qty"
+            ),
+            F.sum(cents_ep).cast("bigint").alias("sum_base_cents"),
+            F.sum(cents_ep.cast(dec) * disc).cast("bigint").alias(
+                "sum_disc_e4"
+            ),
+            F.sum(cents_ep.cast(dec) * disc * tax).cast("bigint").alias(
+                "sum_charge_e6"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_cents",
+            "sum_disc_e4",
+            "sum_charge_e6",
+            "n_rows",
+            (F.col("sum_qty").cast("double") / F.col("n_rows")).alias(
+                "avg_qty"
+            ),
+            (
+                F.col("sum_base_cents").cast("double") / F.col("n_rows") / 100
+            ).alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q18_QTY = 300  # large-volume threshold (max order ≈ 458 in testdata)
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    SEMI JOIN big ON o.o_orderkey = big.l_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY totalprice_cents DESC, o_orderkey
+    LIMIT 100
+    """,
+    survey="J1,J7,A2,A14",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    quantity clears a threshold, re-joined to customer detail. The
+    classic AGG-THEN-SEMI-JOIN pattern (HAVING over a fact aggregate
+    feeding back into the fact join): the heavy quantity aggregate
+    runs once over lineitem, its tiny survivor set semi-joins the
+    spine, and only qualifying orders reach the wide join — at 100 TB
+    the survivor set is broadcast-size (the runtime Bloom filter fires
+    on the lineitem re-scan with default confs). Quantities are
+    integral doubles, summed as exact int64; top-100 rides
+    TakeOrderedAndProject on exact cents with an orderkey tiebreak."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("s"))
+        .filter(F.col("s") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("totalprice_cents"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty")
+        )
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(100)
+    )

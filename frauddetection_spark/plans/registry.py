@@ -255,6 +255,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q10",
     "q_tpch_q1",
     "q_tpch_q18",
+    "q_tpch_q14",
+    "q_tpch_q19",
 )
 
 

@@ -1864,3 +1864,104 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_SQL_REV_E4} ELSE 0 END) AS BIGINT)
+               AS promo_e4,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS total_e4,
+           100 * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                    THEN {_SQL_REV_E4} ELSE 0 END)
+                           AS BIGINT) AS DOUBLE)
+               / CAST(sum({_SQL_REV_E4}) AS BIGINT) AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    survey="J1,A2,P9",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the revenue share of promo
+    parts in one month, a fact⋈dim join collapsing to ONE row via a
+    conditional aggregate (the CASE-inside-SUM share pattern every
+    marketing dashboard uses). The month predicate prunes the fact
+    scan before the join; part broadcasts. Numerator and denominator
+    are exact int 1e-4 dollars; the percentage is one double division
+    of the two — identical in both engines."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-09-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-10-01'"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _rev_e4()).otherwise(0))
+        .cast("bigint")
+        .alias("promo_e4"),
+        F.sum(_rev_e4()).cast("bigint").alias("total_e4"),
+    )
+    return agg.select(
+        "promo_e4",
+        "total_e4",
+        (
+            100 * F.col("promo_e4").cast("double") / F.col("total_e4")
+        ).alias("promo_share_pct"),
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS rev_e4
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    survey="J1,P2,A2",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+    brand/size/quantity conjunction groups: the OR-of-ANDs predicate
+    that tests an optimizer's common-condition extraction (the
+    join key condition is shared by all branches, so it must still
+    drive the join while the per-branch residuals evaluate post-join;
+    naive planners degrade to a cross product here). Catalyst keeps
+    l_partkey = p_partkey as the equi-join key and pushes the
+    brand/size filter union onto the dim scan. One-row exact-int
+    output."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_rev_e4()).cast("bigint").alias("rev_e4"),
+    )

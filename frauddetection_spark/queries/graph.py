@@ -800,8 +800,15 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE; the full fixpoint would use the same loop with a convergence
     check like connected_components. Scale: each round is one degree
     aggregate + two semi-joins on the surviving node set — all
-    key-partitioned shuffles; the mirrored edge list never leaves the
-    cluster, and lineage stays linear in the (fixed) round count."""
+    key-partitioned shuffles. Each round's edge set is REFERENCED
+    TWICE (degree source + restrict base), so without materialization
+    the lazy lineage re-evaluates the prior round's subtree per
+    reference — 2^rounds blowup; a tracked persist per round pins the
+    frontier once (measured 2-4× at sf0.1) and release_caches() frees
+    them when the next query constructs, the same iterative-lineage
+    discipline as connected_components' localCheckpoint."""
+    from frauddetection_spark.operators.graph import _track
+
     e = edges_from_events(t(spark, sf_dir, "events"))
     no_self = e.filter(F.col("src") != F.col("dst"))
     und = (
@@ -811,6 +818,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     for _ in range(KCORE_PEELS):
+        und = _track(und.persist())
         deg = und.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select(
             F.col("src").alias("node")

@@ -257,6 +257,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q18",
     "q_tpch_q14",
     "q_tpch_q19",
+    "q_scan_pysource",
 )
 
 

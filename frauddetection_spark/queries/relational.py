@@ -1965,3 +1965,60 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(_rev_e4()).cast("bigint").alias("rev_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python DataSource scan (Spark 4 pyspark.sql.datasource API)
+# ---------------------------------------------------------------------------
+
+_PYSRC_N = 100_000
+_PYSRC_PARTS = 16
+
+
+@register(
+    "q_scan_pysource",
+    oracle=f"""
+    WITH src AS (
+        SELECT i AS id,
+               (i % 2147483647) * 48271 % 2147483647 AS hv
+        FROM (SELECT unnest(generate_series(0, {_PYSRC_N - 1})) AS i)
+    )
+    SELECT hv % 16 AS bucket, count(*) AS n_rows,
+           CAST(sum(hv) AS BIGINT) AS sum_hv,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM src GROUP BY 1 ORDER BY bucket
+    """,
+    survey="S1,S3",
+)
+def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM PYTHON DATASOURCE (Spark 4
+    `pyspark.sql.datasource`) — the extension point for in-house
+    formats and services with no JVM connector. The registered
+    "lehmer" source (sources/pysource.py) drives its own parallelism
+    via explicit InputPartition range splits and yields Arrow
+    RecordBatches built from numpy (the vectorized boundary crossing —
+    never row-at-a-time tuples), and its content is pure deterministic
+    integer arithmetic, so the DuckDB oracle REGENERATES the same rows
+    with generate_series and the downstream aggregate hash-matches:
+    the source machinery itself is correctness-checked, not just
+    smoke-tested. sf_dir is unused — the source is the dataset."""
+    from frauddetection_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("lehmer")
+        .option("n", _PYSRC_N)
+        .option("parts", _PYSRC_PARTS)
+        .load()
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("hv").cast("bigint").alias("sum_hv"),
+            F.min("id").cast("bigint").alias("min_id"),
+            F.max("id").cast("bigint").alias("max_id"),
+        )
+        .orderBy("bucket")
+    )

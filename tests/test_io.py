@@ -507,3 +507,32 @@ def test_compact_sorted_restores_rowgroup_pruning(spark, sf_dir, tmp_path):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo  # disjoint key ranges across files
+
+
+def test_pysource_partitions_and_determinism(spark):
+    """The custom Python DataSource must honor its source-driven
+    splits (parts option → that many scan tasks) and produce identical
+    content across reads (pure function of options)."""
+    from frauddetection_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("lehmer")
+        .option("n", 10_000)
+        .option("parts", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    a = df.orderBy("id").collect()
+    b = (
+        spark.read.format("lehmer")
+        .option("n", 10_000)
+        .option("parts", 3)
+        .load()
+        .orderBy("id")
+        .collect()
+    )
+    # different split counts, same dataset
+    assert a == b
+    assert len(a) == 10_000
+    row = a[48_271 % 10_000]

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 LEHMER_P = 2_147_483_647  # 2^31 - 1
@@ -86,7 +91,48 @@ class LehmerDataSource(DataSource):
     def reader(self, schema):
         return _LehmerReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _LehmerSimpleStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent session-level registration."""
     spark.dataSource.register(LehmerDataSource)
+
+
+class _LehmerSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked stream over the same deterministic rows.
+
+    Offsets are plain row positions ({"pos": k}); ``read`` advances at
+    most ``step`` rows per microbatch and ``readBetweenOffsets``
+    regenerates any committed range EXACTLY (pure arithmetic — replay
+    after failure yields identical rows, which is what makes the
+    source exactly-once-capable under checkpointing)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100_000))
+        self.step = int(options.get("step", 25_000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator between planPartitions
+        # calls, which generators don't support; bounded by ``step``
+        return [
+            (i, (i % LEHMER_P) * LEHMER_A % LEHMER_P,
+             (i % LEHMER_P) * LEHMER_A % LEHMER_P % N_BUCKETS)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start):
+        lo = int(start["pos"])
+        hi = min(lo + self.step, self.n)
+        # iter() over the list: the engine requires a true iterator
+        # (it calls next()), and list_iterators are copyable/picklable
+        # where generators are not
+        return iter(self._rows(lo, hi)), {"pos": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))

@@ -24,11 +24,15 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -136,3 +140,99 @@ class _LehmerSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start, end):
         return iter(self._rows(int(start["pos"]), int(end["pos"])))
+
+
+# ---------------------------------------------------------------------------
+# custom Python SINK (DataSourceWriter with a two-phase commit)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    """Task-temp-file + driver-manifest two-phase commit.
+
+    Each task writes its rows to a uniquely-named ``part-*.jsonl``
+    (task side effects are invisible until commit); the driver's
+    ``commit`` writes ``_SUCCESS.json`` listing exactly the committed
+    files with row counts. Readers trust ONLY manifest-listed files,
+    so a failed/speculative task's orphan file can never leak into a
+    read — the same visibility protocol every table format's sink
+    uses. ``abort`` removes temp files best-effort."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonldir sink requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(path=fname, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(
+                [m.path, m.n_rows] for m in messages if m is not None
+            ),
+        }
+        with open(os.path.join(self.path, "_SUCCESS.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.path))
+                except OSError:
+                    pass
+
+
+class JsonlDirDataSource(DataSource):
+    """``df.write.format("jsonldir").option("path", ...).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonldir"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlDirWriter(self.options, overwrite)
+
+
+def read_jsonldir(path: str) -> list[dict]:
+    """Manifest-respecting reader: ONLY files listed in _SUCCESS.json
+    are visible (orphans from failed tasks are ignored)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_SUCCESS.json")) as f:
+        manifest = json.load(f)
+    rows: list[dict] = []
+    for fname, _n in manifest["files"]:
+        with open(os.path.join(path, fname)) as f:
+            rows.extend(json.loads(line) for line in f)
+    return rows
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)

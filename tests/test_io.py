@@ -536,3 +536,29 @@ def test_pysource_partitions_and_determinism(spark):
     assert a == b
     assert len(a) == 10_000
     row = a[48_271 % 10_000]
+
+
+def test_jsonldir_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    """The custom Python sink must round-trip content exactly and make
+    ONLY manifest-committed files visible — an orphan part file (a
+    failed/speculative task's leftover) is invisible to the reader."""
+    from frauddetection_spark.sources import pysource
+
+    pysource.register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    df.write.format("jsonldir").option("path", out).mode("append").save()
+
+    rows = pysource.read_jsonldir(out)
+    assert len(rows) == df.count()
+    got = sorted(r["event_id"] for r in rows)
+    want = sorted(r["event_id"] for r in df.collect())
+    assert got == want
+
+    # simulate a failed task's orphan: present on disk, not in manifest
+    with open(out + "/part-orphan.jsonl", "w") as f:
+        f.write('{"event_id": -1, "user_id": -1, "event_type": "x"}\n')
+    rows2 = pysource.read_jsonldir(out)
+    assert len(rows2) == len(rows)  # orphan invisible

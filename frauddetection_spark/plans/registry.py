@@ -258,6 +258,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q14",
     "q_tpch_q19",
     "q_scan_pysource",
+    "q_variant_extract",
+    "q_sql_pipe",
 )
 
 

@@ -2022,3 +2022,88 @@ def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type + SQL pipe syntax (Spark 4 surfaces)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1 ORDER BY event_type
+    """,
+    survey="P4,E6",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    try_variant_get path extraction — the modern replacement for
+    repeated get_json_object string re-parsing (variant decodes the
+    JSON ONCE into a shredded binary form; each path access is then a
+    cheap binary probe, the difference between O(paths) string parses
+    and O(1) + probes per row — the feature Delta/Iceberg v3 shred
+    into columns at rest). The oracle states the same semantics
+    through DuckDB's JSON extraction; aggregates are exact ints."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("var")
+    )
+    k = e.select(
+        "event_type",
+        F.try_variant_get("var", "$.k", "bigint").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY o_orderpriority
+    """,
+    survey="A2,P2",
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME aggregation stated in Spark 4's SQL PIPE syntax
+    (`FROM t |> WHERE ... |> AGGREGATE ... GROUP BY ...`) — the
+    linear top-to-bottom query style (BigQuery pipe syntax, adopted by
+    Spark 4) that reads in dataflow order instead of inside-out SQL.
+    Pipe operators compile to the identical Catalyst plan as the
+    classic form, which the DuckDB twin states classically — pinning
+    that the surface is syntax, not semantics."""
+    from frauddetection_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        FROM orders_p
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS sum_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, sum_cents
+        |> ORDER BY o_orderpriority
+        """
+    )

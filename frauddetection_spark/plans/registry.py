@@ -260,6 +260,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_scan_pysource",
     "q_variant_extract",
     "q_sql_pipe",
+    "q_impossible_travel",
+    "q_zipf_slope",
 )
 
 

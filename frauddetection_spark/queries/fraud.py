@@ -1165,3 +1165,88 @@ def q_skew_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("user_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# impossible-travel detection (velocity between consecutive locations)
+# ---------------------------------------------------------------------------
+
+_IT_P = 2_147_483_647   # Lehmer modulus
+_IT_AX = 48_271         # x multiplier
+_IT_AY = 16_807         # y multiplier
+_IT_SIDE = 1_000_000    # coordinate space (abstract distance units)
+_IT_SPEED = 2_000       # max plausible units per second
+
+
+@register(
+    "q_impossible_travel",
+    oracle=f"""
+    WITH loc AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               (event_id % {_IT_P}) * {_IT_AX} % {_IT_P} % {_IT_SIDE} AS x,
+               (event_id % {_IT_P}) * {_IT_AY} % {_IT_P} % {_IT_SIDE} AS y
+        FROM events
+    ),
+    hops AS (
+        SELECT user_id, event_id,
+               lag(event_id) OVER w AS prev_event,
+               greatest(abs(x - lag(x) OVER w), abs(y - lag(y) OVER w))
+                   AS dist,
+               us - lag(us) OVER w AS dt_us
+        FROM loc
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id, event_id, CAST(prev_event AS BIGINT) AS prev_event,
+           CAST(dist AS BIGINT) AS dist, dt_us
+    FROM hops
+    WHERE prev_event IS NOT NULL
+      AND dist * 1000000 > {_IT_SPEED} * dt_us
+    ORDER BY user_id, event_id
+    """,
+    survey="A8,P2",
+)
+def q_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-travel detection: flag consecutive events of one
+    user whose implied speed (location delta over time delta) exceeds
+    a plausibility bound — the classic account-takeover signal ("card
+    present in two cities 10 minutes apart"). Locations derive
+    deterministically from event ids via the repo's Lehmer hashes (no
+    geo columns in the container; the OPERATOR is what's under test),
+    distance is integer Chebyshev, and the speed test cross-multiplies
+    — dist·10⁶ > v_max·Δt_µs — so the flag is an exact integer
+    predicate with NO division and no float anywhere. One
+    user-partitioned lag window = one shuffle; the flag predicate is a
+    map-side filter after it."""
+    us = F.unix_micros(F.col("ts"))
+    loc = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        ((F.col("event_id") % _IT_P) * _IT_AX % _IT_P % _IT_SIDE).alias("x"),
+        ((F.col("event_id") % _IT_P) * _IT_AY % _IT_P % _IT_SIDE).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    hops = loc.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.greatest(
+            F.abs(F.col("x") - F.lag("x").over(w)),
+            F.abs(F.col("y") - F.lag("y").over(w)),
+        ).alias("dist"),
+        (F.col("us") - F.lag("us").over(w)).alias("dt_us"),
+    )
+    return (
+        hops.filter(
+            F.col("prev_event").isNotNull()
+            & (F.col("dist") * 1_000_000 > _IT_SPEED * F.col("dt_us"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("prev_event").cast("bigint").alias("prev_event"),
+            F.col("dist").cast("bigint").alias("dist"),
+            "dt_us",
+        )
+        .orderBy("user_id", "event_id")
+    )

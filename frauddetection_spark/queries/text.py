@@ -877,3 +877,94 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (corpus-law statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT token, c,
+               row_number() OVER (ORDER BY c DESC, token) AS rnk
+        FROM vocab
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS lx,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS ly
+        FROM ranked
+    ),
+    s AS (
+        SELECT count(*) AS n,
+               CAST(sum(lx) AS HUGEINT) AS sx,
+               CAST(sum(ly) AS HUGEINT) AS sy,
+               sum(CAST(lx AS HUGEINT) * ly) AS sxy,
+               sum(CAST(lx AS HUGEINT) * lx) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+    FROM s
+    """,
+    survey="E4,A10",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS slope of ln(frequency)
+    on ln(rank) over the vocabulary — the corpus-health statistic
+    (natural text slopes ≈ −1; a slope near 0 flags boilerplate/spam
+    floods, a steep one flags vocabulary collapse — both standard LLM
+    corpus diagnostics). Ranks are deterministic (count DESC, token
+    tiebreak); both ln() calls run per VOCAB TYPE (small domain) and
+    quantize to 1e-9 fixed point, so the five OLS sufficient
+    statistics are exact decimal(38,0)/HUGEINT sums (q_trend_slope's
+    discipline) and the slope is ONE double division of two exact
+    integers. Vocabulary is tiny relative to the corpus — every
+    post-vocab step is sub-linear."""
+    dec = "decimal(38,0)"
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(_tokens()).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    ranked = vocab.select(
+        "c",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), "token"))
+        .alias("rnk"),
+    )
+    q = 1_000_000_000
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * q)
+        .cast("bigint")
+        .alias("lx"),
+        F.round(F.log(F.col("c").cast("double")) * q)
+        .cast("bigint")
+        .alias("ly"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("lx").cast(dec)).alias("sx"),
+        F.sum(F.col("ly").cast(dec)).alias("sy"),
+        F.sum(F.col("lx").cast(dec) * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx").cast(dec) * F.col("lx")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_types"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("zipf_slope"),
+    )

@@ -118,3 +118,107 @@ def decode_media(media_df: DataFrame, fake: bool = True) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(
         run, schema=DECODED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing (same stub-kernel discipline)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb_sha", StringType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha", StringType()),
+    ]
+)
+
+
+def resize_image(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Resize kernel boundary — STUB without an image library. The
+    deterministic fake derives a pseudo-thumbnail from the payload
+    digest + target size, so pipeline identity (same input + size →
+    same bytes) is testable end-to-end."""
+    if fake:
+        d = hashlib.sha256(
+            payload + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ).digest()
+        return d
+    raise NotImplementedError(
+        "image resize requires PIL/opencv (not installed); "
+        "pass fake=True for the deterministic test kernel"
+    )
+
+
+def extract_frame(payload: bytes, idx: int, fake: bool = False) -> bytes:
+    """Frame-extraction kernel boundary — STUB without libav. The fake
+    derives a per-index frame signature from the payload digest."""
+    if fake:
+        return hashlib.sha256(payload + idx.to_bytes(4, "big")).digest()
+    raise NotImplementedError(
+        "frame extraction requires av/ffmpeg (not installed); "
+        "pass fake=True for the deterministic test kernel"
+    )
+
+
+def resize_media(
+    media_df: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """mapInPandas thumbnail pass: map-only, partition-preserving; the
+    payload crosses into Python once per batch and only the thumbnail
+    digest returns (never ship full decoded tensors back through the
+    driver)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                thumb = resize_image(
+                    bytes(media["content"]), width, height, fake=fake
+                )
+                rows.append((doc_id, width, height, thumb.hex()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "thumb_sha"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    media_df: DataFrame, every_k: int = 2, fake: bool = True
+) -> DataFrame:
+    """Frame sampling: decode the frame COUNT per payload, keep every
+    k-th index, extract only the kept frames — the fan-out op for
+    video corpora (a clip becomes n_frames/k rows). Map-only with
+    bounded per-row fan-out; at 100 TB the kept-frame rows are the
+    unit of downstream parallelism (repartition AFTER sampling, not
+    before — the payload is the heavy column and moves once)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(media["content"])
+                _w, _h, n_frames = decode_image(payload, fake=fake)
+                for idx in range(0, n_frames, every_k):
+                    sig = extract_frame(payload, idx, fake=fake)
+                    rows.append((doc_id, idx, sig.hex()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_sha"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(
+        run, schema=FRAMES_SCHEMA
+    )

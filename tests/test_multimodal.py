@@ -55,3 +55,63 @@ def test_decode_media_batch_shape(spark, sf_dir):
         F.col("doc_id").isin(*sample)).collect()}
     for doc_id, got in sample.items():
         assert got == decode_image(texts[doc_id].encode(), fake=True)
+
+
+def test_resize_and_frame_kernels_stubbed():
+    import pytest
+
+    from frauddetection_spark.functions.multimodal import (
+        extract_frame,
+        resize_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x", 64, 64)
+    with pytest.raises(NotImplementedError):
+        extract_frame(b"x", 0)
+    # fakes are deterministic and size/index-sensitive
+    assert resize_image(b"x", 64, 64, fake=True) == resize_image(
+        b"x", 64, 64, fake=True
+    )
+    assert resize_image(b"x", 64, 64, fake=True) != resize_image(
+        b"x", 32, 32, fake=True
+    )
+    assert extract_frame(b"x", 0, fake=True) != extract_frame(
+        b"x", 1, fake=True
+    )
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    from frauddetection_spark.functions.multimodal import (
+        resize_media,
+        with_media_column,
+    )
+    from frauddetection_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_media(with_media_column(docs), width=32, height=32)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 32 and len(r["thumb_sha"]) == 64 for r in rows)
+
+
+def test_sample_frames_every_k(spark, sf_dir):
+    from frauddetection_spark.functions.multimodal import (
+        decode_image,
+        sample_frames,
+        with_media_column,
+    )
+    from frauddetection_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = with_media_column(docs)
+    out = sample_frames(media, every_k=2).collect()
+    # per doc: ceil(n_frames / 2) frames, indexes 0, 2, 4...
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in out)
+    for doc_id, text in texts.items():
+        _w, _h, n = decode_image(text.encode(), fake=True)
+        assert per_doc[doc_id] == (n + 1) // 2
+    assert all(r["frame_idx"] % 2 == 0 for r in out)

@@ -262,6 +262,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_sql_pipe",
     "q_impossible_travel",
     "q_zipf_slope",
+    "q_embed_meanpool",
 )
 
 

@@ -875,3 +875,71 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# group-wise embedding mean pooling (centroid table)
+# ---------------------------------------------------------------------------
+
+_POOL_Q = 1_000_000  # 1e-6 fixed point per component
+
+
+@register(
+    "q_embed_meanpool",
+    oracle=f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label, pos,
+               CAST(round(CAST(val AS DOUBLE) * {_POOL_Q}) AS BIGINT) AS vq
+        FROM comp
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos, count(*) AS n_vecs,
+           CAST(sum(vq) AS BIGINT) AS sum_q,
+           CAST(sum(vq) AS DOUBLE) / {_POOL_Q} / count(*) AS mean_val
+    FROM q GROUP BY 1, 2 ORDER BY label, pos
+    """,
+    survey="E3,A2",
+)
+def q_embed_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise embedding mean pooling: the per-label centroid table
+    — the aggregation behind chunk→document embedding pooling, class
+    prototypes for nearest-centroid classification, and the
+    cluster-center update step of every IVF/k-means build. Components
+    quantize to 1e-6 fixed point BEFORE the cross-row sum (float sums
+    across rows are shuffle-order-dependent; int sums are not — the
+    float32→double conversion and the one final division are exact),
+    then one groupBy(label, dim). Explode fan-out is rows×dims — the
+    same linear shape the IVF trainer uses; no collect, no per-group
+    arrays materialize unless a consumer asks."""
+    comp = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    q = comp.select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based like generate_subscripts
+        F.round(F.col("val").cast("double") * _POOL_Q)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    return (
+        q.groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vq").cast("bigint").alias("sum_q"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("bigint").alias("pos"),
+            "n_vecs",
+            "sum_q",
+            (
+                F.col("sum_q").cast("double") / F.lit(_POOL_Q) / F.col("n_vecs")
+            ).alias("mean_val"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -263,6 +263,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_impossible_travel",
     "q_zipf_slope",
     "q_embed_meanpool",
+    "q_nearest_centroid",
 )
 
 

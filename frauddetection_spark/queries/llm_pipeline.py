@@ -943,3 +943,114 @@ def q_embed_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid classification (exact-int distances, broadcast centroids)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_nearest_centroid",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id, label,
+               unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, pos,
+               CAST(round(CAST(val AS DOUBLE) * {_POOL_Q}) AS BIGINT) AS vq
+        FROM comp
+    ),
+    cent AS (
+        SELECT label AS c_label, pos,
+               (CAST(sum(vq) AS BIGINT) * 1000
+                + 1099511627776 * count(*)) // count(*)
+                   - 1099511627776 AS mu_q
+        FROM q GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT q.vec_id, q.label, cent.c_label,
+               sum((CAST(q.vq AS HUGEINT) * 1000 - cent.mu_q)
+                   * (CAST(q.vq AS HUGEINT) * 1000 - cent.mu_q))
+                   AS d2_scaled
+        FROM q JOIN cent ON q.pos = cent.pos
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d2_scaled, c_label
+               ) AS rn
+        FROM dist
+    )
+    SELECT label AS true_label, c_label AS pred_label,
+           count(*) AS n_vecs
+    FROM best WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY true_label, pred_label
+    """,
+    survey="E3,M5",
+)
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion table: every vector
+    assigned to its closest label centroid (the Rocchio classifier /
+    the k-means assignment step) and tallied against its true label.
+    Exactness discipline: class counts differ, so n²-scaled distances
+    would NOT be rank-comparable across classes — instead each
+    centroid component is quantized to an ABSOLUTE 1e-9 grid by
+    integer floor division stated positively
+    (⌊(s·1000 + SHIFT·n)/n⌋ − SHIFT, SHIFT=2⁴⁰ keeps the numerator
+    positive where Spark's truncating `div` and DuckDB's flooring `//`
+    agree), making every distance Σ(1000·x_q − μ_q)² an exact integer
+    in a COMMON unit — argmin with a label tiebreak is then
+    engine-independent, no floats anywhere. Centroids are
+    |labels|×dims rows — broadcast; the distance aggregate is one
+    dim-keyed join + (vec, class) groupBy in decimal(38,0) (64 squared
+    1e-9-unit terms top int64)."""
+    comp = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    q = comp.select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double") * _POOL_Q)
+        .cast("bigint")
+        .alias("vq"),
+    )
+    shift = 1 << 40
+    cent = (
+        q.groupBy(F.col("label").alias("c_label"), "pos")
+        .agg(
+            F.sum("vq").cast("bigint").alias("sum_q"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "c_label",
+            "pos",
+            (
+                F.expr(f"(sum_q * 1000 + {shift} * n) div n") - shift
+            ).alias("mu_q"),
+        )
+    )
+    dec = "decimal(38,0)"
+    term = F.col("vq").cast(dec) * 1000 - F.col("mu_q")
+    dist = (
+        q.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(term * term).alias("d2_scaled"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2_scaled", "c_label")
+    best = dist.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.groupBy(
+            F.col("label").alias("true_label"),
+            F.col("c_label").alias("pred_label"),
+        )
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )

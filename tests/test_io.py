@@ -562,3 +562,37 @@ def test_jsonldir_sink_two_phase_commit(spark, sf_dir, tmp_path):
         f.write('{"event_id": -1, "user_id": -1, "event_type": "x"}\n')
     rows2 = pysource.read_jsonldir(out)
     assert len(rows2) == len(rows)  # orphan invisible
+
+
+def test_write_observed_metrics_match_direct_agg(spark, sf_dir, tmp_path):
+    """observe-metrics must equal a direct aggregate over the same
+    frame, and the write must still land the full content."""
+    from frauddetection_spark.functions.observe import (
+        assert_quality,
+        write_observed,
+    )
+
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = str(tmp_path / "observed")
+    m = write_observed(
+        df,
+        out,
+        key_col="event_id",
+        extra_metrics={"sum_cents": F.sum(F.round(F.col("value") * 100).cast("bigint"))},
+    )
+    want_rows = df.count()
+    want_sum = df.agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+    ).first()[0]
+    assert m.n_rows == want_rows
+    assert m.n_null_keys == 0
+    assert m.metrics["sum_cents"] == want_sum
+    assert spark.read.parquet(out).count() == want_rows
+    assert_quality(m, min_rows=1, max_null_key_rate=0.0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="quality gate"):
+        assert_quality(m, min_rows=want_rows + 1)

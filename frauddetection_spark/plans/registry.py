@@ -264,6 +264,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_zipf_slope",
     "q_embed_meanpool",
     "q_nearest_centroid",
+    "q_sql_udf",
 )
 
 

@@ -2107,3 +2107,48 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 100
+                    * CAST(round(o_totalprice * 100) AS BIGINT) % 97)
+                AS BIGINT) AS checksum
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority
+    """,
+    survey="P4,A2",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`): reusable scalar logic defined IN SQL, so it inlines into
+    the calling plan and stays inside whole-stage codegen — the
+    opposite end of the spectrum from Python UDFs (opaque, serialized,
+    off the JVM). Two functions compose (cents_of inside
+    price_checksum); Catalyst sees only the expanded expression, which
+    the oracle states directly — pinning that SQL UDFs are pure
+    macro-expansion, not an execution boundary. This is the right
+    first tool for shared business logic at 100 TB; Python surfaces
+    exist for what expressions can't say."""
+    from frauddetection_spark.sources.tables import load_table
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents_of(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_checksum(x DOUBLE) "
+        "RETURNS BIGINT RETURN "
+        "CAST(cents_of(x) div 100 * cents_of(x) % 97 AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_u")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(price_checksum(o_totalprice)) AS BIGINT) AS checksum
+        FROM orders_u GROUP BY 1 ORDER BY o_orderpriority
+        """
+    )

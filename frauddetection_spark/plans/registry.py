@@ -265,6 +265,9 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_embed_meanpool",
     "q_nearest_centroid",
     "q_sql_udf",
+    "q_collation",
+    "q_semi_additive",
+    "q_minmax_by",
 )
 
 

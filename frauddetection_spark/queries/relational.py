@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from frauddetection_spark.plans.registry import register
-from frauddetection_spark.queries._util import r6, t
+from frauddetection_spark.queries._util import SQL_WEEK, cents, r6, t, week_str
 
 # ---------------------------------------------------------------------------
 # S2 — parquet scan + global aggregate
@@ -2151,4 +2151,138 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(price_checksum(o_totalprice)) AS BIGINT) AS checksum
         FROM orders_u GROUP BY 1 ORDER BY o_orderpriority
         """
+    )
+
+
+@register(
+    "q_collation",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority_ci,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1 ORDER BY priority_ci
+    """,
+    survey="P8,A2",
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): grouping on a
+    UTF8_LCASE-collated key folds case in the COMPARATOR instead of
+    rewriting the data — how warehouses express case-insensitive
+    semantics without materializing lower() columns (the collation
+    rides the type, so joins/sorts/aggs all honor it). The oracle
+    states the equivalent lower() form; the output key is emitted
+    lowercased in both twins so the values hash identically. Same
+    one-exchange aggregate plan either way."""
+    o = t(spark, sf_dir, "orders")
+    ci = F.expr("o_orderpriority COLLATE UTF8_LCASE")
+    return (
+        o.groupBy(ci.alias("k"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            F.lower(F.col("k")).cast("string").alias("priority_ci"),
+            "n_orders",
+        )
+        .orderBy("priority_ci")
+    )
+
+
+@register(
+    "q_semi_additive",
+    oracle=f"""
+    WITH state AS (
+        SELECT user_id, {SQL_WEEK.format(ts='ts')} AS week,
+               CAST(round(value * 100) AS BIGINT) AS c, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, {SQL_WEEK.format(ts='ts')}
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT week,
+           count(*) AS n_users,
+           CAST(sum(c) AS BIGINT) AS eow_balance_cents
+    FROM state WHERE rn = 1
+    GROUP BY 1 ORDER BY week
+    """,
+    survey="A1,A8,A2",
+)
+def q_semi_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-ADDITIVE measure: end-of-week balance summed across users
+    — the measure class (balances, inventory levels, headcounts) that
+    sums across ENTITIES but never across TIME, where naive SUM
+    double-counts every restatement (the most common self-service BI
+    error; cube engines special-case LastNonEmpty for exactly this).
+    Last-per-(user, week) is a deterministic tie-broken row_number —
+    never engine-native last() — then one additive aggregate over the
+    survivors. Two shuffles (user-week window, week agg) at any
+    scale."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        week_str("ts").alias("week"),
+        cents("value").alias("c"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "week").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = e.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        last.groupBy("week")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("c").cast("bigint").alias("eow_balance_cents"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id,
+               CAST(round(value * 100) AS BIGINT) * 10000000 + event_id
+                   AS ranked_key,
+               event_id, event_type
+        FROM events
+    )
+    SELECT user_id,
+           arg_max(event_type, ranked_key) AS biggest_type,
+           arg_max(event_id, ranked_key) AS biggest_event,
+           arg_min(event_type, ranked_key) AS smallest_type,
+           arg_min(event_id, ranked_key) AS smallest_event
+    FROM keyed GROUP BY 1 ORDER BY user_id
+    """,
+    survey="A2,A14",
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates): each user's event type and
+    id at their largest and smallest transaction — the "attribute at
+    the extreme" lookup that otherwise costs a window + filter pass
+    (argmax aggregates do it in ONE partial-aggregable pass: map-side
+    partials carry just the current best pair, so the shuffle is one
+    row per group per partition — the same reason MAX scales).
+    Determinism: ties on value are broken INSIDE the ordering key
+    (cents·10⁷ + event_id — exact, collision-free since event ids are
+    < 10⁷ here) — never by engine-internal tie behavior, which
+    Spark and DuckDB disagree on."""
+    keyed = t(spark, sf_dir, "events").select(
+        "user_id",
+        (cents("value") * 10_000_000 + F.col("event_id")).alias(
+            "ranked_key"
+        ),
+        "event_id",
+        "event_type",
+    )
+    return (
+        keyed.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "ranked_key").alias("biggest_type"),
+            F.max_by("event_id", "ranked_key").alias("biggest_event"),
+            F.min_by("event_type", "ranked_key").alias("smallest_type"),
+            F.min_by("event_id", "ranked_key").alias("smallest_event"),
+        )
+        .orderBy("user_id")
     )

@@ -268,6 +268,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_collation",
     "q_semi_additive",
     "q_minmax_by",
+    "q_cluster_griddensity",
 )
 
 

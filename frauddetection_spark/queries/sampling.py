@@ -687,3 +687,121 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-density clustering (DBSCAN shape: core cells + adjacency merge)
+# ---------------------------------------------------------------------------
+
+_GD_MINPTS = 4  # core-cell threshold
+
+
+@register(
+    "q_cluster_griddensity",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+        SELECT DISTINCT user_id,
+               (user_id % {_NEG_P}) * {_SP_AX} % {_NEG_P} % {_SP_SIDE} AS x,
+               (user_id % {_NEG_P}) * {_SP_AY} % {_NEG_P} % {_SP_SIDE} AS y
+        FROM events
+    ),
+    cells AS (
+        SELECT x // {_SP_R} AS cx, y // {_SP_R} AS cy, count(*) AS n
+        FROM pts GROUP BY 1, 2
+    ),
+    core AS (
+        SELECT cx, cy, n, cx * 1000 + cy AS cell_id
+        FROM cells WHERE n >= {_GD_MINPTS}
+    ),
+    pairs AS (
+        SELECT a.cell_id AS src, b.cell_id AS dst
+        FROM core a JOIN core b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.cell_id < b.cell_id
+    ),
+    und AS (
+        SELECT src, dst FROM pairs
+        UNION
+        SELECT dst, src FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, und.dst
+        FROM reach JOIN und ON und.src = reach.r
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    g AS (
+        SELECT core.cell_id, core.n,
+               coalesce(comp.cluster_id, core.cell_id) AS cluster_id
+        FROM core LEFT JOIN comp ON core.cell_id = comp.node
+    )
+    SELECT cluster_id, count(*) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_core_points
+    FROM g GROUP BY 1 ORDER BY cluster_id
+    """,
+    survey="E3,J4",
+)
+def q_cluster_griddensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering — the DBSCAN shape made distributed:
+    bucket points into r-sided cells, keep cells with ≥ minPts points
+    (core), merge 8-adjacent core cells into clusters via connected
+    components, report per-cluster cell/point totals. This is how
+    density clustering actually scales (GriDBSCAN / CLIQUE family):
+    the expensive ε-neighborhood query collapses to integer cell
+    arithmetic, adjacency is a tiny self-join on the CELL table
+    (|cells| ≪ |points|), and only the cell graph — not the point
+    set — runs the iterative CC fixpoint. Same Lehmer-derived
+    coordinates as q_spatial_join; the oracle states the closure as a
+    recursive CTE (q_entity_resolution's pattern). Everything up to
+    the fixpoint is two shuffles (cell count, adjacency join)."""
+    from frauddetection_spark.operators.graph import connected_components
+
+    pts = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            ((F.col("user_id") % _NEG_P) * _SP_AX % _NEG_P % _SP_SIDE).alias(
+                "x"
+            ),
+            ((F.col("user_id") % _NEG_P) * _SP_AY % _NEG_P % _SP_SIDE).alias(
+                "y"
+            ),
+        )
+    )
+    cells = (
+        pts.select(
+            F.expr(f"x div {_SP_R}").alias("cx"),
+            F.expr(f"y div {_SP_R}").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n"))
+    )
+    core = cells.filter(F.col("n") >= _GD_MINPTS).select(
+        "cx", "cy", "n", (F.col("cx") * 1000 + F.col("cy")).alias("cell_id")
+    )
+    a, b = core.alias("a"), core.alias("b")
+    pairs = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.cell_id") < F.col("b.cell_id")),
+    ).select(F.col("a.cell_id").alias("src"), F.col("b.cell_id").alias("dst"))
+    comp = connected_components(pairs)
+    g = core.join(
+        comp.withColumnRenamed("node", "cell_id"), "cell_id", "left"
+    ).select(
+        "cell_id",
+        "n",
+        F.coalesce("component", "cell_id").alias("cluster_id"),
+    )
+    return (
+        g.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_core_points"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -263,6 +263,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         "q_dedup_minhash_ml",
         "q_dedup_groups",  # connected-components step is iterative
         "q_entity_resolution",  # connected-components step is iterative
+        "q_cluster_griddensity",  # connected-components step is iterative
         "q_viz_projection",  # MLlib PCA .fit() is execution
     }
     reg = load_all()

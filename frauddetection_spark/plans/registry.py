@@ -269,6 +269,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_semi_additive",
     "q_minmax_by",
     "q_cluster_griddensity",
+    "q_cuped",
+    "q_mann_whitney",
 )
 
 

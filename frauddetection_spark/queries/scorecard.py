@@ -840,3 +840,231 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("rn").cast("double") / F.col("n")).alias("cume_dist"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (experimentation-platform adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT_TS = "TIMESTAMP '2024-01-16'"  # pre/post boundary (events span 2024-01)
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(sum(CASE WHEN ts < {_CUPED_SPLIT_TS}
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= {_CUPED_SPLIT_TS}
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM per_user
+    ),
+    theta AS (
+        SELECT n, sx,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS th
+        FROM g
+    ),
+    v AS (
+        SELECT variant, count(*) AS nv,
+               CAST(sum(x) AS BIGINT) AS sxv,
+               CAST(sum(y) AS BIGINT) AS syv
+        FROM per_user GROUP BY 1
+    )
+    SELECT v.variant, CAST(v.nv AS BIGINT) AS n_users,
+           CAST(v.syv AS DOUBLE) / v.nv AS mean_y,
+           CAST(v.syv AS DOUBLE) / v.nv
+             - th * (CAST(v.sxv AS DOUBLE) / v.nv
+                     - CAST(t.sx AS DOUBLE) / t.n) AS mean_y_cuped
+    FROM v, theta t ORDER BY v.variant
+    """,
+    survey="A10,M5",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction — the experimentation-platform
+    adjustment (Deng et al., Microsoft): each user's post-period
+    metric Y is debiased by their pre-period covariate X,
+    Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), typically cutting
+    the A/B metric's variance 30-50% (same decision quality from far
+    less traffic). Everything reduces to five exact decimal/HUGEINT
+    sufficient statistics over per-user int-cent totals; θ and the
+    per-variant adjusted means are closed-form expressions of those
+    integers — no per-user float ever sums across rows, so both
+    twins emit identical doubles. One user-keyed aggregate + two
+    single-row reductions at any scale."""
+    split = F.expr(_CUPED_SPLIT_TS)
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(F.when(F.col("ts") < split, cents("value")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= split, cents("value")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+    )
+    theta = g.select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("th"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("nv"),
+        F.sum("x").cast("bigint").alias("sxv"),
+        F.sum("y").cast("bigint").alias("syv"),
+    )
+    return (
+        v.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            F.col("nv").cast("bigint").alias("n_users"),
+            (F.col("syv").cast("double") / F.col("nv")).alias("mean_y"),
+            (
+                F.col("syv").cast("double") / F.col("nv")
+                - F.col("th")
+                * (
+                    F.col("sxv").cast("double") / F.col("nv")
+                    - F.col("sx").cast("double") / F.col("n")
+                )
+            ).alias("mean_y_cuped"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test (rank-based two-sample comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT m,
+               sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS cnt_a,
+               sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cnt_b,
+               count(*) AS cnt
+        FROM per_user GROUP BY 1
+    ),
+    c AS (
+        SELECT cnt_a, cnt_b, cnt,
+               sum(cnt) OVER (ORDER BY m) - cnt AS less
+        FROM g
+    ),
+    s AS (
+        SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+               CAST(sum(cnt_b) AS BIGINT) AS nb,
+               CAST(sum(CAST(cnt_a AS HUGEINT)
+                        * (2 * less + cnt + 1)) AS HUGEINT) AS two_ra,
+               CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+                    AS HUGEINT) AS tie
+        FROM c
+    )
+    SELECT na, nb,
+           CAST(two_ra - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS two_u,
+           CAST(CAST(two_ra - CAST(na AS HUGEINT) * (na + 1)
+                     - CAST(na AS HUGEINT) * nb AS DOUBLE)
+                / (2 * sqrt(CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / 12
+                   * ((na + nb + 1)
+                      - CAST(tie AS DOUBLE)
+                        / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))))
+                AS DOUBLE) AS z
+    FROM s
+    """,
+    survey="A10,M5",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric
+    two-sample test for skewed metrics (revenue, latency) where the
+    t-test's normality assumption fails; the workhorse of experiment
+    analysis on heavy-tailed outcomes. Rank sums with midrank tie
+    handling stay EXACT integers by carrying 2·rank: at metric grain,
+    2·avgrank = 2·(count below) + ties + 1, so 2ΣR_A, 2U, and the
+    tie-correction Σ(t³−t) are all exact decimal/HUGEINT sums (the
+    q_ks_score value-grain + two-phase-prefix machinery), and the
+    normal-approximation z is ONE double expression of those integers
+    written identically in both twins. Two shuffles (user agg, metric
+    grain) + the range-partitioned prefix."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("grp"))
+        .agg(F.sum(cents("value")).cast("bigint").alias("m"))
+    )
+    g = per_user.groupBy("m").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cnt_b"),
+        F.count("*").alias("cnt"),
+    )
+    pr = prefix_rank(g, [F.col("m")], sums={"cum": F.col("cnt")})
+    c = pr.select(
+        "cnt_a",
+        "cnt_b",
+        "cnt",
+        (F.col("cum") - F.col("cnt")).alias("less"),
+    )
+    s = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("na"),
+        F.sum("cnt_b").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("cnt_a").cast(_DEC)
+            * (2 * F.col("less") + F.col("cnt") + 1)
+        ).alias("two_ra"),
+        F.sum(
+            F.col("cnt").cast(_DEC) * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie"),
+    )
+    two_u = F.col("two_ra") - F.col("na").cast(_DEC) * (F.col("na") + 1)
+    n = F.col("na") + F.col("nb")
+    return s.select(
+        "na",
+        "nb",
+        two_u.cast("bigint").alias("two_u"),
+        (
+            (two_u - F.col("na").cast(_DEC) * F.col("nb")).cast("double")
+            / (
+                2
+                * F.sqrt(
+                    (F.col("na").cast(_DEC) * F.col("nb")).cast("double")
+                    / 12
+                    * (
+                        (n + 1)
+                        - F.col("tie").cast("double")
+                        / (n.cast("double") * (n - 1))
+                    )
+                )
+            )
+        ).cast("double").alias("z"),
+    )

@@ -68,7 +68,65 @@ HEADLINE = [
 ]
 
 
+def scale_audit() -> None:
+    """`python bench.py --scale-audit [names...]`: run queries at two
+    scale factors and report the runtime growth ratio against the data
+    growth — the harness that catches super-linear scale bombs (the
+    q_adamic_adar wedge join grew 28× across a 100× data step while
+    every healthy query grew <4×; this mode finds the next one BEFORE
+    a cluster does). Audits ALL oracle-backed queries by default, or
+    the names given. Growth is measured min-of-2 at each sf; flag
+    line printed for ratio > AUDIT_FLAG_RATIO."""
+    lo_dir = os.environ.get("SPARK_GRAFT_AUDIT_LO", "/root/testdata/sf0.01")
+    hi_dir = os.environ.get("SPARK_GRAFT_AUDIT_HI", "/root/testdata/sf0.1")
+    flag_ratio = float(os.environ.get("SPARK_GRAFT_AUDIT_FLAG", "6.0"))
+    names = sys.argv[2:] or None
+    registry = load_all()
+    spark = get_spark(app_name="frauddetection-scale-audit")
+    registry["q_scan_parquet"].fn(spark, lo_dir).collect()
+    from frauddetection_spark.operators.graph import release_caches
+
+    rows = []
+    for name, spec in registry.items():
+        if names is not None and name not in names:
+            continue
+        if names is None and spec.oracle is None:
+            continue
+        per_sf = []
+        try:
+            for d in (lo_dir, hi_dir):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    spec.fn(spark, d).count()
+                    best = min(best, time.perf_counter() - t0)
+                release_caches()
+                per_sf.append(best)
+        except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
+            print(f"# {name}: ERR {str(e)[:120]}", file=sys.stderr)
+            continue
+        ratio = per_sf[1] / per_sf[0] if per_sf[0] > 0 else float("inf")
+        flagged = ratio > flag_ratio
+        rows.append((name, round(per_sf[0], 2), round(per_sf[1], 2),
+                     round(ratio, 1), flagged))
+        mark = "  << SUPER-LINEAR" if flagged else ""
+        print(f"# {name}: {per_sf[0]:.2f}s -> {per_sf[1]:.2f}s "
+              f"({ratio:.1f}x){mark}", file=sys.stderr)
+    flagged = [r[0] for r in rows if r[4]]
+    print(json.dumps({
+        "metric": "scale_audit",
+        "lo": lo_dir, "hi": hi_dir,
+        "n_queries": len(rows),
+        "flagged": flagged,
+        "queries": {r[0]: {"lo_s": r[1], "hi_s": r[2], "ratio": r[3]}
+                    for r in rows},
+    }))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-audit":
+        scale_audit()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0

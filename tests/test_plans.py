@@ -281,3 +281,26 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         if after != before:
             offenders.append((name, after - before))
     assert not offenders, f"construction triggered jobs: {offenders}"
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Join strategy hints are the manual override when stats mislead
+    the planner (a 100-TB join whose build side the optimizer
+    misestimates): each hint must surface as its physical operator."""
+    from frauddetection_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    merge = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in physical(merge)
+
+    shash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in physical(shash)
+
+    bcast = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in physical(bcast)

@@ -271,6 +271,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_cluster_griddensity",
     "q_cuped",
     "q_mann_whitney",
+    "q_group_percentile",
+    "q_ratio_delta_method",
 )
 
 

@@ -1279,3 +1279,99 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("iv_id").alias("n_episodes"))
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact per-group interpolated percentile
+# ---------------------------------------------------------------------------
+
+_PG_P = 90  # percentile (integer percent, keeps the target arithmetic exact)
+
+
+@register(
+    "q_group_percentile",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    t AS (
+        SELECT event_type, n,
+               1 + ({_PG_P} * (n - 1)) // 100 AS lo,
+               ({_PG_P} * (n - 1)) % 100 AS frac_pct
+        FROM c WHERE rn = 1
+    ),
+    v AS (
+        SELECT c.event_type, t.n, t.frac_pct,
+               max(CASE WHEN c.rn = t.lo THEN c.c END) AS c_lo,
+               coalesce(max(CASE WHEN c.rn = t.lo + 1 THEN c.c END),
+                        max(CASE WHEN c.rn = t.lo THEN c.c END)) AS c_hi
+        FROM c JOIN t USING (event_type)
+        WHERE c.rn BETWEEN t.lo AND t.lo + 1
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           c_lo, c_hi,
+           c_lo + CAST(frac_pct AS DOUBLE) / 100 * (c_hi - c_lo)
+               AS p{_PG_P}_cents
+    FROM v ORDER BY event_type
+    """,
+    survey="A4,A2",
+)
+def q_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linearly-interpolated per-group percentile (p{_PG_P} of
+    transaction cents per event type) — the per-segment SLA/limit
+    number approx_percentile can't certify. The target index
+    1 + p(n−1)/100 stays in INTEGER arithmetic (integer percent ⇒
+    lo = 1 + ⌊p(n−1)/100⌋ and a /100 fractional remainder), the two
+    bracketing order statistics come from ONE partitioned rank (group
+    cardinality bounds each partition — the scale-safe window, unlike
+    a global ORDER BY), and the interpolation is a single double
+    expression of three exact ints. Groups collapse to ≤|types| rows
+    before any cross-group work."""
+    cc = cents("value")
+    w = Window.partitionBy("event_type").orderBy(cc, "event_id")
+    wn = Window.partitionBy("event_type")
+    c = t(spark, sf_dir, "events").select(
+        "event_type",
+        cc.alias("c"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    tt = c.filter(F.col("rn") == 1).select(
+        "event_type",
+        "n",
+        (1 + F.expr(f"({_PG_P} * (n - 1)) div 100")).alias("lo"),
+        (F.expr(f"({_PG_P} * (n - 1)) % 100")).alias("frac_pct"),
+    )
+    v = (
+        c.join(tt.select("event_type", "lo", "frac_pct", F.col("n").alias("tn")), "event_type")
+        .filter(F.col("rn").between(F.col("lo"), F.col("lo") + 1))
+        .groupBy("event_type", F.col("tn").alias("n"), "frac_pct")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("lo"), F.col("c"))).alias(
+                "c_lo"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("lo") + 1, F.col("c"))),
+                F.max(F.when(F.col("rn") == F.col("lo"), F.col("c"))),
+            ).alias("c_hi"),
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "c_lo",
+        "c_hi",
+        (
+            F.col("c_lo")
+            + F.col("frac_pct").cast("double") / 100
+            * (F.col("c_hi") - F.col("c_lo"))
+        ).alias(f"p{_PG_P}_cents"),
+    ).orderBy("event_type")

@@ -1068,3 +1068,97 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("double").alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ratio-metric inference (delta method)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ratio_delta_method",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+               count(*) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT variant, count(*) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM per_user GROUP BY 1
+    )
+    SELECT variant, CAST(n AS BIGINT) AS n_users,
+           CAST(sx AS DOUBLE) / sy AS ratio,
+           (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy) / n
+           * ((CAST(n * sxx - sx * sx AS DOUBLE)
+               / ((CAST(n AS DOUBLE) - 1) * n))
+              / ((CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+              + (CAST(n * syy - sy * sy AS DOUBLE)
+                 / ((CAST(n AS DOUBLE) - 1) * n))
+                / ((CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+              - 2 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / ((CAST(n AS DOUBLE) - 1) * n))
+                / ((CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+               AS var_ratio
+    FROM g ORDER BY variant
+    """,
+    survey="A10,M5",
+)
+def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method variance of a RATIO metric (revenue per event,
+    Σx/Σy per variant) — the experimentation-platform formula for
+    per-user-ratio metrics where naive per-user averaging is wrong
+    (users contribute unequal denominators) and the i.i.d. variance
+    formula is biased: Var(X̄/Ȳ) ≈ (X̄/Ȳ)²/n · (cv²x + cv²y −
+    2·cov/(X̄Ȳ)). Every moment (sx, sy, sxx, syy, sxy) is an exact
+    decimal/HUGEINT sum over per-user int totals; the ratio and its
+    variance are one double expression of those integers written
+    token-identically in both twins. One user-keyed aggregate + one
+    |variants|-row reduction."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(
+            F.sum(cents("value")).cast("bigint").alias("x"),
+            F.count("*").alias("y"),
+        )
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast(_DEC)).alias("sx"),
+        F.sum(F.col("y").cast(_DEC)).alias("sy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(_DEC) * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(_DEC) * F.col("y")).alias("sxy"),
+    )
+    ratio = F.col("sx").cast("double") / F.col("sy")
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    n_d = F.col("n").cast("double")
+
+    def sample_var(sq, s):
+        return (F.col("n") * F.col(sq) - F.col(s) * F.col(s)).cast(
+            "double"
+        ) / ((n_d - 1) * F.col("n"))
+
+    cov = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / ((n_d - 1) * F.col("n"))
+    return g.select(
+        "variant",
+        F.col("n").cast("bigint").alias("n_users"),
+        ratio.alias("ratio"),
+        (
+            ratio * ratio / F.col("n")
+            * (
+                sample_var("sxx", "sx") / (mx * mx)
+                + sample_var("syy", "sy") / (my * my)
+                - 2 * cov / (mx * my)
+            )
+        ).alias("var_ratio"),
+    ).orderBy("variant")

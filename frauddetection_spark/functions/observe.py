@@ -35,6 +35,20 @@ def write_observed(
     job itself (zero additional scans). Returns the observed metrics
     so the caller can gate downstream steps (e.g. refuse to swap a
     partition whose null-key rate jumped)."""
+    # The observed write runs on a THROWAWAY CHILD SESSION (same
+    # SparkContext, own session state): registering an Observation
+    # initializes the session's lazy observation listener, after which
+    # that SparkSession is no longer Java-serializable — any later job
+    # whose task closure drags the session (e.g. an MLlib model whose
+    # training summary holds it) dies with Task-not-serializable. The
+    # plan is rebound to the child via Dataset.ofRows, metrics are
+    # collected there, and the caller's session stays clean.
+    child = df.sparkSession.newSession()
+    jvm = child.sparkContext._jvm
+    jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        child._jsparkSession, df._jdf.queryExecution().logical()
+    )
+    cdf = DataFrame(jdf, child)
     obs = Observation("write_metrics")
     exprs = [
         F.count(F.lit(1)).alias("n_rows"),
@@ -44,7 +58,7 @@ def write_observed(
     ]
     for name, col in (extra_metrics or {}).items():
         exprs.append(col.alias(name))
-    observed = df.observe(obs, *exprs)
+    observed = cdf.observe(obs, *exprs)
     observed.write.mode(mode).parquet(path)
     got = obs.get
     return WriteMetrics(

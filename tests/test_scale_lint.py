@@ -79,6 +79,8 @@ ITERATIVE_FIXPOINT = {
     "q_connected_components",
     "q_dedup_groups",
     "q_entity_resolution",
+    # constant-size (grid-geometry-bounded) edge collect + union-find
+    "q_cluster_griddensity",
 }
 
 # MLlib estimator queries: ``Estimator.fit`` is TRAINING — an action by

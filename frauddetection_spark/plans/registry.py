@@ -273,6 +273,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_mann_whitney",
     "q_group_percentile",
     "q_ratio_delta_method",
+    "q_tpch_q4",
+    "q_tpch_q22",
 )
 
 

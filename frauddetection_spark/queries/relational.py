@@ -2286,3 +2286,109 @@ def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY 1 ORDER BY o_orderpriority
+    """,
+    survey="J7,A2,P2",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: orders in one quarter
+    having at least one line item shipped after the order date,
+    counted by priority. The CORRELATED EXISTS with a non-equi
+    condition (l_shipdate > o_orderdate) decorrelates to a LEFT SEMI
+    join whose equi part (orderkey) drives the join and whose
+    inequality evaluates as the join residual — the pattern that
+    separates real decorrelation from per-row subquery execution. The
+    quarter predicate prunes the orders scan first."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-04-01'"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+               count(*) AS n
+        FROM customer WHERE c_acctbal > 0
+    ),
+    rich_idle AS (
+        SELECT c.c_nationkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer c, avg_bal
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * n > s
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+          )
+    )
+    SELECT n.n_name, count(*) AS n_custs,
+           CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+    FROM rich_idle r JOIN nation n ON r.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY n_name
+    """,
+    survey="J6,A2,P2",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global-sales-opportunity: customers with
+    above-average positive balance who have NEVER ordered, totaled by
+    nation. Combines a SCALAR-subquery threshold (the global average)
+    with a NOT-EXISTS anti join — and the average comparison
+    cross-multiplies (bal·n > Σbal) so the threshold test is an exact
+    integer predicate, never a float mean (a float threshold can flip
+    a boundary customer between engines). The 1-row aggregate
+    broadcasts; the anti join shuffles on custkey; nation broadcasts
+    at the end."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    avg_bal = c.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").cast("bigint").alias("s"), F.count("*").alias("n")
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    rich_idle = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rich_idle.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.sum("bal_c").cast("bigint").alias("total_bal_cents"),
+        )
+        .orderBy("n_name")
+    )

@@ -275,6 +275,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_ratio_delta_method",
     "q_tpch_q4",
     "q_tpch_q22",
+    "q_money_loops",
 )
 
 

@@ -1326,3 +1326,83 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("r").cast("bigint").alias("ppr_micro"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# directed 3-cycle (money-loop) census
+# ---------------------------------------------------------------------------
+
+_CYC_MAX_PIVOT_DEG = 256  # hub pivots excluded from loop enumeration
+
+
+@register(
+    "q_money_loops",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT src, dst FROM ({_SQL_EDGES}) WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        ) GROUP BY 1
+    ),
+    ok AS (SELECT node FROM deg WHERE d <= {_CYC_MAX_PIVOT_DEG}),
+    ce AS (
+        SELECT e.src, e.dst FROM e
+        SEMI JOIN ok a ON e.src = a.node
+        SEMI JOIN ok b ON e.dst = b.node
+    ),
+    cyc AS (
+        SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+        FROM ce ab
+        JOIN ce bc ON ab.dst = bc.src
+        JOIN ce ca ON bc.dst = ca.src AND ca.dst = ab.src
+        WHERE ab.src < ab.dst AND ab.src < bc.dst
+    )
+    SELECT a AS node, count(*) AS n_loops
+    FROM cyc GROUP BY 1 ORDER BY node
+    """,
+    survey="J4,J5",
+)
+def q_money_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-cycle census — money-loop detection: A pays B pays C
+    pays A, the minimal layering/round-tripping structure AML systems
+    alert on (legitimate payment flows are overwhelmingly acyclic;
+    short directed cycles concentrate in collusion rings). Each cycle is
+    counted once via the canonical minimum-id rotation (a < b, a < c)
+    and reported per canonical node. Scale: the two-hop join's volume
+    is Σ_pivot in·out — hub-quadratic — so nodes above degree τ={τ}
+    are excluded from LOOP ENUMERATION in both twins (a hub pivot is
+    an exchange/mixer: its risk signal is its degree, flagged by
+    q_graph_degrees, not membership in 10⁶ incidental triangles —
+    the q_adamic_adar capping policy). Below the cap the join is
+    bounded by τ·|edges|."""
+    e = edges_from_events(t(spark, sf_dir, "events")).filter(
+        F.col("src") != F.col("dst")
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ok = deg.filter(F.col("d") <= _CYC_MAX_PIVOT_DEG).select("node")
+    ce = (
+        e.join(ok.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(ok.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )
+    ab = ce.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = ce.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ca = ce.select(F.col("src").alias("c"), F.col("dst").alias("a2"))
+    cyc = (
+        ab.join(bc, "b")
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .join(ca, "c")
+        .filter(F.col("a2") == F.col("a"))
+    )
+    return (
+        cyc.groupBy(F.col("a").alias("node"))
+        .agg(F.count("*").alias("n_loops"))
+        .orderBy("node")
+    )

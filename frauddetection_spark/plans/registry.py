@@ -276,6 +276,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q4",
     "q_tpch_q22",
     "q_money_loops",
+    "q_structuring",
 )
 
 

@@ -1250,3 +1250,72 @@ def q_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# structuring / smurfing detection (just-below-threshold repetition)
+# ---------------------------------------------------------------------------
+
+_ST_THRESHOLD_C = 10_000   # reporting threshold, cents (100.00)
+_ST_BAND_PCT = 25          # "near" = within 25% below the threshold
+_ST_MIN_HITS = 2           # flag at >= this many near-threshold txns/day
+
+
+@register(
+    "q_structuring",
+    oracle=f"""
+    WITH near AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(round(value * 100) AS BIGINT)
+                >= {_ST_THRESHOLD_C} * (100 - {_ST_BAND_PCT}) // 100
+          AND CAST(round(value * 100) AS BIGINT) < {_ST_THRESHOLD_C}
+    ),
+    daily AS (
+        SELECT user_id, day, count(*) AS n_near,
+               CAST(sum(c) AS BIGINT) AS sum_cents,
+               CAST(max(c) AS BIGINT) AS max_cents
+        FROM near GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_near, sum_cents, max_cents
+    FROM daily WHERE n_near >= {_ST_MIN_HITS}
+    ORDER BY user_id, day
+    """,
+    survey="P2,A2,A8",
+)
+def q_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring / smurfing detection: users making {K}+ purchases
+    in ONE day that each sit just below the reporting threshold
+    (within {B}% under it) — the canonical AML pattern (BSA/CTR
+    evasion: split one reportable amount into several
+    just-under-the-line transactions). The band predicate is exact
+    integer cents and pushes to the scan; per-(user, day) counting is
+    one partial-aggregated groupBy; the flag is a HAVING filter. At
+    100 TB this is a scan-side filter that discards ~99% of rows
+    before the only shuffle — the cheapest possible alert shape."""
+    c = cents("value")
+    lo = _ST_THRESHOLD_C * (100 - _ST_BAND_PCT) // 100
+    near = t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (c >= lo)
+        & (c < _ST_THRESHOLD_C)
+    ).select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias(
+            "day"
+        ),
+        c.alias("c"),
+    )
+    return (
+        near.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+            F.max("c").cast("bigint").alias("max_cents"),
+        )
+        .filter(F.col("n_near") >= _ST_MIN_HITS)
+        .orderBy("user_id", "day")
+    )

@@ -277,6 +277,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q22",
     "q_money_loops",
     "q_structuring",
+    "q_peer_outlier",
 )
 
 

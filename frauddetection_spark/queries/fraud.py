@@ -1319,3 +1319,149 @@ def q_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_near") >= _ST_MIN_HITS)
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# peer-group outlier analysis (robust z vs dominant-type peers)
+# ---------------------------------------------------------------------------
+
+_PEER_Z10000 = 35_000  # flag threshold: 0.6745·dev/MAD > 3.5 (×10⁴)
+
+
+@register(
+    "q_peer_outlier",
+    oracle=f"""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    typed AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    dominant AS (
+        SELECT user_id, event_type AS peer_group FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type
+                   ) AS rn
+            FROM typed
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT d.peer_group, s.user_id, s.x,
+               row_number() OVER (
+                   PARTITION BY d.peer_group ORDER BY s.x, s.user_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY d.peer_group) AS n
+        FROM spend s JOIN dominant d USING (user_id)
+    ),
+    med AS (
+        SELECT peer_group, x AS med FROM m WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT m.peer_group, m.user_id, m.x, med.med,
+               abs(m.x - med.med) AS d,
+               row_number() OVER (
+                   PARTITION BY m.peer_group
+                   ORDER BY abs(m.x - med.med), m.user_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY m.peer_group) AS n
+        FROM m JOIN med USING (peer_group)
+    ),
+    mad AS (
+        SELECT peer_group, d AS mad FROM dev WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.peer_group, dev.user_id, dev.x, dev.med,
+           CAST(mad.mad AS BIGINT) AS mad,
+           0.6745 * CAST(dev.d AS DOUBLE) / mad.mad AS robust_z
+    FROM dev JOIN mad USING (peer_group)
+    WHERE mad.mad > 0 AND dev.d * 6745 > {_PEER_Z10000} * mad.mad
+    ORDER BY peer_group, user_id
+    """,
+    survey="A4,A10,A11",
+)
+def q_peer_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-group outlier analysis — the AML technique of that name:
+    each account's spend compared against its PEER GROUP (users whose
+    dominant activity type matches — deterministic mode with a type
+    tiebreak), flagged when the robust z-score 0.6745·|x−med|/MAD
+    exceeds 3.5 (Iglewicz-Hoaglin; median/MAD resist the very
+    outliers being hunted, unlike mean/σ). Exact discipline: group
+    medians and MADs are lower-medians from partitioned ranks (all
+    int cents), and the FLAG is the cross-multiplied integer
+    predicate dev·6745 > 35000·MAD — no float ever decides
+    membership; the reported z is display-only. Partitioned windows
+    only (peer-group-bounded), two rank passes + two broadcast-size
+    stat joins."""
+    c = cents("value")
+    e = t(spark, sf_dir, "events")
+    spend = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("x")
+    )
+    typed = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w_dom = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    dominant = (
+        typed.withColumn("rn", F.row_number().over(w_dom))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("peer_group"))
+    )
+    w_rank = Window.partitionBy("peer_group").orderBy("x", "user_id")
+    w_n = Window.partitionBy("peer_group")
+    m = (
+        spend.join(dominant, "user_id")
+        .select(
+            "peer_group",
+            "user_id",
+            "x",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count("*").over(w_n).alias("n"),
+        )
+    )
+    med = m.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("peer_group", F.col("x").alias("med"))
+    w_dev = Window.partitionBy("peer_group").orderBy(
+        F.abs(F.col("x") - F.col("med")), "user_id"
+    )
+    dev = (
+        m.join(F.broadcast(med), "peer_group")
+        .select(
+            "peer_group",
+            "user_id",
+            "x",
+            "med",
+            F.abs(F.col("x") - F.col("med")).alias("d"),
+            F.row_number().over(w_dev).alias("rn"),
+            F.col("n"),
+        )
+    )
+    mad = dev.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("peer_group", F.col("d").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "peer_group")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("d") * 6745 > _PEER_Z10000 * F.col("mad"))
+        )
+        .select(
+            "peer_group",
+            "user_id",
+            "x",
+            "med",
+            F.col("mad").cast("bigint").alias("mad"),
+            (
+                0.6745 * F.col("d").cast("double") / F.col("mad")
+            ).alias("robust_z"),
+        )
+        .orderBy("peer_group", "user_id")
+    )

@@ -278,6 +278,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_money_loops",
     "q_structuring",
     "q_peer_outlier",
+    "q_reciprocal_flows",
+    "q_mule_passthrough",
 )
 
 

@@ -1465,3 +1465,195 @@ def q_peer_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peer_group", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-flow (round-tripping) pairs
+# ---------------------------------------------------------------------------
+
+_RT_MAX_NET_PCT = 20  # flag pairs whose net is <= this % of gross
+
+
+@register(
+    "q_reciprocal_flows",
+    oracle=f"""
+    WITH flows AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS amt,
+               count(*) AS n
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+          AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT)
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT f.src AS a, f.dst AS b,
+               f.amt AS ab_cents, r.amt AS ba_cents,
+               CAST(f.n AS BIGINT) AS ab_n, CAST(r.n AS BIGINT) AS ba_n
+        FROM flows f JOIN flows r ON f.src = r.dst AND f.dst = r.src
+        WHERE f.src < f.dst
+    )
+    SELECT a, b, ab_cents, ba_cents, ab_n, ba_n,
+           CAST(abs(ab_cents - ba_cents) AS DOUBLE)
+             / (ab_cents + ba_cents) AS net_ratio
+    FROM pairs
+    WHERE abs(ab_cents - ba_cents) * 100
+            <= {_RT_MAX_NET_PCT} * (ab_cents + ba_cents)
+    ORDER BY a, b
+    """,
+    survey="J1,A2,P2",
+)
+def q_reciprocal_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-tripping detection: account pairs moving money in BOTH
+    directions with a small net — gross flow without economic
+    substance, the wash-trading / value-parking signature (an honest
+    payer-payee pair nets near ±100%; a laundering pair nets near 0).
+    Per-direction flows aggregate first (|pairs| ≪ |events|), the
+    reciprocal join matches (a→b) to (b→a) once via a < b, and the
+    flag is the cross-multiplied integer predicate |ab−ba|·100 ≤
+    p·(ab+ba) — the reported net_ratio double is display-only. One
+    pair-keyed self-join on the aggregated flow table."""
+    flows = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+            cents("value").alias("c"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(
+            F.sum("c").cast("bigint").alias("amt"),
+            F.count("*").alias("n"),
+        )
+    )
+    f, r = flows.alias("f"), flows.alias("r")
+    pairs = (
+        f.join(
+            r,
+            (F.col("f.src") == F.col("r.dst"))
+            & (F.col("f.dst") == F.col("r.src")),
+        )
+        .filter(F.col("f.src") < F.col("f.dst"))
+        .select(
+            F.col("f.src").alias("a"),
+            F.col("f.dst").alias("b"),
+            F.col("f.amt").alias("ab_cents"),
+            F.col("r.amt").alias("ba_cents"),
+            F.col("f.n").cast("bigint").alias("ab_n"),
+            F.col("r.n").cast("bigint").alias("ba_n"),
+        )
+    )
+    gross = F.col("ab_cents") + F.col("ba_cents")
+    net = F.abs(F.col("ab_cents") - F.col("ba_cents"))
+    return (
+        pairs.filter(net * 100 <= _RT_MAX_NET_PCT * gross)
+        .select(
+            "a",
+            "b",
+            "ab_cents",
+            "ba_cents",
+            "ab_n",
+            "ba_n",
+            (net.cast("double") / gross).alias("net_ratio"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mule-account passthrough (rapid in-out flow ratio)
+# ---------------------------------------------------------------------------
+
+_MULE_MIN_GROSS_C = 40_000   # only days moving >= 400.00 gross
+_MULE_MIN_PASS_PCT = 60      # passthrough = min(in,out)/max(in,out) >= 60%
+
+
+@register(
+    "q_mule_passthrough",
+    oracle=f"""
+    WITH directed AS (
+        SELECT user_id AS node,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               0 AS is_in,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        UNION ALL
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS node,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               1 AS is_in,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    daily AS (
+        SELECT node, day,
+               CAST(sum(CASE WHEN is_in = 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS in_cents,
+               CAST(sum(CASE WHEN is_in = 0 THEN c ELSE 0 END) AS BIGINT)
+                   AS out_cents
+        FROM directed GROUP BY 1, 2
+    )
+    SELECT node, day, in_cents, out_cents,
+           CAST(least(in_cents, out_cents) AS DOUBLE)
+             / greatest(in_cents, out_cents) AS passthrough
+    FROM daily
+    WHERE in_cents + out_cents >= {_MULE_MIN_GROSS_C}
+      AND least(in_cents, out_cents) * 100
+            >= {_MULE_MIN_PASS_PCT} * greatest(in_cents, out_cents)
+    ORDER BY node, day
+    """,
+    survey="A2,P9,U1",
+)
+def q_mule_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mule-account passthrough: accounts whose SAME-DAY inbound and
+    outbound volumes are both large and nearly equal — money arriving
+    and leaving within the day is the classic mule signature (real
+    accounts accumulate or spend; mules forward). Each event emits to
+    both endpoints' daily ledgers via a two-branch union (the scatter
+    that turns an edge list into per-node flow books — one pass, no
+    join), then one (node, day) aggregate; both flag conditions are
+    exact-integer cross-multiplications, the passthrough ratio double
+    is display-only."""
+    base = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias(
+            "day"
+        ),
+        cents("value").alias("c"),
+    ).filter(F.col("k").isNotNull())
+    directed = base.select(
+        F.col("user_id").alias("node"), "day", F.lit(0).alias("is_in"), "c"
+    ).unionByName(
+        base.select(
+            F.col("k").alias("node"), "day", F.lit(1).alias("is_in"), "c"
+        )
+    )
+    daily = directed.groupBy("node", "day").agg(
+        F.sum(F.when(F.col("is_in") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("in_cents"),
+        F.sum(F.when(F.col("is_in") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("out_cents"),
+    )
+    lo = F.least(F.col("in_cents"), F.col("out_cents"))
+    hi = F.greatest(F.col("in_cents"), F.col("out_cents"))
+    return (
+        daily.filter(
+            (F.col("in_cents") + F.col("out_cents") >= _MULE_MIN_GROSS_C)
+            & (lo * 100 >= _MULE_MIN_PASS_PCT * hi)
+        )
+        .select(
+            "node",
+            "day",
+            "in_cents",
+            "out_cents",
+            (lo.cast("double") / hi).alias("passthrough"),
+        )
+        .orderBy("node", "day")
+    )

@@ -280,6 +280,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_peer_outlier",
     "q_reciprocal_flows",
     "q_mule_passthrough",
+    "q_sample_neyman",
+    "q_doc_novelty",
 )
 
 

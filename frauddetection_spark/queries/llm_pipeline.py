@@ -1054,3 +1054,96 @@ def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental novelty scoring (first-occurrence shingle attribution)
+# ---------------------------------------------------------------------------
+
+_NOV_K = 3  # shingle width (tokens)
+
+
+@register(
+    "q_doc_novelty",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS token,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1)
+                   AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT a.doc_id,
+               a.token || ' ' || b.token || ' ' || c.token AS shingle
+        FROM tok a
+        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    ),
+    first_seen AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY 1 ORDER BY doc_id
+    """,
+    survey="E2,E7",
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental novelty score: the fraction of a document's
+    {K}-token shingles never seen in any EARLIER document (arrival
+    order = doc_id) — the curation signal behind "is this crawl batch
+    adding anything" dashboards and novelty-weighted sampling
+    (near-dup detectors answer pairwise similarity; novelty answers
+    marginal contribution against everything before). The exact
+    all-history comparison needs NO per-prefix state: min(doc_id) per
+    shingle attributes each shingle to its first document, so one
+    shingle-keyed groupBy + one join back replaces a quadratic
+    prefix-scan — linear at corpus scale. Counts exact ints; one
+    division per doc."""
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "token",
+                F.lead("token", 1).over(w),
+                F.lead("token", 2).over(w),
+            ).alias("shingle"),
+            F.lead("token", 2).over(w).alias("guard"),
+        )
+        .filter(F.col("guard").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -23,7 +23,7 @@ from frauddetection_spark.operators.sampling import (
     xxhash_split,
 )
 from frauddetection_spark.plans.registry import register
-from frauddetection_spark.queries._util import r6, t
+from frauddetection_spark.queries._util import cents, r6, t
 
 ERROR_THRESHOLD = 15
 
@@ -826,4 +826,124 @@ def q_cluster_griddensity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_core_points"),
         )
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 300        # total sample size
+_NEY_QW = 1_000_000      # 1e-6 fixed point for N_h·σ_h weights
+
+
+@register(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    strata AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS HUGEINT) AS s,
+               sum(CAST(c AS HUGEINT) * c) AS ss
+        FROM base GROUP BY 1
+    ),
+    wgt AS (
+        SELECT event_type, n,
+               CAST(round(sqrt(CAST(n * ss - s * s AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * (n - 1)))
+                          * n * {_NEY_QW} / 1000000) AS BIGINT) AS w_q
+        FROM strata WHERE n > 1
+    ),
+    tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS sum_q FROM wgt),
+    alloc AS (
+        SELECT event_type, n, ({_NEY_BUDGET} * w_q) // sum_q AS quota
+        FROM wgt, tot
+    ),
+    ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (event_id % {_NEG_P}) * {_NEG_A} % {_NEG_P},
+                            event_id
+               ) AS rn
+        FROM base
+    )
+    SELECT r.event_type, CAST(r.rn AS BIGINT) AS rn, r.event_id,
+           CAST(a.quota AS BIGINT) AS quota
+    FROM ranked r JOIN alloc a USING (event_type)
+    WHERE r.rn <= a.quota
+    ORDER BY r.event_type, r.rn
+    """,
+    survey="R1,R4,A10",
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the survey-statistics
+    optimum — stratum h gets n_h ∝ N_h·σ_h of the budget, so volatile
+    strata are oversampled and uniform ones barely sampled (minimum-
+    variance estimate of the population mean at fixed cost; equal or
+    proportional allocation wastes budget on low-variance strata).
+    Discipline: per-stratum variance comes from exact HUGEINT moments,
+    the single sqrt is IEEE-exact on identical inputs, each N_h·σ_h
+    weight quantizes to 1e-6 fixed point BEFORE the normalizer sum
+    (exact integer total), quotas are integer (B·w) div Σw, and the
+    draw is the replayable k-smallest-Lehmer rank (q_temperature_mix's
+    machinery — same shape, variance-weighted instead of
+    temperature-weighted)."""
+    c = cents("value")
+    base = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", c.alias("c")
+    )
+    dec = "decimal(38,0)"
+    strata = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c").cast(dec)).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("ss"),
+    )
+    wgt = strata.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+                / (F.col("n").cast("double") * (F.col("n") - 1))
+            )
+            * F.col("n")
+            * _NEY_QW
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = wgt.agg(F.sum("w_q").cast("bigint").alias("sum_q"))
+    alloc = wgt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.expr(f"({_NEY_BUDGET} * w_q) div sum_q").alias("quota"),
+    )
+    ranked = base.select(
+        "event_type",
+        "event_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                (F.col("event_id") % _NEG_P) * _NEG_A % _NEG_P, "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "event_type")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(
+            "event_type",
+            F.col("rn").cast("bigint").alias("rn"),
+            "event_id",
+            F.col("quota").cast("bigint").alias("quota"),
+        )
+        .orderBy("event_type", "rn")
     )

@@ -282,6 +282,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_mule_passthrough",
     "q_sample_neyman",
     "q_doc_novelty",
+    "q_did",
+    "q_random_walks",
 )
 
 

@@ -4,7 +4,7 @@ aggregates) over the canonical events-derived edge list
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.graph import (
@@ -1406,3 +1406,123 @@ def q_money_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_loops"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk corpus (DeepWalk/node2vec preprocessing)
+# ---------------------------------------------------------------------------
+
+_RW_SEED_MOD = 10   # seeds: node % this == 0
+_RW_WALKS = 2       # walks per seed
+_RW_LEN = 3         # steps per walk
+_RW_P = 2_147_483_647
+_RW_A = 48_271
+_RW_B1 = 7_919      # walk salt
+_RW_B2 = 104_729    # step salt
+
+
+def _rw_sql() -> str:
+    sql = f"""
+    WITH e AS ({_SQL_EDGES}),
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+               count(*) OVER (PARTITION BY src) AS deg
+        FROM e
+    ),
+    seeds AS (
+        SELECT DISTINCT src AS node FROM e WHERE src % {_RW_SEED_MOD} = 0
+    ),
+    w0 AS (
+        SELECT node AS seed, w.w AS walk, 0 AS step, node
+        FROM seeds
+        CROSS JOIN (SELECT unnest(generate_series(0, {_RW_WALKS - 1})) AS w)
+            AS w
+    )"""
+    for i in range(_RW_LEN):
+        sql += f""",
+    w{i + 1} AS (
+        SELECT p.seed, p.walk, {i + 1} AS step, r.dst AS node
+        FROM w{i} p JOIN ranked r ON r.src = p.node
+        WHERE r.rn = ((p.node % {_RW_P}) * {_RW_A}
+                      + p.walk * {_RW_B1} + {i + 1} * {_RW_B2})
+                     % {_RW_P} % r.deg
+    )"""
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT seed, walk, step, node FROM w{i}"
+        for i in range(_RW_LEN + 1)
+    )
+    sql += f"""
+    SELECT seed, CAST(walk AS BIGINT) AS walk,
+           CAST(step AS BIGINT) AS step, node
+    FROM ({union})
+    ORDER BY seed, walk, step
+    """
+    return sql
+
+
+@register(
+    "q_random_walks",
+    oracle=_rw_sql(),
+    survey="J5,R4",
+)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus — the DeepWalk/node2vec
+    preprocessing step that turns a graph into walk "sentences" for
+    embedding training. Each walk step picks neighbor index
+    hash(node, walk, step) mod degree via the repo's Lehmer family, so
+    the corpus is REPLAYABLE across engines and reruns (rand()-based
+    walkers can't be oracle-checked or resumed); walks stop early at
+    sink nodes (inner join drops them, matching the unrolled CTE
+    twin). Scale: L unrolled src-keyed joins against the ranked
+    adjacency table — frontier size ≤ seeds×walks at every step (the
+    hash picks ONE neighbor after the join's deg fan-out collapses),
+    no driver-side state, and the adjacency ranking is one partitioned
+    window."""
+    e = edges_from_events(t(spark, sf_dir, "events"))
+    w_rank = Window.partitionBy("src").orderBy("dst")
+    w_deg = Window.partitionBy("src")
+    ranked = e.select(
+        "src",
+        "dst",
+        (F.row_number().over(w_rank) - 1).alias("rn"),
+        F.count("*").over(w_deg).alias("deg"),
+    )
+    seeds = (
+        e.filter(F.col("src") % _RW_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    walks_idx = spark.range(_RW_WALKS).select(F.col("id").alias("walk"))
+    cur = seeds.crossJoin(F.broadcast(walks_idx)).select(
+        F.col("node").alias("seed"), "walk", F.lit(0).alias("step"), "node"
+    )
+    levels = [cur]
+    for i in range(1, _RW_LEN + 1):
+        nxt = (
+            levels[-1]
+            .join(ranked, F.col("node") == F.col("src"))
+            .filter(
+                F.col("rn")
+                == (
+                    (F.col("node") % _RW_P) * _RW_A
+                    + F.col("walk") * _RW_B1
+                    + i * _RW_B2
+                )
+                % _RW_P
+                % F.col("deg")
+            )
+            .select(
+                "seed", "walk", F.lit(i).alias("step"), F.col("dst").alias("node")
+            )
+        )
+        levels.append(nxt)
+    out = levels[0]
+    for nxt in levels[1:]:
+        out = out.unionByName(nxt)
+    return out.select(
+        "seed",
+        F.col("walk").cast("bigint").alias("walk"),
+        F.col("step").cast("bigint").alias("step"),
+        "node",
+    ).orderBy("seed", "walk", "step")

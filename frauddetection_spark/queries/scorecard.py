@@ -1162,3 +1162,107 @@ def q_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("var_ratio"),
     ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences (quasi-experimental lift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_did",
+    oracle=f"""
+    WITH cell AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN ts >= {_CUPED_SPLIT_TS} THEN 1 ELSE 0 END
+                   AS is_post,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT variant, is_post,
+               count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM cell GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN variant = 1 AND is_post = 1 THEN s END) AS s_t_post,
+            max(CASE WHEN variant = 1 AND is_post = 1 THEN n END) AS n_t_post,
+            max(CASE WHEN variant = 1 AND is_post = 0 THEN s END) AS s_t_pre,
+            max(CASE WHEN variant = 1 AND is_post = 0 THEN n END) AS n_t_pre,
+            max(CASE WHEN variant = 0 AND is_post = 1 THEN s END) AS s_c_post,
+            max(CASE WHEN variant = 0 AND is_post = 1 THEN n END) AS n_c_post,
+            max(CASE WHEN variant = 0 AND is_post = 0 THEN s END) AS s_c_pre,
+            max(CASE WHEN variant = 0 AND is_post = 0 THEN n END) AS n_c_pre
+        FROM g
+    )
+    SELECT CAST(n_t_post + n_t_pre + n_c_post + n_c_pre AS BIGINT)
+               AS n_events,
+           CAST(s_t_post AS DOUBLE) / n_t_post
+             - CAST(s_t_pre AS DOUBLE) / n_t_pre AS treated_delta,
+           CAST(s_c_post AS DOUBLE) / n_c_post
+             - CAST(s_c_pre AS DOUBLE) / n_c_pre AS control_delta,
+           (CAST(s_t_post AS DOUBLE) / n_t_post
+             - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+           - (CAST(s_c_post AS DOUBLE) / n_c_post
+             - CAST(s_c_pre AS DOUBLE) / n_c_pre) AS did_cents
+    FROM wide
+    """,
+    survey="A10,M5",
+)
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the quasi-experimental lift estimate
+    (Δtreated − Δcontrol across a pre/post boundary) used when
+    randomization isn't available and a parallel-trends control group
+    is — the workhorse of policy/geo-launch analysis. The whole
+    estimator reduces to FOUR (variant × period) cells of exact
+    int-cent sums and counts, pivoted wide in one pass; each cell mean
+    is one exact-int division and the DiD is their IEEE-identical
+    combination. One shuffle to the 4-row cell table."""
+    split = F.expr(_CUPED_SPLIT_TS)
+    cell = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("is_post"),
+        cents("value").alias("c"),
+    )
+    g = cell.groupBy("variant", "is_post").agg(
+        F.count("*").alias("n"), F.sum("c").cast("bigint").alias("s")
+    )
+
+    def pick(v, p, col):
+        return F.max(
+            F.when((F.col("variant") == v) & (F.col("is_post") == p), F.col(col))
+        )
+
+    wide = g.agg(
+        pick(1, 1, "s").alias("s_t_post"),
+        pick(1, 1, "n").alias("n_t_post"),
+        pick(1, 0, "s").alias("s_t_pre"),
+        pick(1, 0, "n").alias("n_t_pre"),
+        pick(0, 1, "s").alias("s_c_post"),
+        pick(0, 1, "n").alias("n_c_post"),
+        pick(0, 0, "s").alias("s_c_pre"),
+        pick(0, 0, "n").alias("n_c_pre"),
+    )
+    t_delta = (
+        F.col("s_t_post").cast("double") / F.col("n_t_post")
+        - F.col("s_t_pre").cast("double") / F.col("n_t_pre")
+    )
+    c_delta = (
+        F.col("s_c_post").cast("double") / F.col("n_c_post")
+        - F.col("s_c_pre").cast("double") / F.col("n_c_pre")
+    )
+    return wide.select(
+        (
+            F.col("n_t_post")
+            + F.col("n_t_pre")
+            + F.col("n_c_post")
+            + F.col("n_c_pre")
+        )
+        .cast("bigint")
+        .alias("n_events"),
+        t_delta.alias("treated_delta"),
+        c_delta.alias("control_delta"),
+        (t_delta - c_delta).alias("did_cents"),
+    )

@@ -284,6 +284,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_doc_novelty",
     "q_did",
     "q_random_walks",
+    "q_taint_tracing",
 )
 
 

@@ -1657,3 +1657,114 @@ def q_mule_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# taint tracing (amount-weighted fund-flow propagation from seeds)
+# ---------------------------------------------------------------------------
+
+_TAINT_SCALE = 1_000_000  # taint carried in integer micro-units
+_TAINT_HOPS = 2
+
+
+def _taint_sql() -> str:
+    sql = f"""
+    WITH flows AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS amt
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+          AND user_id <> CAST(json_extract_string(props, '$.k') AS BIGINT)
+        GROUP BY 1, 2
+    ),
+    outs AS (
+        SELECT src, CAST(sum(amt) AS BIGINT) AS out_total
+        FROM flows GROUP BY 1
+    ),
+    seeds AS (SELECT DISTINCT src AS node FROM flows WHERE src % 50 = 0),
+    t0 AS (SELECT node, {_TAINT_SCALE} AS taint FROM seeds)"""
+    for i in range(_TAINT_HOPS):
+        sql += f""",
+    t{i + 1} AS (
+        SELECT f.dst AS node,
+               CAST(sum(t{i}.taint * f.amt // o.out_total) AS BIGINT)
+                   AS taint
+        FROM t{i}
+        JOIN flows f ON f.src = t{i}.node
+        JOIN outs o ON o.src = t{i}.node
+        GROUP BY 1
+    )"""
+    union = "\n        UNION ALL\n        ".join(
+        f"SELECT node, {h} AS hop, taint FROM t{h}"
+        for h in range(_TAINT_HOPS + 1)
+    )
+    sql += f"""
+    SELECT node, CAST(hop AS BIGINT) AS hop, taint
+    FROM ({union})
+    WHERE taint > 0
+    ORDER BY node, hop
+    """
+    return sql
+
+
+@register(
+    "q_taint_tracing",
+    oracle=_taint_sql(),
+    survey="J5,A2",
+)
+def q_taint_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-the-money taint tracing: seed accounts start with one
+    unit of taint, and each hop forwards taint along outgoing flows
+    PRO-RATA by amount (taint(v) += taint(u)·amt(u→v)/out(u)) — the
+    haircut/proportional attribution model forensic teams use to ask
+    "how much of the flagged money reached account X within k hops".
+    Taint rides as integer micro-units with the pro-rata share an
+    integer floor division (amounts are positive, so Spark div ≡
+    DuckDB // — engine-exact; tiny residues truncate, the standard
+    conservative haircut). Each hop is one src-keyed join against the
+    aggregated flow table + one receiver groupBy — PPR's shape with
+    amount weights instead of uniform ones; frontier stays
+    seed-neighborhood-sized."""
+    flows = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+            cents("value").alias("c"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("bigint").alias("amt"))
+    )
+    outs = flows.groupBy("src").agg(
+        F.sum("amt").cast("bigint").alias("out_total")
+    )
+    fo = flows.join(outs, "src")
+    cur = (
+        flows.filter(F.col("src") % 50 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(_TAINT_SCALE).alias("taint"))
+    )
+    levels = [cur.select("node", F.lit(0).alias("hop"), "taint")]
+    for i in range(1, _TAINT_HOPS + 1):
+        cur = (
+            cur.join(fo, F.col("node") == F.col("src"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("taint * amt div out_total").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").cast("bigint").alias("taint"))
+        )
+        levels.append(cur.select("node", F.lit(i).alias("hop"), "taint"))
+    out = levels[0]
+    for nxt in levels[1:]:
+        out = out.unionByName(nxt)
+    return (
+        out.filter(F.col("taint") > 0)
+        .select("node", F.col("hop").cast("bigint").alias("hop"), "taint")
+        .orderBy("node", "hop")
+    )

@@ -285,6 +285,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_did",
     "q_random_walks",
     "q_taint_tracing",
+    "q_benford_groups",
+    "q_tpch_q6",
 )
 
 

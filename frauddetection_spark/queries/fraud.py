@@ -1768,3 +1768,107 @@ def q_taint_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("hop").cast("bigint").alias("hop"), "taint")
         .orderBy("node", "hop")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group Benford conformity (MAD score)
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d=1..9, quantized to 1e-9 — PRECOMPUTED constants
+# inlined into both twins, so no transcendental runs in either engine
+_BENFORD_Q9 = (
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+)
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_BENFORD_Q9)
+) + " END"
+
+
+@register(
+    "q_benford_groups",
+    oracle=f"""
+    WITH digits AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) >= 1
+    ),
+    g AS (
+        SELECT event_type, d, count(*) AS n FROM digits GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS n_tot
+        FROM g GROUP BY 1
+    ),
+    dev AS (
+        SELECT g.event_type,
+               abs(CAST(g.n AS HUGEINT) * 1000000000
+                   - CAST(({_BENFORD_CASE}) AS HUGEINT) * t.n_tot)
+                   AS dev_q
+        FROM g JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n_tot) AS BIGINT) AS n_values,
+           CAST(sum(dev_q) // (9 * max(n_tot)) AS BIGINT) AS mad_q9,
+           CAST(CAST(sum(dev_q) // (9 * max(n_tot)) AS BIGINT) AS DOUBLE)
+             / 1000000000 AS benford_mad
+    FROM dev JOIN tot USING (event_type)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey="A2,A11,P8",
+)
+def q_benford_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Benford conformity: mean absolute deviation between
+    each group's first-digit distribution and Benford's law — the
+    forensic-accounting screen applied PER SEGMENT (Nigrini's MAD
+    bands: a segment whose amounts are invented drifts from the
+    log-curve even when the global book conforms). Zero
+    transcendentals at query time: the nine log10(1+1/d) expectations
+    are PRECOMPUTED 1e-9-quantized integer constants inlined into both
+    twins, each deviation is the exact integer |n_d·10⁹ − e_d·n_tot|
+    in HUGEINT, and the MAD is one integer floor division (positive
+    operands: div ≡ //). One digit-extraction scan + two tiny
+    groupBys."""
+    c = cents("value")
+    digits = (
+        t(spark, sf_dir, "events")
+        .filter(c >= 1)
+        .select(
+            "event_type",
+            F.substring(c.cast("string"), 1, 1).cast("bigint").alias("d"),
+        )
+    )
+    g = digits.groupBy("event_type", "d").agg(F.count("*").alias("n"))
+    tot = g.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_tot")
+    )
+    expected = F.expr(_BENFORD_CASE)
+    dec = "decimal(38,0)"
+    dev = g.join(tot, "event_type").select(
+        "event_type",
+        "n_tot",
+        F.abs(
+            F.col("n").cast(dec) * 1_000_000_000
+            - expected.cast(dec) * F.col("n_tot")
+        ).alias("dev_q"),
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.max("n_tot").cast("bigint").alias("n_values"),
+            F.expr("CAST(sum(dev_q) div (9 * max(n_tot)) AS BIGINT)").alias(
+                "mad_q9"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "mad_q9",
+            (F.col("mad_q9").cast("double") / 1_000_000_000).alias(
+                "benford_mad"
+            ),
+        )
+        .orderBy("event_type")
+    )

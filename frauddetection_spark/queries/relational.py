@@ -2392,3 +2392,45 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    survey="S2,P2,A2",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecasting revenue change: the would-be gain
+    from eliminating a discount band, a PURE scan-filter-aggregate
+    with three conjunctive predicates and zero joins — the query
+    engines use to demonstrate predicate pushdown + vectorized scans
+    (any plan with an exchange before the 1-row agg is wrong). The
+    discount band compares as exact integer discount-percent (a raw
+    double BETWEEN 0.05 AND 0.07 admits representation-error
+    boundaries); revenue is the exact int product Σ cents·disc_pct.
+    Date + quantity predicates reach the parquet scan."""
+    ep = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    dp = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+            & dp.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(ep * dp).cast("bigint").alias("revenue_e4"),
+        )
+    )

@@ -287,6 +287,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_taint_tracing",
     "q_benford_groups",
     "q_tpch_q6",
+    "q_sequence_examples",
 )
 
 

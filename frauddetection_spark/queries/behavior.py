@@ -1497,3 +1497,66 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# next-event training examples (sequence-model dataset builder)
+# ---------------------------------------------------------------------------
+
+_SEQ_CTX = 3  # context length (events)
+
+
+@register(
+    "q_sequence_examples",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT a.user_id AS user_id,
+           CAST(a.rn AS BIGINT) AS example_id,
+           a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS context,
+           d.event_type AS target
+    FROM o a
+    JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    JOIN o d ON d.user_id = a.user_id AND d.rn = a.rn + 3
+    ORDER BY a.user_id, example_id
+    """,
+    survey="A8,A13,M1",
+)
+def q_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window next-event training examples: every length-{K}
+    context of a user's event sequence paired with the event that
+    follows — the dataset builder for the sequence models the
+    reference trains (its LSTM consumes exactly these
+    (history, next) pairs, src/layers.py:9-69; here the pair
+    GENERATION is the distributed operator and the model is the
+    consumer). The context assembles from {K} leads over ONE
+    user-partitioned window — one shuffle, |events| output rows minus
+    {K} per user — where the oracle states the same examples as
+    rank self-joins. Deterministic ordering (ts, event_id) makes the
+    corpus replayable."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_type", 3).over(w).alias("t3"),
+    )
+    return (
+        o.filter(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.col("rn").cast("bigint").alias("example_id"),
+            F.concat_ws(">", "event_type", "t1", "t2").alias("context"),
+            F.col("t3").alias("target"),
+        )
+        .orderBy("user_id", "example_id")
+    )

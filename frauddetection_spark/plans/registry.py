@@ -288,6 +288,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_benford_groups",
     "q_tpch_q6",
     "q_sequence_examples",
+    "q_attribution_ushape",
 )
 
 

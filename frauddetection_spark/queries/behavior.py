@@ -1560,3 +1560,98 @@ def q_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "example_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# position-based (U-shaped) attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_attribution_ushape",
+    oracle="""
+    WITH conv AS (
+        SELECT user_id, min(ts) AS conv_ts
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type AS channel,
+               row_number() OVER (
+                   PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+               ) AS pos,
+               count(*) OVER (PARTITION BY e.user_id) AS n
+        FROM events e JOIN conv c
+          ON e.user_id = c.user_id AND e.ts < c.conv_ts
+        WHERE e.event_type <> 'purchase'
+    ),
+    credit AS (
+        SELECT user_id, channel,
+               CASE
+                   WHEN n = 1 THEN 10000
+                   WHEN n = 2 THEN 5000
+                   WHEN pos = 1 OR pos = n THEN 4000
+                   ELSE 2000 // (n - 2)
+                        + CASE WHEN pos - 1 <= 2000 % (n - 2)
+                               THEN 1 ELSE 0 END
+               END AS bp
+        FROM touches
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(bp) AS BIGINT) AS credit_bp
+    FROM credit GROUP BY 1 ORDER BY channel
+    """,
+    survey="A8,A11,J3",
+)
+def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: each converting user's
+    pre-conversion touches split the conversion credit 40% / 20% / 40%
+    between first touch, middle touches, and last touch — the industry
+    default between last-touch (recency-biased) and linear
+    (dilutes intent signals); q_first_touch and q_asof_attribution are
+    its single-touch siblings. Credit is EXACT integer basis points:
+    the middle pool's 2000bp divide by integer floor with the
+    remainder dealt one bp at a time to the earliest middle touches,
+    so every user's credits sum to exactly 10000 in both engines (a
+    float 0.2/(n−2) split neither sums to 1.0 nor hashes). One window
+    over pre-conversion touches + one channel aggregate."""
+    e = t(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        e.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+    )
+    mid_base = F.expr("2000 div (n - 2)")
+    mid_extra = F.when(
+        F.col("pos") - 1 <= F.expr("2000 % (n - 2)"), 1
+    ).otherwise(0)
+    bp = (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 4000)
+        .otherwise(mid_base + mid_extra)
+    )
+    return (
+        touches.select("channel", bp.alias("bp"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("bp").cast("bigint").alias("credit_bp"),
+        )
+        .orderBy("channel")
+    )

@@ -289,6 +289,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q6",
     "q_sequence_examples",
     "q_attribution_ushape",
+    "q_simhash_pairs",
 )
 
 

@@ -798,3 +798,105 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", "dot", cos.alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-ball pairs (bit-band LSH join)
+# ---------------------------------------------------------------------------
+
+_SH_BANDS = 4                       # bands over the 32-bit signature
+_SH_BAND_BITS = SIMHASH_BITS // _SH_BANDS
+_SH_MAX_HAMMING = 3                 # accept pairs within this distance
+
+
+@register(
+    "q_simhash_pairs",
+    oracle=rf"""
+    WITH tk AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    th AS (SELECT doc_id, cnt, {rolling_hash_duckdb('token')} AS h FROM tk),
+    bits AS (
+        SELECT doc_id,
+               {_SQL_SIMHASH_BITS}
+        FROM th GROUP BY 1
+    ),
+    sig AS (
+        SELECT doc_id, CAST({_SQL_SIMHASH_PACK} AS BIGINT) AS simhash
+        FROM bits
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b.b AS band,
+               (simhash >> (b.b * {_SH_BAND_BITS}))
+                   & {(1 << _SH_BAND_BITS) - 1} AS band_val
+        FROM sig CROSS JOIN
+             (SELECT unnest(generate_series(0, {_SH_BANDS - 1})) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+    survey="E2",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via bit-band LSH — the Google-crawl
+    dedup design (Manku et al.): split each signature into {B} bands,
+    bucket-join on any exact band match (a pair within hamming ≤ {H}
+    of a {W}-bit signature must agree on ≥1 band by pigeonhole — no
+    recall loss), then verify the exact hamming distance with one
+    bit_count(xor) per candidate. Candidate volume is Σ per-bucket²
+    over band buckets — linear for non-degenerate signatures, never
+    all-pairs; the verify is integer-exact in both engines. Completes
+    the near-dup family: MinHash bands ≈ Jaccard, SimHash bands ≈
+    cosine-of-counts, both sharing the band-bucket-join scale shape."""
+    sig = simhash(t(spark, sf_dir, "documents"))
+    bands_idx = spark.range(_SH_BANDS).select(F.col("id").alias("band"))
+    mask = (1 << _SH_BAND_BITS) - 1
+    bands = sig.crossJoin(F.broadcast(bands_idx)).select(
+        "doc_id",
+        "simhash",
+        "band",
+        F.expr(
+            f"(simhash >> (band * {_SH_BAND_BITS})) & {mask}"
+        ).alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("ha"),
+        "band",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("hb"),
+        "band",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.filter(hamming <= _SH_MAX_HAMMING)
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

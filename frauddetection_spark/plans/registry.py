@@ -290,6 +290,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_sequence_examples",
     "q_attribution_ushape",
     "q_simhash_pairs",
+    "q_circular_hours",
 )
 
 

@@ -1872,3 +1872,92 @@ def q_benford_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# circular time-of-day concentration (bot-regularity signal)
+# ---------------------------------------------------------------------------
+
+# cos/sin(2π·h/24) for h = 0..23, quantized to 1e-9 and INLINED into
+# both twins — computed once here in Python, so neither engine runs a
+# transcendental at query time (the q_benford_groups discipline)
+import math as _math
+
+_CIRC_COS_Q = tuple(
+    round(_math.cos(2 * _math.pi * h / 24) * 1e9) for h in range(24)
+)
+_CIRC_SIN_Q = tuple(
+    round(_math.sin(2 * _math.pi * h / 24) * 1e9) for h in range(24)
+)
+_CIRC_COS_CASE = "CASE h " + " ".join(
+    f"WHEN {h} THEN {v}" for h, v in enumerate(_CIRC_COS_Q)
+) + " END"
+_CIRC_SIN_CASE = "CASE h " + " ".join(
+    f"WHEN {h} THEN {v}" for h, v in enumerate(_CIRC_SIN_Q)
+) + " END"
+
+
+@register(
+    "q_circular_hours",
+    oracle=f"""
+    WITH h AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS h
+        FROM events
+    ),
+    v AS (
+        SELECT user_id,
+               count(*) AS n,
+               CAST(sum({_CIRC_COS_CASE}) AS HUGEINT) AS sc,
+               CAST(sum({_CIRC_SIN_CASE}) AS HUGEINT) AS ss
+        FROM h GROUP BY 1
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           sqrt(CAST(sc * sc + ss * ss AS DOUBLE)) / 1000000000 / n
+               AS resultant
+    FROM v WHERE n >= 5 ORDER BY user_id
+    """,
+    survey="A10,A8",
+)
+def q_circular_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular concentration of activity time-of-day: the mean
+    resultant length R of each user's event hours on the 24-hour
+    circle — R→1 means activity locked to one time of day (the
+    bot/scripted-session regularity signal; humans spread), R→0 means
+    uniform. Linear hour statistics break at midnight (23:00 and
+    01:00 average to noon); circular statistics is the correct family.
+    Zero query-time transcendentals: the 24 cos/sin values are
+    precomputed 1e-9-quantized integers inlined into both twins
+    (UTC-pinned hour from pure integer epoch division — never
+    engine-localized hour()); Σcos/Σsin are exact HUGEINT sums, and
+    R = √(sc²+ss²)/10⁹/n is one IEEE-exact sqrt + two divisions.
+    One user-keyed aggregate."""
+    dec = "decimal(38,0)"
+    h = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000 % 24")
+        .cast("bigint")
+        .alias("h"),
+    )
+    v = h.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr(_CIRC_COS_CASE).cast(dec)).alias("sc"),
+        F.sum(F.expr(_CIRC_SIN_CASE).cast(dec)).alias("ss"),
+    )
+    return (
+        v.filter(F.col("n") >= 5)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.sqrt(
+                    (
+                        F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+                    ).cast("double")
+                )
+                / 1_000_000_000
+                / F.col("n")
+            ).alias("resultant"),
+        )
+        .orderBy("user_id")
+    )

@@ -770,3 +770,120 @@ def test_table_diff_classes_partition_keyspace(spark, sf_dir):
         "unchanged", 0
     ) == n_b
     assert sum(rows.values()) == union
+
+
+# ---------------------------------------------------------------------------
+# round-4e final-batch invariants
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_credits_sum_per_user(spark, sf_dir):
+    # every converting user with >= 1 pre-conversion touch distributes
+    # exactly 10000 bp — the integer remainder-dealing must be lossless
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        e.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+    )
+    bp = (
+        F.when(F.col("n") == 1, 10000)
+        .when(F.col("n") == 2, 5000)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 4000)
+        .otherwise(
+            F.expr("2000 div (n - 2)")
+            + F.when(F.col("pos") - 1 <= F.expr("2000 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    bad = (
+        touches.select("user_id", bp.alias("bp"))
+        .groupBy("user_id")
+        .agg(F.sum("bp").alias("total"))
+        .filter(F.col("total") != 10000)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_simhash_pairs_equals_bruteforce(spark, sf_dir):
+    # band-bucket candidates + verify ≡ brute-force hamming ≤ 3
+    from frauddetection_spark.operators.textsim import simhash
+    from frauddetection_spark.queries.similarity import _SH_MAX_HAMMING
+
+    sig = simhash(load_table(spark, sf_dir, "documents"))
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr("bit_count(ha ^ hb)") <= _SH_MAX_HAMMING)
+        .count()
+    )
+    lsh = REGISTRY["q_simhash_pairs"].fn(spark, sf_dir).count()
+    assert lsh == brute
+
+
+def test_circular_resultant_bounds(spark, sf_dir):
+    df = REGISTRY["q_circular_hours"].fn(spark, sf_dir)
+    bad = df.filter(
+        (F.col("resultant") < 0) | (F.col("resultant") > 1.0 + 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_taint_conserved_with_haircut(spark, sf_dir):
+    # per hop, total taint never exceeds the seed mass (floor-division
+    # haircut only loses residue, never creates mass)
+    from frauddetection_spark.queries.fraud import _TAINT_SCALE
+
+    df = REGISTRY["q_taint_tracing"].fn(spark, sf_dir)
+    seeds = df.filter(F.col("hop") == 0).count()
+    per_hop = {
+        r["hop"]: r["total"]
+        for r in df.groupBy("hop").agg(F.sum("taint").alias("total")).collect()
+    }
+    assert per_hop[0] == seeds * _TAINT_SCALE
+    for hop, total in per_hop.items():
+        assert total <= seeds * _TAINT_SCALE
+
+
+def test_random_walk_steps_follow_edges(spark, sf_dir):
+    # every consecutive (step i, step i+1) pair of a walk must be an
+    # actual edge
+    from frauddetection_spark.operators.graph import edges_from_events
+
+    walks = REGISTRY["q_random_walks"].fn(spark, sf_dir)
+    e = edges_from_events(load_table(spark, sf_dir, "events"))
+    a = walks.alias("a")
+    b = walks.select(
+        F.col("seed").alias("seed"),
+        F.col("walk").alias("walk"),
+        (F.col("step") - 1).alias("step"),
+        F.col("node").alias("nxt"),
+    ).alias("b")
+    hops = a.join(b, ["seed", "walk", "step"]).select(
+        F.col("node").alias("src"), F.col("nxt").alias("dst")
+    )
+    bad = hops.join(e, ["src", "dst"], "left_anti").count()
+    assert bad == 0
+
+
+def test_benford_groups_nonnegative(spark, sf_dir):
+    df = REGISTRY["q_benford_groups"].fn(spark, sf_dir)
+    assert df.filter(F.col("mad_q9") < 0).count() == 0
+    assert df.filter(F.col("n_values") <= 0).count() == 0

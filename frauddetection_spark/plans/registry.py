@@ -291,6 +291,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_attribution_ushape",
     "q_simhash_pairs",
     "q_circular_hours",
+    "q_qte",
 )
 
 

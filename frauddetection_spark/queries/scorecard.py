@@ -1266,3 +1266,136 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_delta.alias("control_delta"),
         (t_delta - c_delta).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile treatment effects (distributional A/B readout)
+# ---------------------------------------------------------------------------
+
+_QTE_PCTS = (25, 50, 75, 90)
+
+
+@register(
+    "q_qte",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT variant, m,
+               row_number() OVER (
+                   PARTITION BY variant ORDER BY m, user_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY variant) AS n
+        FROM per_user
+    ),
+    p AS (
+        SELECT unnest(ARRAY{list(_QTE_PCTS)}) AS pct
+    ),
+    tgt AS (
+        SELECT r.variant, p.pct, max(r.n) AS n,
+               1 + (p.pct * (max(r.n) - 1)) // 100 AS lo,
+               (p.pct * (max(r.n) - 1)) % 100 AS frac_pct
+        FROM r, p GROUP BY 1, 2
+    ),
+    v AS (
+        SELECT t.variant, t.pct, t.frac_pct,
+               max(CASE WHEN r.rn = t.lo THEN r.m END) AS m_lo,
+               coalesce(max(CASE WHEN r.rn = t.lo + 1 THEN r.m END),
+                        max(CASE WHEN r.rn = t.lo THEN r.m END)) AS m_hi
+        FROM r JOIN tgt t
+          ON r.variant = t.variant AND r.rn BETWEEN t.lo AND t.lo + 1
+        GROUP BY 1, 2, 3
+    ),
+    q AS (
+        SELECT variant, pct,
+               m_lo + CAST(frac_pct AS DOUBLE) / 100 * (m_hi - m_lo) AS qv
+        FROM v
+    )
+    SELECT a.pct AS pct,
+           a.qv AS control_q,
+           b.qv AS treated_q,
+           b.qv - a.qv AS qte_cents
+    FROM q a JOIN q b ON a.pct = b.pct AND a.variant = 0 AND b.variant = 1
+    ORDER BY pct
+    """,
+    survey="A4,A10,M5",
+)
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the treated-minus-control gap at
+    several quantiles of the per-user outcome — the distributional A/B
+    readout (a mean lift of +2% can hide a p25 loss and a p90 gain;
+    heavy-tailed revenue metrics routinely do). Exact interpolated
+    per-variant quantiles via q_group_percentile's integer-target
+    machinery (integer percent grid keeps lo/frac exact; bracketing
+    order statistics from variant-partitioned ranks), then one join
+    aligns the ≤|pcts| quantile rows across variants. All windows
+    variant-bounded; the pct grid broadcasts."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
+        .agg(F.sum(cents("value")).cast("bigint").alias("m"))
+    )
+    r = per_user.select(
+        "variant",
+        "m",
+        F.row_number()
+        .over(Window.partitionBy("variant").orderBy("m", "user_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("variant")).alias("n"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in _QTE_PCTS], "pct int"
+    )
+    tgt = (
+        r.groupBy("variant")
+        .agg(F.max("n").alias("n"))
+        .crossJoin(F.broadcast(pcts))
+        .select(
+            "variant",
+            "pct",
+            (1 + F.expr("(pct * (n - 1)) div 100")).alias("lo"),
+            F.expr("(pct * (n - 1)) % 100").alias("frac_pct"),
+        )
+    )
+    v = (
+        r.join(F.broadcast(tgt), "variant")
+        .filter(F.col("rn").between(F.col("lo"), F.col("lo") + 1))
+        .groupBy("variant", "pct", "frac_pct")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("lo"), F.col("m"))).alias(
+                "m_lo"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("rn") == F.col("lo") + 1, F.col("m"))),
+                F.max(F.when(F.col("rn") == F.col("lo"), F.col("m"))),
+            ).alias("m_hi"),
+        )
+    )
+    q = v.select(
+        "variant",
+        "pct",
+        (
+            F.col("m_lo")
+            + F.col("frac_pct").cast("double") / 100
+            * (F.col("m_hi") - F.col("m_lo"))
+        ).alias("qv"),
+    )
+    a = q.filter(F.col("variant") == 0).select(
+        "pct", F.col("qv").alias("control_q")
+    )
+    b = q.filter(F.col("variant") == 1).select(
+        "pct", F.col("qv").alias("treated_q")
+    )
+    return (
+        a.join(b, "pct")
+        .select(
+            "pct",
+            "control_q",
+            "treated_q",
+            (F.col("treated_q") - F.col("control_q")).alias("qte_cents"),
+        )
+        .orderBy("pct")
+    )

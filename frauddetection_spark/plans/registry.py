@@ -292,6 +292,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_simhash_pairs",
     "q_circular_hours",
     "q_qte",
+    "q_tpch_q9",
 )
 
 

@@ -2434,3 +2434,62 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ep * dp).cast("bigint").alias("revenue_e4"),
         )
     )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_SQL_REV_E4}
+                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT) * 100)
+                AS BIGINT) AS profit_e4
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY n_name, o_year DESC
+    """,
+    survey="J1,J2,A2,P8",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit: revenue minus supply cost
+    for one product family, by supplier nation × order year. The
+    LARGEST join tree in the suite (lineitem ⋈ part ⋈ supplier ⋈
+    nation ⋈ orders) with a LIKE filter on the part dim — the plan
+    where join ORDER dominates: the filtered part dim must reduce
+    lineitem FIRST (broadcast), supplier/nation ride as broadcast
+    dims, and orders joins last to supply only the year. Profit is
+    exact integer 1e-4 dollars throughout (retail cost = cents ×
+    integral quantity × 100); year extraction is identical in both
+    engines on UTC-pinned timestamps."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = (
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.col("l_quantity").cast("bigint")
+        * 100
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_rev_e4() - cost).cast("bigint").alias("profit_e4"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )

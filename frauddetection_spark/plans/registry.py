@@ -105,84 +105,19 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Cumulative driver evidence after round 3
-# covers 100/103 oracle-backed queries (CORRECTNESS_r01..r03.json);
-# round 4 promotes the 3 remaining oracle queries (queued in r3 after
-# the window froze) plus the 2 rows-only queries that have NEVER
-# produced a driver row since the since-fixed r1 TIMESTAMP(NANOS) read
-# bug, then this round's new operators, then back-fills every remaining
-# slot with already-green sentinels whose NEWEST evidence predates r3
-# (regression re-proof of the oldest rows — ordered most-regression-
-# prone first so future truncation drops trivial scalar queries). The
-# invariant — cumulative driver evidence (past green ∪ this window)
-# covers every oracle query — is pinned by
-# tests/test_plans.py::test_driver_window_completes_evidence.
+# 50 entries of ``queries()``. Cumulative driver evidence after round 4
+# covers 133 of the 242 oracle-backed queries (CORRECTNESS_r01..r04 —
+# every query that has ever held a window slot is hash-green; zero
+# mismatches ever recorded for a currently-declared query). Round 4
+# added ~140 queries after its window froze, so rounds 5-6 are pure
+# evidence rotation: this window holds the FIRST 50 still-unevidenced
+# oracle queries in queue order (fraud/behavioral batch, scorecard /
+# model-monitoring batch, then the analytics tail); the remaining 59
+# stay in ``QUEUED_NEXT_WINDOW`` for round 6, and new round-5 queries
+# append to that queue. The invariant — cumulative driver evidence
+# (past green ∪ this window ∪ queue) covers every oracle query — is
+# pinned by tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- promoted from r3's QUEUED_NEXT_WINDOW (first driver evidence;
-    # closes the contract at 103/103 oracle-green cumulatively) ---
-    "q_scan_orc",
-    "q_pii_redact",
-    "q_join_salted",
-    # --- rows-only, never produced a driver row post-nanos-fix ---
-    "q_approx_count_distinct",
-    "q_median_approx",
-    # --- new this round (oracle-backed, need first driver evidence) ---
-    "q_trend_slope",        # per-user OLS from exact int sums
-    "q_entropy",            # event-mix Shannon entropy + Gini
-    "q_retention_cohorts",  # cohort-week retention triangle
-    "q_running_distinct",   # cumulative distinct via first-occurrence
-    "q_skew_kurtosis",      # exact decimal raw moments -> skew/kurt
-    "q_multi_grain_rollup", # hour->day->week agg-of-agg reuse
-    "q_anomaly_mad",        # MAD robust outliers, exact lower-medians
-    "q_stream_join",        # stream-stream interval-join batch twin
-    "q_posexplode",         # ordinal token explode
-    "q_quantile_grid",      # exact multi-quantile via prefix_rank
-    "q_weighted_median",    # cents-weighted median hour, all-int
-    "q_bitmap_weeks",       # bit_or activity bitmap + popcount
-    "q_pct_change",         # week-over-week relative change
-    "q_array_stats",        # higher-order-fn vector stats, map-only
-    "q_minhash_est",        # MinHash estimate vs exact Jaccard
-    "q_ann_query_batch",    # broadcast query-batch kNN
-    "q_mode",               # deterministic per-group mode
-    "q_json_flatten",       # typed from_json struct parse
-    "q_first_touch",        # earliest-click attribution
-    "q_graph_triangles",    # degree-ordered triangle census
-    "q_bfs_levels",         # K=3 multi-source BFS unrolled
-    "q_pandas_udf_tokens",      # scalar pandas_udf surface
-    "q_pandas_udf_grouped_agg", # GROUPED_AGG pandas_udf surface
-    "q_join_full_outer",    # reconciliation full outer join
-    "q_moving_avg",         # trailing ROWS-frame moving average
-    "q_fuzzy_match",        # blocked Levenshtein entity resolution
-    "q_sequence_gaps",      # missing-id ranges via rank self-join
-    "q_csv_malformed",      # PERMISSIVE ingestion of dirty CSV
-    "q_union_by_name",      # schema-evolution union
-    "q_map_roundtrip",      # MapType build + explode roundtrip
-    # --- sentinels: oracle-green in r1/r2 but not re-proven since;
-    # heaviest / most-implementation-churned first so truncation drops
-    # trivial scalar queries ---
-    "q_behavioral_features", "q_dedup_minhash", "q_dedup_groups",
-    "q_knn_cosine", "q_tfidf", "q_jaccard_lag", "q_propagate_2round",
-    "q_graph_aggregate", "q_join_inner", "q_join_existence",
-    "q_join_anti", "q_join_semi", "q_edge_weights",
-    "q_multiscale_features", "q_two_level_agg",
-)
-
-DRIVER_WINDOW = 50
-
-# Round marker for QUEUED_NEXT_WINDOW staleness (ADVICE r3): the queue
-# was created against this CORRECTNESS round. Once a NEWER round file
-# exists, a non-empty queue means a rotation happened without promoting
-# it — tests/test_plans.py fails in that case, so nothing can sit
-# queued forever.
-QUEUE_AS_OF_ROUND = 4
-
-# Oracle-backed queries added AFTER this round's 50-slot window was
-# frozen. They must be promoted into _PRIORITY at the next rotation —
-# enforced by tests/test_plans.py (queue-staleness + cumulative
-# evidence invariants).
-QUEUED_NEXT_WINDOW: tuple[str, ...] = (
-    # round-4b fraud/behavioral batch (queries/fraud.py) — added after
-    # this round's 50-slot window froze; all oracle-green locally
     "q_benford",
     "q_rfm",
     "q_double_swipe",
@@ -206,7 +141,6 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_lorenz_gini",
     "q_assortativity",
     "q_lateral_topk",
-    # scorecard / model-monitoring batch (queries/scorecard.py)
     "q_ks_score",
     "q_lift_gains",
     "q_psi",
@@ -234,6 +168,24 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_ohlc_hourly",
     "q_class_balance",
     "q_twap",
+)
+
+DRIVER_WINDOW = 50
+
+# Round marker for QUEUED_NEXT_WINDOW staleness: the queue below was
+# created against this CORRECTNESS round. Once a NEWER round file
+# exists, a non-empty queue means a rotation happened without promoting
+# it — tests/test_plans.py fails in that case, so nothing can sit
+# queued forever.
+QUEUE_AS_OF_ROUND = 5
+
+# Oracle-backed queries still awaiting their first driver row after the
+# round-5 window above was frozen (59 carried over from round 4's
+# post-freeze additions, plus any query added during round 5). They
+# fill the round-6 window at the next rotation — enforced by
+# tests/test_plans.py (queue-staleness + cumulative-evidence
+# invariants).
+QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_dwell_time",
     "q_ref_integrity",
     "q_lexicon_score",

@@ -245,6 +245,12 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_circular_hours",
     "q_qte",
     "q_tpch_q9",
+    # --- added during round 5 (await first driver evidence) ---
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
 )
 
 

@@ -2493,3 +2493,365 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_rev_e4() - cost).cast("bigint").alias("profit_e4"))
         .orderBy("n_name", F.col("o_year").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (Q7 / Q8 / Q13 / Q15 / Q17) — with these the suite
+# spans 16 of 22 TPC-H shapes; the remaining six need columns this
+# schema lacks (partsupp: Q2/Q11/Q16/Q20; shipmode+receipt/commit
+# dates: Q12/Q21)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_SQL_REV_E4}) AS BIGINT) AS rev_e4,
+           CAST(CAST(sum({_SQL_REV_E4}) AS BIGINT) AS DOUBLE) / 10000
+               AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    survey="J1,J2,A2",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two nations: revenue
+    per (supplier nation, customer nation, ship year) for both
+    directions of one nation pair. The planner test here is the
+    DISJUNCTIVE cross-dimension predicate: neither nation filter alone
+    is selective (each keeps 1/25 of each side) but the pair
+    disjunction keeps ~2/625 of the join output, so the nation dims
+    must broadcast with their IN(2-value) filters pushed to the scans
+    and the disjunction evaluated as a post-join residual on two
+    already-tiny sides — never as a filter over the full fact join.
+    Spine joins (lineitem⋈orders⋈customer) shuffle on their keys once;
+    revenue is the exact int 1e-4-dollar unit shared by every TPC-H
+    twin here."""
+    pair = ("NATION_1", "NATION_2")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1995-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01'"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            "rev_e4",
+            (F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_SQL_REV_E4} AS vol,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0 END)
+                AS BIGINT) AS nation_e4,
+           CAST(sum(vol) AS BIGINT) AS total_e4,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+                         ELSE 0 END) AS BIGINT) AS DOUBLE)
+               / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+    survey="J1,J2,A2,P9",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: NATION_2's share of
+    ECONOMY-part revenue sold into ASIA per order year, the
+    EIGHT-table join (the widest in TPC-H) whose share numerator is a
+    conditional aggregate over the same rows as the denominator —
+    one pass with CASE, never two scans. Join order is the whole
+    game: the p_type filter keeps ~1/6 of parts and drives the
+    broadcast reduction of lineitem FIRST, customer-side region
+    filtering reduces the orders spine before it meets lineitem, and
+    the supplier nation rides as a broadcast dim for the CASE only.
+    Share = exact-int numerator / exact-int denominator, the one
+    float division written identically in both twins."""
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("cn_key") == F.col("c_nationkey"))
+        .select("c_custkey")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01'"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _rev_e4()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(nation_vol).cast("bigint").alias("nation_e4"),
+            F.sum(vol).cast("bigint").alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_e4",
+            "total_e4",
+            (
+                F.col("nation_e4").cast("double") / F.col("total_e4").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey="J1,A2,A6",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed 0, 1, 2, … qualifying orders. The planner tests:
+    (1) the filter lives in the LEFT JOIN's ON clause, not WHERE —
+    moving it to WHERE silently drops the zero-order customers that
+    are the query's point; (2) count(o_orderkey) counts only matched
+    rows (COUNT of a null column), giving the 0 bucket for free; (3)
+    the agg-of-agg pipeline reuses the first shuffle's partitioning
+    only conceptually — the second groupBy is on the DERIVED c_count
+    key, an unavoidable second (tiny) shuffle over ≤hundreds of
+    distinct counts. Reference parity: the reference's per-entity
+    degree histogram (Code for Sichuan/src/utils.py in-degree counts)
+    is this exact shape with customers for nodes."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    co = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH r AS (
+        SELECT l_suppkey, CAST(sum({_SQL_REV_E4}) AS BIGINT) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_e4,
+           CAST(r.rev_e4 AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s
+    JOIN r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_e4 = (SELECT max(rev_e4) FROM r)
+    ORDER BY s.s_suppkey
+    """,
+    survey="A2,A14,J1",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier: the supplier(s) whose quarterly
+    revenue equals the global maximum. The classic formulation is a
+    view referenced twice (once aggregated to max, once as the probe);
+    the scale-safe plan computes the per-supplier aggregate ONCE, then
+    joins the 1-row max via broadcast — never a global sort (top-1
+    by sort breaks ties wrongly anyway) and never a re-scan of
+    lineitem for the subquery. The equality is on the exact int
+    1e-4-dollar revenue, so 'equals the max' is decidable — the float
+    formulation is nondeterministic whenever two suppliers tie to 15
+    significant digits. Supplier dim joins AFTER the max-filter so
+    only the winner row(s) touch it."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
+    )
+    mx = rev.agg(F.max("rev_e4").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_e4") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "rev_e4",
+            (F.col("rev_e4").cast("double") / 10000).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH pl AS (
+        SELECT l.l_partkey,
+               CAST(l.l_quantity AS BIGINT) AS q,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#11'
+    ),
+    ag AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT) AS sq
+        FROM pl GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(pl.price_c) AS BIGINT) AS total_cents,
+           CAST(CAST(sum(pl.price_c) AS BIGINT) AS DOUBLE) / 700
+               AS avg_yearly
+    FROM pl JOIN ag ON pl.l_partkey = ag.l_partkey
+    WHERE 5 * pl.q * ag.n < ag.sq
+    """,
+    survey="J1,A2,A3",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    filled. The correlated avg subquery (l_quantity < 0.2·avg per
+    part) decorrelates to ONE aggregate over the SAME filtered rows
+    joined back on partkey — the brand filter broadcasts into
+    lineitem first so both the probe and the aggregate see only
+    ~1/25 of the fact table, and the agg side (≤ one row per
+    filtered part) broadcasts back. The 0.2·avg comparison
+    cross-multiplies to the exact-integer 5·q·n < Σq — a float
+    0.2*sum/n boundary can flip rows between engines; the integer
+    predicate cannot. (Container column doesn't exist on this schema;
+    p_brand stands in as the part-family filter.) Output is the
+    1-row global total — exact cents plus the /7-years double."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    pl = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        )
+    )
+    ag = pl.groupBy("l_partkey").agg(
+        F.count("*").alias("n"), F.sum("q").alias("sq")
+    ).withColumnRenamed("l_partkey", "ag_partkey")
+    return (
+        pl.join(F.broadcast(ag), F.col("ag_partkey") == F.col("l_partkey"))
+        .filter(F.lit(5) * F.col("q") * F.col("n") < F.col("sq"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum("price_c").alias("total_cents"),
+        )
+        .select(
+            F.col("n_small").cast("bigint").alias("n_small"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+            (F.col("total_cents").cast("double") / 700).alias("avg_yearly"),
+        )
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "frauddetection_spark.queries.fraud",
     "frauddetection_spark.queries.behavior",
     "frauddetection_spark.queries.scorecard",
+    "frauddetection_spark.queries.sketches",
 )
 
 
@@ -251,6 +252,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q13",
     "q_tpch_q15",
     "q_tpch_q17",
+    "q_countmin",
+    "q_bloom_membership",
 )
 
 

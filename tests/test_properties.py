@@ -887,3 +887,25 @@ def test_benford_groups_nonnegative(spark, sf_dir):
     df = REGISTRY["q_benford_groups"].fn(spark, sf_dir)
     assert df.filter(F.col("mad_q9") < 0).count() == 0
     assert df.filter(F.col("n_values") <= 0).count() == 0
+
+
+def test_countmin_overestimates_only(spark, sf_dir):
+    # CMS error is one-sided: min-of-cells can only ADD colliding
+    # keys' mass, never lose the key's own increments
+    df = REGISTRY["q_countmin"].fn(spark, sf_dir)
+    assert df.filter(F.col("overest") < 0).count() == 0
+    # and every key is present (the sketch answers all point queries)
+    from frauddetection_spark.sources.tables import load_table as _lt
+
+    n_users = _lt(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert df.count() == n_users
+
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    # the Bloom guarantee: a member key always answers 'maybe' —
+    # n_maybe == n on the true_member class, and no 'member + definite
+    # no' class exists
+    rows = {r["cls"]: r for r in REGISTRY["q_bloom_membership"].fn(spark, sf_dir).collect()}
+    assert rows["true_member"]["n"] == rows["true_member"]["n_maybe"]
+    assert rows["true_negative"]["n_maybe"] == 0
+    assert set(rows) <= {"true_member", "false_positive", "true_negative"}

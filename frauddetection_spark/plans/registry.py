@@ -254,6 +254,9 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q17",
     "q_countmin",
     "q_bloom_membership",
+    "q_ndcg",
+    "q_changepoint",
+    "q_incremental_agg",
 )
 
 

@@ -1685,3 +1685,130 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A8+ — single changepoint per user (binary-segmentation first split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '{ANCHOR}' AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+        SELECT user_id, x, y,
+               row_number() OVER w AS k,
+               CAST(sum(y) OVER w AS BIGINT) AS sl,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               CAST(sum(y) OVER (PARTITION BY user_id) AS BIGINT) AS s
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY x
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    scored AS (
+        SELECT user_id, x, k, n,
+               (sl * sl * (n - k) + (s - sl) * (s - sl) * k)
+                   // (k * (n - k)) AS bq,
+               (s * s) // n AS b0q
+        FROM pre WHERE k < n AND n >= 8
+    ),
+    best AS (
+        SELECT user_id, x AS split_day, k AS split_k, n AS n_days,
+               bq, b0q,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY bq DESC, k) AS pick
+        FROM scored
+    )
+    SELECT user_id, n_days, split_k, split_day, bq, b0q,
+           bq - b0q AS gain_q
+    FROM best WHERE pick = 1
+    ORDER BY user_id
+    """,
+    survey="A8,A10",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per user (the first split of binary
+    segmentation / CUSUM's offline twin): the day index that best
+    splits the user's daily-spend series into two segments, maximizing
+    the between-segment sum-of-squares B(k) = S_L²/n_L + S_R²/n_R
+    (equivalent to minimizing total SSE since Σy² is constant in k).
+    The level-shift readout behind 'this account's behavior changed on
+    day X' alerts.
+
+    Exactness: comparing B across candidate splits is a
+    fraction-comparison problem (denominators n_L·n_R differ per k) a
+    window ordering can't cross-multiply, so B is floor-quantized to
+    the integer (S_L²·n_R + S_R²·n_L) div (n_L·n_R) — positive
+    operands, so Spark's truncating div and DuckDB's flooring // agree
+    — and the argmax is deterministic with the k tiebreak. Floors cost
+    <1 cent² of resolution against gains of ~1e9. Int64 bounds:
+    S²·n ≤ 9.2e18 needs per-user |Σcents| < 2.1e8·√(200/n) — testdata
+    daily sums are ~1e6; a 100-TB deploy lifts the three products to
+    decimal(38,0) unchanged. Scale: one groupBy + ONE user-partitioned
+    window (group-bounded — never global), argmax is a second tiny
+    window over n_days-1 candidate rows per user."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = e.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit(ANCHOR)))
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.sum(cents("value")).alias("y"))
+    wp = Window.partitionBy("user_id").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wu = Window.partitionBy("user_id")
+    pre = daily.select(
+        "user_id",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("x"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum("y").over(wp).alias("sl"),
+        F.count("*").over(wu).cast("bigint").alias("n"),
+        F.sum("y").over(wu).alias("s"),
+    )
+    sl, s, k, n = F.col("sl"), F.col("s"), F.col("k"), F.col("n")
+    scored = pre.filter((k < n) & (n >= 8)).select(
+        "user_id",
+        "x",
+        "k",
+        "n",
+        F.expr(
+            "(sl * sl * (n - k) + (s - sl) * (s - sl) * k) div (k * (n - k))"
+        ).alias("bq"),
+        F.expr("(s * s) div n").alias("b0q"),
+    )
+    best = scored.select(
+        "user_id",
+        F.col("x").alias("split_day"),
+        F.col("k").alias("split_k"),
+        F.col("n").alias("n_days"),
+        "bq",
+        "b0q",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("bq").desc(), "k"))
+        .alias("pick"),
+    )
+    return (
+        best.filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            "n_days",
+            "split_k",
+            "split_day",
+            "bq",
+            "b0q",
+            (F.col("bq") - F.col("b0q")).alias("gain_q"),
+        )
+        .orderBy("user_id")
+    )

@@ -304,3 +304,130 @@ def q_metric_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# M5+ — ranking metrics: NDCG@10 and MRR@10 per user
+# ---------------------------------------------------------------------------
+
+# Discount constants round(1e9 / log2(i+1)) for ranks 1..10, and their
+# prefix sums (ideal-DCG lookup). Precomputed once in Python and
+# inlined into BOTH twins — the zero-query-time-transcendentals
+# discipline (q_circular_hours, q_benford_groups): engines' log2/pow
+# can differ in the last ulp; a shared integer constant table cannot.
+_NDCG_K = 10
+_NDCG_W = (1000000000, 630929754, 500000000, 430676558, 386852807,
+           356207187, 333333333, 315464877, 301029996, 289064826)
+_NDCG_C = (1000000000, 1630929754, 2130929754, 2561606312, 2948459119,
+           3304666306, 3637999639, 3953464516, 4254494512, 4543559338)
+_MRR_W = tuple(round(1e9 / r) for r in range(1, _NDCG_K + 1))
+
+_SQL_DCG_CASE = "CASE rnk " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " ELSE 0 END"
+_SQL_IDCG_CASE = (
+    f"CASE WHEN n_rel >= {_NDCG_K} THEN {_NDCG_C[-1]} "
+    + " ".join(f"WHEN n_rel = {j + 1} THEN {c}" for j, c in enumerate(_NDCG_C[:-1]))
+    + " ELSE 0 END"
+)
+_SQL_RR_CASE = "CASE first_rel_rnk " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_MRR_W)
+) + " ELSE 0 END"
+
+
+@register(
+    "q_ndcg",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC, event_id
+               ) AS rnk
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(sum(rel) AS BIGINT) AS n_rel,
+               CAST(sum(CASE WHEN rel = 1 AND rnk <= {_NDCG_K}
+                             THEN {_SQL_DCG_CASE} ELSE 0 END) AS BIGINT)
+                   AS dcg_e9,
+               min(CASE WHEN rel = 1 AND rnk <= {_NDCG_K} THEN rnk END)
+                   AS first_rel_rnk
+        FROM ranked GROUP BY 1
+    )
+    SELECT user_id, n_rel, dcg_e9,
+           CAST({_SQL_IDCG_CASE} AS BIGINT) AS idcg_e9,
+           CAST(dcg_e9 AS DOUBLE) / CAST({_SQL_IDCG_CASE} AS DOUBLE) AS ndcg,
+           CAST(coalesce({_SQL_RR_CASE}, 0) AS BIGINT) AS rr_e9
+    FROM per_user
+    WHERE n_rel >= 1
+    ORDER BY user_id
+    """,
+    survey="M5,A8",
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics per user: NDCG@10 and MRR@10 where the
+    'ranking' is the user's events ordered by model-score stand-in
+    (value desc, event_id tiebreak) and relevance is the purchase
+    flag — the offline eval every search/recsys pipeline runs at
+    corpus scale. The reference's eval surface is classification-only
+    (sklearn AUC/F1, main.py:158-162); ranking eval is its natural
+    extension and shares the machinery.
+
+    Numerics: DCG's 1/log2(1+i) discounts and MRR's 1/r reciprocals
+    are the textbook float trap — both engines' libm can drift a last
+    ulp and a SUM of drifted terms drifts further. Here every discount
+    is a precomputed 1e-9-quantized integer constant inlined
+    identically in both twins, DCG/IDCG accumulate as exact int64, and
+    the single ndcg division is the only float op. One user-partitioned
+    window (group-bounded, scale-safe) + one groupBy; the ideal-DCG
+    needs no second ranking pass — it's a constant-table lookup on the
+    relevant-count, because binary relevance makes the ideal ordering
+    'all relevant first'."""
+    e = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    ranked = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    dcg_w = F.when(F.lit(False), 0)
+    for i, wgt in enumerate(_NDCG_W):
+        dcg_w = dcg_w.when(F.col("rnk") == i + 1, wgt)
+    dcg_w = dcg_w.otherwise(0)
+    per_user = ranked.groupBy("user_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rnk") <= _NDCG_K), dcg_w)
+            .otherwise(0)
+        ).cast("bigint").alias("dcg_e9"),
+        F.min(
+            F.when((F.col("rel") == 1) & (F.col("rnk") <= _NDCG_K), F.col("rnk"))
+        ).alias("first_rel_rnk"),
+    )
+    idcg = F.when(F.col("n_rel") >= _NDCG_K, _NDCG_C[-1])
+    for j, c in enumerate(_NDCG_C[:-1]):
+        idcg = idcg.when(F.col("n_rel") == j + 1, c)
+    idcg = idcg.otherwise(0)
+    rr = F.when(F.lit(False), 0)
+    for i, wgt in enumerate(_MRR_W):
+        rr = rr.when(F.col("first_rel_rnk") == i + 1, wgt)
+    rr = rr.otherwise(0)
+    return (
+        per_user.filter(F.col("n_rel") >= 1)
+        .select(
+            "user_id",
+            "n_rel",
+            "dcg_e9",
+            idcg.cast("bigint").alias("idcg_e9"),
+            (F.col("dcg_e9").cast("double") / idcg.cast("double")).alias("ndcg"),
+            F.coalesce(rr, F.lit(0)).cast("bigint").alias("rr_e9"),
+        )
+        .orderBy("user_id")
+    )

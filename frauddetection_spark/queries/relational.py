@@ -2855,3 +2855,79 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_cents").cast("double") / 700).alias("avg_yearly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A2+ — incremental aggregate maintenance (partial-state merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS ssq,
+           CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / count(*) AS mean_cents
+    FROM events
+    GROUP BY 1 ORDER BY user_id
+    """,
+    survey="A2,A5",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: per-user (count, sum, min,
+    max, sum-of-squares) computed as PARTIAL STATES over two disjoint
+    batches (event_id parity — the stand-in for yesterday's
+    materialized state + today's delta), then MERGED by the monoid ops
+    (+, +, min, max, +). The ORACLE is the direct one-pass aggregate:
+    with exact-integer state the merge-of-partials is bit-equal to
+    recomputation, which is the entire contract of incremental view
+    maintenance — a float-sum state would NOT hash-match here, because
+    merge order differs from scan order (exactly why production MV
+    engines keep decimal/integer accumulators).
+
+    Scale: this is Spark's own partial-aggregation physics made
+    user-visible — each batch's groupBy partial-aggregates map-side,
+    the merge is a second groupBy over |users|·2 state rows, and at
+    100 TB the state table is what you'd persist between daily runs,
+    touching only the delta (the alternative — rescanning the full
+    history each day — is the thing this operator exists to delete).
+    Int64 bounds: cents² ≤ 1e10 per row → ssq safe below ~9e8 rows per
+    user; lift ssq to decimal(38,0) past that."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 2).alias("batch"),
+        cents("value").alias("c"),
+    )
+    partial = e.groupBy("user_id", "batch").agg(
+        F.count("*").alias("pn"),
+        F.sum("c").alias("ps"),
+        F.min("c").alias("pmn"),
+        F.max("c").alias("pmx"),
+        F.sum(F.col("c") * F.col("c")).alias("pssq"),
+    )
+    merged = partial.groupBy("user_id").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("ps").cast("bigint").alias("sum_cents"),
+        F.min("pmn").cast("bigint").alias("min_cents"),
+        F.max("pmx").cast("bigint").alias("max_cents"),
+        F.sum("pssq").cast("bigint").alias("ssq"),
+    )
+    return merged.select(
+        "user_id",
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        "ssq",
+        (F.col("sum_cents").cast("double") / F.col("n")).alias("mean_cents"),
+    ).orderBy("user_id")

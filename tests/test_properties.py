@@ -909,3 +909,20 @@ def test_bloom_never_false_negative(spark, sf_dir):
     assert rows["true_member"]["n"] == rows["true_member"]["n_maybe"]
     assert rows["true_negative"]["n_maybe"] == 0
     assert set(rows) <= {"true_member", "false_positive", "true_negative"}
+
+
+def test_changepoint_gain_nonnegative(spark, sf_dir):
+    # between-segment SS at the best split dominates the no-split
+    # baseline; the two independent floor-quantizations can cost at
+    # most 1 unit each
+    df = REGISTRY["q_changepoint"].fn(spark, sf_dir)
+    assert df.filter(F.col("gain_q") < -1).count() == 0
+    assert df.filter((F.col("split_k") <= 0) | (F.col("split_k") >= F.col("n_days"))).count() == 0
+
+
+def test_ndcg_bounded(spark, sf_dir):
+    df = REGISTRY["q_ndcg"].fn(spark, sf_dir)
+    assert df.filter((F.col("ndcg") < 0) | (F.col("ndcg") > 1.0000001)).count() == 0
+    assert df.filter(F.col("rr_e9") > 1000000000).count() == 0
+    # dcg can never beat ideal dcg
+    assert df.filter(F.col("dcg_e9") > F.col("idcg_e9")).count() == 0

@@ -257,6 +257,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_ndcg",
     "q_changepoint",
     "q_incremental_agg",
+    "q_shingle_containment",
 )
 
 

@@ -900,3 +900,86 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# E2+ — asymmetric shingle containment (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN_PCT = 40  # integer percent threshold on the smaller side
+
+
+@register(
+    "q_shingle_containment",
+    oracle=f"""
+    WITH sh AS ({SQL_WORD_SHINGLES}),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b, m.n_common, sa.n AS na, sb.n AS nb,
+           CAST(m.n_common AS DOUBLE) / sa.n AS contain_a_in_b,
+           CAST(m.n_common AS DOUBLE) / sb.n AS contain_b_in_a
+    FROM common m
+    JOIN sz sa ON m.doc_a = sa.doc_id
+    JOIN sz sb ON m.doc_b = sb.doc_id
+    WHERE 100 * m.n_common >= {CONTAIN_MIN_PCT} * least(sa.n, sb.n)
+    ORDER BY doc_a, doc_b
+    """,
+    survey="E2,J4",
+)
+def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| in both
+    directions for candidate pairs — the doc-inside-doc signal Jaccard
+    structurally misses (a 50-shingle quote fully embedded in a
+    2000-shingle article has Jaccard 0.025 but containment 1.0; corpus
+    dedup that only thresholds Jaccard ships the duplicated quote,
+    which is how boilerplate and license blocks survive into training
+    sets — Broder's original resemblance/containment pair, both
+    needed). Same linear inverted-index candidate generation as
+    q_shingle_jaccard (never all-pairs); the admission test
+    cross-multiplies to the exact integer 100·|∩| ≥ 40·min(|A|,|B|) so
+    no float threshold boundary picks the row set, and the two
+    containment ratios are single exact-int divisions emitted
+    identically in both twins."""
+    sh = _track(word_shingles(t(spark, sf_dir, "documents")).persist())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            100 * F.col("n_common")
+            >= CONTAIN_MIN_PCT * F.least(F.col("na"), F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "na",
+            "nb",
+            (F.col("n_common").cast("double") / F.col("na")).alias(
+                "contain_a_in_b"
+            ),
+            (F.col("n_common").cast("double") / F.col("nb")).alias(
+                "contain_b_in_a"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -258,6 +258,11 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_changepoint",
     "q_incremental_agg",
     "q_shingle_containment",
+    "q_window_suite",
+    "q_null_logic",
+    "q_calendar_ops",
+    "q_try_semantics",
+    "q_bag_set_ops",
 )
 
 

@@ -2931,3 +2931,301 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssq",
         (F.col("sum_cents").cast("double") / F.col("n")).alias("mean_cents"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Engine-semantics pins: window-function suite, 3-valued NULL logic,
+# calendar arithmetic, try_* error-safe ops, bag-semantics set ops.
+# Each pins a surface where engines HAVE historically diverged, so a
+# user migrating reference workloads hits no silent semantic drift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_suite",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, cents,
+           ntile(4) OVER w AS quartile,
+           cume_dist() OVER w AS cd,
+           nth_value(cents, 3) OVER
+               (PARTITION BY user_id ORDER BY cents DESC, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS nth3,
+           last_value(cents) OVER
+               (PARTITION BY user_id ORDER BY cents DESC, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS min_cents
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY cents DESC, event_id)
+    ORDER BY user_id, event_id
+    """,
+    survey="A1,A8",
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface suite: ntile, cume_dist, nth_value with
+    an explicit running ROWS frame, and whole-partition last_value —
+    the four window functions the rest of the catalog never exercises,
+    pinned together. Every ordering carries the event_id tiebreak:
+    ntile bucket boundaries and cume_dist plateaus are only
+    deterministic under a TOTAL order (with ties engines may split a
+    plateau differently); cume_dist under unique ordering is the exact
+    rational rank/n, bit-identical in both engines. last_value needs
+    the explicit UNBOUNDED FOLLOWING frame in BOTH engines — the
+    default frame ends at CURRENT ROW, making last_value a useless
+    self-reference, a classic silent-wrong-answer migration trap. All
+    windows are user-partitioned (group-bounded, scale-safe)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", cents("value").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cents").desc(), F.col("event_id")
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("cents", 3).over(wrun).alias("nth3"),
+        F.last("cents").over(wfull).alias("min_cents"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "q_null_logic",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               nullif(event_type, 'error') AS a,
+               nullif(event_type, 'view') AS b,
+               value
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_eq,
+           CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nullsafe_eq,
+           CAST(sum(CASE WHEN value NOT IN (10.0, 20.0, NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_in_trap,
+           CAST(sum(CASE WHEN coalesce(a, b, 'none') = event_type
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_coalesce_id
+    FROM base GROUP BY 1 ORDER BY event_type
+    """,
+    survey="P5,P9",
+)
+def q_null_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic pins: (1) `a = b` vs null-safe `a <=> b`
+    (Spark) / `IS NOT DISTINCT FROM` (DuckDB) — for the 'error' rows
+    both sides are derived null on one input, so plain equality drops
+    them from n_eq while the null-safe form counts null==null matches;
+    (2) the NOT IN trap — `x NOT IN (…, NULL)` can never be TRUE
+    (it's FALSE or UNKNOWN for every x), so n_not_in_trap is pinned 0
+    on every row of every group in BOTH engines, the single most
+    common silent-kill-the-whole-filter migration bug; (3) coalesce
+    first-non-null identity. All counts exact ints; one groupBy."""
+    e = t(spark, sf_dir, "events")
+    a = F.nullif(F.col("event_type"), F.lit("error"))
+    b = F.nullif(F.col("event_type"), F.lit("view"))
+    base = e.select(
+        "event_type", a.alias("a"), b.alias("b"), "value"
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eq"),
+            F.sum(F.when(F.col("a").eqNullSafe(F.col("b")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nullsafe_eq"),
+            F.sum(
+                F.when(
+                    ~F.col("value").isin(10.0, 20.0, None), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_not_in_trap"),
+            F.sum(
+                F.when(
+                    F.coalesce("a", "b", F.lit("none")) == F.col("event_type"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_coalesce_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_calendar_ops",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(isodow(o_orderdate) AS BIGINT) - 1) AS BIGINT)
+               AS sum_weekday,
+           CAST(sum(CAST(quarter(o_orderdate) AS BIGINT)) AS BIGINT)
+               AS sum_quarter,
+           CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+                              = last_day(CAST(o_orderdate AS DATE))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_eom,
+           CAST(sum(CAST(day(CAST(o_orderdate AS DATE)
+                             + INTERVAL 1 MONTH) AS BIGINT)) AS BIGINT)
+               AS sum_day_next_month,
+           CAST(sum(CAST(last_day(CAST(o_orderdate AS DATE))
+                         - CAST(o_orderdate AS DATE) AS BIGINT)) AS BIGINT)
+               AS sum_days_to_eom
+    FROM orders GROUP BY 1 ORDER BY month
+    """,
+    survey="S5,P4",
+)
+def q_calendar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic pins aggregated monthly: weekday numbering
+    (Spark weekday() counts 0=Monday; DuckDB's equivalent is
+    isodow−1 — Spark's dayofweek() counts 1=Sunday and silently
+    shifts every day-of-week feature by one if mapped naively, the
+    classic off-by-one in churn features), add-a-month end-of-month
+    clamping (Jan 31 + 1 month = Feb 28/29 in BOTH engines —
+    sum_day_next_month differs from sum_day iff clamping fired),
+    last_day / days-to-end-of-month, and quarter extraction. All
+    sums exact ints over one scan; month emitted as a string to dodge
+    date-dtype drift (authoring rule)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.weekday(d).cast("bigint")).alias("sum_weekday"),
+            F.sum(F.quarter(d).cast("bigint")).alias("sum_quarter"),
+            F.sum(F.when(d == F.last_day(d), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eom"),
+            F.sum(F.dayofmonth(F.add_months(d, 1)).cast("bigint")).alias(
+                "sum_day_next_month"
+            ),
+            F.sum(F.datediff(F.last_day(d), d).cast("bigint")).alias(
+                "sum_days_to_eom"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q_try_semantics",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value - value = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_null,
+           CAST(sum(CASE WHEN TRY_CAST(event_type AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
+           CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_cast,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+    survey="P3,P5",
+)
+def q_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression pins (Spark 4 runs ANSI mode by default,
+    where a bad cast or division by zero THROWS mid-job — hours into
+    a 100-TB scan; the try_* family converts per-row failures to
+    NULLs so one poison row can't kill the pipeline): try_divide by
+    the always-zero `value - value` yields NULL on every row
+    (n_div_null counts them — pinned equal to n), try_cast of a
+    non-numeric string is NULL on every row, try_cast of the numeric
+    JSON k attribute succeeds on every row and sums exactly. The
+    DuckDB twin states the same semantics through TRY_CAST and a CASE
+    (DuckDB's integer x/0 errors too — the CASE states the intended
+    NULL contract rather than an engine accident)."""
+    e = t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.try_divide(F.lit(1.0), F.col("value") - F.col("value"))
+                    .isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_div_null"),
+            F.sum(
+                F.when(F.try_to_number(F.col("event_type"), F.lit("999")).isNull(), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_bad_cast"),
+            F.sum(F.when(k_str.try_cast("bigint").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ok_cast"),
+            F.sum(k_str.try_cast("bigint")).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_bag_set_ops",
+    oracle="""
+    WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    s AS (SELECT user_id FROM events WHERE event_type = 'signup'),
+    i AS (SELECT 'intersect_all' AS op, user_id
+          FROM (SELECT * FROM p INTERSECT ALL SELECT * FROM s)),
+    x AS (SELECT 'except_all' AS op, user_id
+          FROM (SELECT * FROM p EXCEPT ALL SELECT * FROM s))
+    SELECT op, user_id, CAST(count(*) AS BIGINT) AS multiplicity
+    FROM (SELECT * FROM i UNION ALL SELECT * FROM x)
+    GROUP BY 1, 2 ORDER BY op, user_id
+    """,
+    survey="U5,U1",
+)
+def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: INTERSECT ALL keeps each user
+    min(purchases, signups) times and EXCEPT ALL keeps
+    max(purchases − signups, 0) times — MULTIPLICITY arithmetic the
+    DISTINCT variants (q_set_ops / q_intersect) erase. The difference
+    matters whenever rows carry weight: 'purchases beyond the first
+    per signup' is an EXCEPT ALL question, and collapsing to DISTINCT
+    silently turns per-occurrence accounting into per-user
+    accounting. Output is the per-user multiplicity of both results
+    (tagged, one union), so the exact bag counts are hash-pinned.
+    Both engines implement these as a single aggregate-and-replicate
+    shuffle on the value key — same cost class as DISTINCT."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    s = e.filter(F.col("event_type") == "signup").select("user_id")
+    i = p.intersectAll(s).select(F.lit("intersect_all").alias("op"), "user_id")
+    x = p.exceptAll(s).select(F.lit("except_all").alias("op"), "user_id")
+    return (
+        i.unionByName(x)
+        .groupBy("op", "user_id")
+        .agg(F.count("*").alias("multiplicity"))
+        .orderBy("op", "user_id")
+    )

@@ -263,6 +263,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_calendar_ops",
     "q_try_semantics",
     "q_bag_set_ops",
+    "q_hyperplane_est",
 )
 
 

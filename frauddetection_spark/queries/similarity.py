@@ -983,3 +983,231 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# E3+ — random-hyperplane (SimHash-for-vectors) cosine sketch
+# ---------------------------------------------------------------------------
+
+# cos(π·h/64) for hamming distances h = 0..64, 1e-9-quantized — the
+# Charikar estimator as an integer constant table shared by both twins
+# (zero query-time transcendentals)
+_HP_COS_E9 = (1000000000, 998795456, 995184727, 989176510, 980785280, 970031253, 956940336, 941544065, 923879533, 903989293, 881921264, 857728610, 831469612, 803207531, 773010453, 740951125, 707106781, 671558955, 634393284, 595699304, 555570233, 514102744, 471396737, 427555093, 382683432, 336889853, 290284677, 242980180, 195090322, 146730474, 98017140, 49067674, 0, -49067674, -98017140, -146730474, -195090322, -242980180, -290284677, -336889853, -382683432, -427555093, -471396737, -514102744, -555570233, -595699304, -634393284, -671558955, -707106781, -740951125, -773010453, -803207531, -831469612, -857728610, -881921264, -903989293, -923879533, -941544065, -956940336, -970031253, -980785280, -989176510, -995184727, -998795456, -1000000000)
+_HP_PLANES = 64
+# Plane signs come from md5 nibble parity — NOT the Lehmer family used
+# elsewhere: parity of a linear-congruential product is itself nearly
+# linear in k, and the resulting ±1 matrix was rank-50 with duplicate
+# planes (plane-plane correlation 1.0), collapsing the estimator to
+# MAE≈0.5 where theory promises ≈0.15. md5's avalanche gives a
+# full-rank, near-orthogonal plane set at identical SQL cost; both
+# engines lowercase-hex md5 identically.
+_SQL_HP_COS_CASE = "CASE hamming WHEN 0 THEN 1000000000 WHEN 1 THEN 998795456 WHEN 2 THEN 995184727 WHEN 3 THEN 989176510 WHEN 4 THEN 980785280 WHEN 5 THEN 970031253 WHEN 6 THEN 956940336 WHEN 7 THEN 941544065 WHEN 8 THEN 923879533 WHEN 9 THEN 903989293 WHEN 10 THEN 881921264 WHEN 11 THEN 857728610 WHEN 12 THEN 831469612 WHEN 13 THEN 803207531 WHEN 14 THEN 773010453 WHEN 15 THEN 740951125 WHEN 16 THEN 707106781 WHEN 17 THEN 671558955 WHEN 18 THEN 634393284 WHEN 19 THEN 595699304 WHEN 20 THEN 555570233 WHEN 21 THEN 514102744 WHEN 22 THEN 471396737 WHEN 23 THEN 427555093 WHEN 24 THEN 382683432 WHEN 25 THEN 336889853 WHEN 26 THEN 290284677 WHEN 27 THEN 242980180 WHEN 28 THEN 195090322 WHEN 29 THEN 146730474 WHEN 30 THEN 98017140 WHEN 31 THEN 49067674 WHEN 32 THEN 0 WHEN 33 THEN -49067674 WHEN 34 THEN -98017140 WHEN 35 THEN -146730474 WHEN 36 THEN -195090322 WHEN 37 THEN -242980180 WHEN 38 THEN -290284677 WHEN 39 THEN -336889853 WHEN 40 THEN -382683432 WHEN 41 THEN -427555093 WHEN 42 THEN -471396737 WHEN 43 THEN -514102744 WHEN 44 THEN -555570233 WHEN 45 THEN -595699304 WHEN 46 THEN -634393284 WHEN 47 THEN -671558955 WHEN 48 THEN -707106781 WHEN 49 THEN -740951125 WHEN 50 THEN -773010453 WHEN 51 THEN -803207531 WHEN 52 THEN -831469612 WHEN 53 THEN -857728610 WHEN 54 THEN -881921264 WHEN 55 THEN -903989293 WHEN 56 THEN -923879533 WHEN 57 THEN -941544065 WHEN 58 THEN -956940336 WHEN 59 THEN -970031253 WHEN 60 THEN -980785280 WHEN 61 THEN -989176510 WHEN 62 THEN -995184727 WHEN 63 THEN -998795456 WHEN 64 THEN -1000000000 END"
+
+
+@register(
+    "q_hyperplane_est",
+    oracle=f"""
+    WITH comp AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    proj AS (
+        SELECT c.vec_id, p.j,
+               CAST(sum(c.q * (CASE ascii(substr(md5(CAST(
+                                     c.i * {_HP_PLANES} + p.j AS VARCHAR)),
+                                     1, 1)) % 2
+                               WHEN 0 THEN 1 ELSE -1 END)) AS BIGINT) AS s
+        FROM comp c CROSS JOIN (SELECT unnest(range({_HP_PLANES})) AS j) p
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN j < 32 AND s >= 0
+                             THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN j >= 32 AND s >= 0
+                             THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS w1
+        FROM proj GROUP BY 1
+    ),
+    norms AS (
+        SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS nrm
+        FROM comp GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        FROM comp a JOIN comp b
+          ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT d.vec_a, d.vec_b,
+               bit_count(xor(sa.w0, sb.w0)) + bit_count(xor(sa.w1, sb.w1))
+                   AS hamming,
+               d.dot, na.nrm AS nrm_a, nb.nrm AS nrm_b
+        FROM dots d
+        JOIN sig sa ON sa.vec_id = d.vec_a
+        JOIN sig sb ON sb.vec_id = d.vec_b
+        JOIN norms na ON na.vec_id = d.vec_a
+        JOIN norms nb ON nb.vec_id = d.vec_b
+    )
+    SELECT vec_a, vec_b, CAST(hamming AS BIGINT) AS hamming,
+           CAST({_SQL_HP_COS_CASE} AS BIGINT) AS est_cos_e9,
+           CAST(dot AS DOUBLE)
+               / sqrt(CAST(nrm_a AS DOUBLE) * CAST(nrm_b AS DOUBLE))
+               AS cos_exact
+    FROM pairs ORDER BY vec_a
+    """,
+    survey="E3,M7",
+)
+def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane cosine sketch (Charikar's SimHash for dense
+    vectors): each embedding compresses to a 64-bit sign signature
+    (two 32-bit words — bit 31 max, same signed-shift discipline as
+    q_bloom_membership), and any pair's cosine is then estimated as
+    cos(π·hamming/64) — popcount-of-xor per pair, O(1) instead of
+    O(d). Validated sketch-vs-exact on the consecutive-id pair spine:
+    output carries the hamming distance, the constant-table estimate,
+    and the exact quantized-integer cosine side by side (the
+    q_minhash_est pattern — the error structure is in the hash, so
+    the comparator checks the estimator itself, not just plumbing).
+
+    Determinism: plane signs are ±1 by Lehmer parity of (i·64+j) —
+    real Gaussian hyperplanes can't be oracle-rebuilt; for sign
+    sketches, ±1 (Rademacher) planes are the standard
+    derandomization. Components quantize to 1e-6 ints BEFORE any
+    cross-row arithmetic, projections/norms/dots are exact int64
+    sums, the cos(π·h/64) table is 65 precomputed 1e-9 integers
+    inlined into both twins, and the one sqrt is IEEE-exact. Scale:
+    signature build is explode(d)×planes → two bounded groupBys
+    (rows·d·64 map-side work, shuffle of |vecs|·64 partial rows);
+    at serving time the signature table replaces the full-vector
+    table in any pairwise stage — 8 bytes vs 4·d, and hamming
+    screens pairs before the exact rerank touches vectors (the LSH
+    banding of q_simhash_pairs applies unchanged on these words)."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "v"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("q"),
+    )
+    planes = spark.range(_HP_PLANES).select(F.col("id").alias("j"))
+    sign = F.when(
+        F.ascii(
+            F.substring(
+                F.md5((F.col("i") * _HP_PLANES + F.col("j")).cast("string")),
+                1,
+                1,
+            )
+        )
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    proj = (
+        comp.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * sign).alias("s"))
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("j") < 32) & (F.col("s") >= 0),
+                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("w0"),
+        F.sum(
+            F.when(
+                (F.col("j") >= 32) & (F.col("s") >= 0),
+                F.expr("shiftleft(cast(1 as bigint), cast(j - 32 as int))"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("w1"),
+    )
+    norms = comp.groupBy("vec_id").agg(
+        F.sum(F.col("q") * F.col("q")).alias("nrm")
+    )
+    a = comp.select(
+        F.col("vec_id").alias("vec_a"), "i", F.col("q").alias("qa")
+    )
+    b = comp.select(
+        (F.col("vec_id") - 1).alias("vec_a"),
+        "i",
+        F.col("q").alias("qb"),
+        F.col("vec_id").alias("vec_b"),
+    )
+    dots = (
+        a.join(b, ["vec_a", "i"])
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
+    )
+    est = F.lit(None).cast("bigint")
+    # build the CASE chain from the shared constant table
+    expr = F.when(F.col("hamming") == 0, _HP_COS_E9[0])
+    for h in range(1, _HP_PLANES + 1):
+        expr = expr.when(F.col("hamming") == h, _HP_COS_E9[h])
+    pairs = (
+        dots.join(
+            F.broadcast(sig).select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("w0").alias("w0a"),
+                F.col("w1").alias("w1a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(sig).select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("w0").alias("w0b"),
+                F.col("w1").alias("w1b"),
+            ),
+            "vec_b",
+        )
+        .join(
+            F.broadcast(norms).select(
+                F.col("vec_id").alias("vec_a"), F.col("nrm").alias("nrm_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(norms).select(
+                F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nrm_b")
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.bit_count(
+                    F.col("w0a").bitwiseXOR(F.col("w0b"))
+                )
+                + F.bit_count(F.col("w1a").bitwiseXOR(F.col("w1b")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+            "dot",
+            "nrm_a",
+            "nrm_b",
+        )
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        "hamming",
+        expr.cast("bigint").alias("est_cos_e9"),
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double"))
+        ).alias("cos_exact"),
+    ).orderBy("vec_a")

@@ -926,3 +926,18 @@ def test_ndcg_bounded(spark, sf_dir):
     assert df.filter(F.col("rr_e9") > 1000000000).count() == 0
     # dcg can never beat ideal dcg
     assert df.filter(F.col("dcg_e9") > F.col("idcg_e9")).count() == 0
+
+
+def test_hyperplane_estimator_tracks_exact_cosine(spark, sf_dir):
+    # the Charikar estimator is unbiased with sd ~ pi/sqrt(planes);
+    # with 64 planes the mean absolute error across pairs must land
+    # well inside 2 sd, and est/exact must correlate positively
+    df = REGISTRY["q_hyperplane_est"].fn(spark, sf_dir).select(
+        (F.col("est_cos_e9") / 1e9).alias("est"), "cos_exact"
+    )
+    row = df.agg(
+        F.avg(F.abs(F.col("est") - F.col("cos_exact"))).alias("mae"),
+        F.corr("est", "cos_exact").alias("c"),
+    ).collect()[0]
+    assert row["mae"] < 0.35
+    assert row["c"] > 0.3

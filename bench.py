@@ -65,6 +65,13 @@ HEADLINE = [
     "q_graph_jaccard",
     "q_spatial_join",
     "q_bm25",
+    # round-5 additions: the widest TPC-H join tree (eight tables),
+    # the constant-shuffle Count-Min build+probe, and the 64-plane
+    # sign-sketch pipeline (explode×planes → signature words →
+    # popcount estimate)
+    "q_tpch_q8",
+    "q_countmin",
+    "q_hyperplane_est",
 ]
 
 

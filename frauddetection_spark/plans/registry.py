@@ -264,6 +264,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_try_semantics",
     "q_bag_set_ops",
     "q_hyperplane_est",
+    "q_edge_novelty",
+    "q_seasonal_anomaly",
 )
 
 

@@ -1961,3 +1961,195 @@ def q_circular_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-temporal: counterparty novelty per user-week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_edge_novelty",
+    oracle="""
+    WITH ew AS (
+        SELECT DISTINCT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst,
+               epoch_us(ts) // 604800000000 AS week
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    first_seen AS (
+        SELECT src, dst, min(week) AS first_week FROM ew GROUP BY 1, 2
+    )
+    SELECT ew.src AS user_id, ew.week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN f.first_week = ew.week THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN f.first_week = ew.week THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty_ratio
+    FROM ew JOIN first_seen f ON f.src = ew.src AND f.dst = ew.dst
+    GROUP BY 1, 2 ORDER BY user_id, week
+    """,
+    survey="J5,A8",
+)
+def q_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterparty novelty per user-week: of the distinct
+    counterparties a user touched in a week, how many had NEVER
+    appeared in any earlier week — the 'suddenly transacting with
+    strangers' account-takeover / mule-recruitment signal (a
+    compromised account's novelty ratio jumps to ~1 while its owner's
+    steady state sits near 0; q_doc_novelty is the same
+    first-occurrence decomposition on corpora). min(week) per edge
+    attributes first occurrences in ONE aggregate, so no
+    week-over-week self-join or quadratic prefix scan — the
+    weekly-distinct edge table joins its own first-seen summary back
+    on the edge key (two shuffles on (src,dst), both partial-
+    aggregated). Week is pure integer epoch//604800 — never
+    engine-localized date_trunc."""
+    e = t(spark, sf_dir, "events")
+    ew = (
+        e.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+            F.expr("cast(unix_micros(ts) div 1000000 as bigint) div 604800").alias(
+                "week"
+            ),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+    first_seen = ew.groupBy("src", "dst").agg(F.min("week").alias("first_week"))
+    return (
+        ew.join(first_seen, ["src", "dst"])
+        .groupBy(F.col("src").alias("user_id"), "week")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("first_week") == F.col("week"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            "user_id",
+            "week",
+            "n_active",
+            "n_new",
+            (F.col("n_new").cast("double") / F.col("n_active")).alias(
+                "novelty_ratio"
+            ),
+        )
+        .orderBy("user_id", "week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal volume anomaly: hour-slot weekly counts vs robust baseline
+# ---------------------------------------------------------------------------
+
+_SEAS_Z10 = 20  # robust-z threshold ×10 (2.0) for the flag predicate
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle=f"""
+    WITH slotted AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) % 24 AS hour_slot,
+               epoch_us(ts) // 604800000000 AS week,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT event_type, hour_slot, week, n,
+               row_number() OVER (PARTITION BY event_type, hour_slot
+                                  ORDER BY n, week) AS rn,
+               count(*) OVER (PARTITION BY event_type, hour_slot) AS nw
+        FROM slotted
+    ),
+    med AS (
+        SELECT event_type, hour_slot, n AS med_n
+        FROM ranked WHERE rn = (nw + 1) // 2
+    ),
+    dev AS (
+        SELECT s.event_type, s.hour_slot, s.week, s.n, m.med_n,
+               abs(s.n - m.med_n) AS ad
+        FROM slotted s JOIN med m USING (event_type, hour_slot)
+    ),
+    adr AS (
+        SELECT event_type, hour_slot, week, n, med_n, ad,
+               row_number() OVER (PARTITION BY event_type, hour_slot
+                                  ORDER BY ad, week) AS rn,
+               count(*) OVER (PARTITION BY event_type, hour_slot) AS nw
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, hour_slot, ad AS mad_n
+        FROM adr WHERE rn = (nw + 1) // 2
+    )
+    SELECT d.event_type, d.hour_slot, d.week, d.n, d.med_n, m.mad_n
+    FROM dev d JOIN mad m USING (event_type, hour_slot)
+    WHERE m.mad_n > 0
+      AND d.ad * 6745 > {_SEAS_Z10} * 1000 * m.mad_n
+    ORDER BY event_type, hour_slot, week
+    """,
+    survey="A8,A10",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal volume anomaly: weekly event counts per (type,
+    hour-of-day) slot, flagged when a week deviates from the SLOT's
+    own across-week robust baseline — the time-of-day-aware volume
+    monitor ('3 AM error volume tripled') that a global threshold
+    can't express because 3 AM and 3 PM have different normals. The
+    baseline is the exact lower-median of weekly counts and MAD of
+    absolute deviations (both integer order statistics from slot-
+    bounded partitioned ranks — the q_peer_outlier machinery on the
+    VOLUME grain, where that query flags value outliers per peer
+    group), and the flag is the cross-multiplied integer
+    |n−med|·6745 > 2.0·1000·MAD so no float robust-z picks the row
+    set. Hour and week are pure integer epoch arithmetic (UTC-pinned,
+    never engine-localized hour()). Scale: the slotted aggregate is
+    one partial-aggregated groupBy down to |types|·24·|weeks| rows —
+    everything after operates on that constant-ish frame."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    slotted = e.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hour_slot"),
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+    ).agg(F.count("*").alias("n"))
+    wslot = Window.partitionBy("event_type", "hour_slot")
+    ranked = slotted.select(
+        "*",
+        F.row_number()
+        .over(wslot.orderBy("n", "week"))
+        .alias("rn"),
+        F.count("*").over(wslot).alias("nw"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(nw + 1) div 2")
+    ).select("event_type", "hour_slot", F.col("n").alias("med_n"))
+    dev = slotted.join(F.broadcast(med), ["event_type", "hour_slot"]).select(
+        "event_type",
+        "hour_slot",
+        "week",
+        "n",
+        "med_n",
+        F.abs(F.col("n") - F.col("med_n")).alias("ad"),
+    )
+    adr = dev.select(
+        "*",
+        F.row_number().over(wslot.orderBy("ad", "week")).alias("rn"),
+        F.count("*").over(wslot).alias("nw"),
+    )
+    mad = adr.filter(F.col("rn") == F.expr("(nw + 1) div 2")).select(
+        "event_type", "hour_slot", F.col("ad").alias("mad_n")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "hour_slot"])
+        .filter(
+            (F.col("mad_n") > 0)
+            & (F.col("ad") * 6745 > _SEAS_Z10 * 1000 * F.col("mad_n"))
+        )
+        .select("event_type", "hour_slot", "week", "n", "med_n", "mad_n")
+        .orderBy("event_type", "hour_slot", "week")
+    )

@@ -163,11 +163,16 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT o_custkey AS k FROM orders
     ),
     checks AS (
+        -- coalesce BEFORE bool_and: a probe hash can land on a word no
+        -- member ever set (LEFT JOIN misses -> NULL), and bool_and
+        -- IGNORES nulls in both engines, silently upgrading a definite
+        -- no to a maybe. Caught at sf0.001 where the filter is sparse.
         SELECT pr.k,
-               bool_and(
+               bool_and(coalesce(
                  (w.word & (CAST(1 AS BIGINT) << ({_sql_hash('pr.k', 'p.a', 'p.b', _BF_M)} % 32)))
-                  = (CAST(1 AS BIGINT) << ({_sql_hash('pr.k', 'p.a', 'p.b', _BF_M)} % 32))
-               ) AS maybe
+                  = (CAST(1 AS BIGINT) << ({_sql_hash('pr.k', 'p.a', 'p.b', _BF_M)} % 32)),
+                 FALSE
+               )) AS maybe
         FROM probes pr
         CROSS JOIN params p
         LEFT JOIN filter_words w

@@ -266,6 +266,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_hyperplane_est",
     "q_edge_novelty",
     "q_seasonal_anomaly",
+    "q_scan_federated",
+    "q_arrow_transform",
 )
 
 

@@ -337,3 +337,80 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey, s.installment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# E8+ — mapInArrow: the zero-pandas Arrow batch boundary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_arrow_transform",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total,
+           CAST(sum(CAST(round(value * 100) AS BIGINT) % 7) AS BIGINT)
+               AS mod7_total
+    FROM events GROUP BY 1 ORDER BY event_type
+    """,
+    survey="E8",
+)
+def q_arrow_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: the per-partition kernel receives raw
+    pyarrow RecordBatches and returns RecordBatches — the LOWEST-
+    overhead Python boundary Spark has (no pandas conversion on
+    either side; for Arrow-native libs like polars/pyarrow.compute the
+    pandas hop of mapInPandas is pure tax, and for wide binary/
+    multimodal columns it double-copies). The kernel computes exact
+    integer cents and a mod-7 stripe with pyarrow.compute only; the
+    downstream aggregate and the DuckDB twin pin that the Arrow round
+    trip is value-exact (float64 → round → int64 identical to the
+    JVM's). Completes the Python-boundary matrix: row UDF (banned),
+    pandas_udf scalar/grouped, mapInPandas, applyInPandas, cogrouped,
+    UDTF, Python DataSource — and now mapInArrow."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+
+    def kernel(batches):
+        for b in batches:
+            cents = pc.cast(
+                pc.round(pc.multiply(b.column("value"), pa.scalar(100.0))),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_type"),
+                    cents,
+                    pc.subtract(
+                        cents,
+                        pc.multiply(
+                            pc.cast(
+                                pc.floor(
+                                    pc.divide(
+                                        pc.cast(cents, pa.float64()),
+                                        pa.scalar(7.0),
+                                    )
+                                ),
+                                pa.int64(),
+                            ),
+                            pa.scalar(7, pa.int64()),
+                        ),
+                    ),
+                ],
+                names=["event_type", "cents", "mod7"],
+            )
+
+    out = e.mapInArrow(kernel, "event_type string, cents long, mod7 long")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+            F.sum("mod7").cast("bigint").alias("mod7_total"),
+        )
+        .orderBy("event_type")
+    )

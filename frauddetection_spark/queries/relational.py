@@ -3229,3 +3229,105 @@ def q_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("multiplicity"))
         .orderBy("op", "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1+ — federated multi-format scan (one logical table, four formats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_federated",
+    oracle="""
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands,
+           CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS retail_cents,
+           min(p_partkey) AS min_key, max(p_partkey) AS max_key
+    FROM part GROUP BY p_type ORDER BY p_type
+    """,
+    survey="S1,U1",
+)
+def q_scan_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated scan: ONE logical table whose shards live in FOUR
+    formats — p_partkey%4 routes each part row to a parquet, CSV,
+    JSONL, or ORC shard (materialized once per sf, fingerprint-keyed,
+    zero Spark jobs at construction) — read back with the same pinned
+    schema, unionByName'd, and aggregated; the oracle reads the
+    original homogeneous parquet. Matching hashes prove the federation
+    is lossless across every format hop simultaneously. This is the
+    real shape of lake ingestion mid-migration (yesterday's CSV drops,
+    last week's JSONL vendor feed, the ORC warehouse export, and the
+    new parquet standard coexisting as one table): the engine answer
+    is a schema-pinned per-format scan + zero-cost unionByName —
+    Catalyst pushes the aggregate's column pruning into EACH format's
+    reader independently, and adding a format never rewrites data."""
+    import os
+
+    from frauddetection_spark.sources.io import (
+        duckdb_fixture,
+        read_csv,
+        read_jsonl,
+        read_orc,
+    )
+    from frauddetection_spark.sources.tables import SCHEMAS
+
+    def _mk_builder(shard: int, fmt: str):
+        def _build(src: str, out: str) -> None:
+            import duckdb
+
+            con = duckdb.connect()
+            sel = f"SELECT * FROM read_parquet('{src}') WHERE p_partkey % 4 = {shard}"
+            if fmt == "csv":
+                con.execute(
+                    f"COPY ({sel}) TO '{os.path.join(out, 'part-0.csv')}'"
+                    " (FORMAT CSV, HEADER)"
+                )
+            elif fmt == "jsonl":
+                con.execute(
+                    f"COPY ({sel}) TO '{os.path.join(out, 'part-0.jsonl')}'"
+                    " (FORMAT JSON)"
+                )
+            elif fmt == "parquet":
+                con.execute(
+                    f"COPY ({sel}) TO '{os.path.join(out, 'part-0.parquet')}'"
+                    " (FORMAT PARQUET)"
+                )
+            else:
+                import pyarrow.orc
+
+                tbl = con.execute(sel).fetch_arrow_table()
+                pyarrow.orc.write_table(tbl, os.path.join(out, "part-0.orc"))
+            con.close()
+
+        return _build
+
+    schema = SCHEMAS["part"]
+    shards = []
+    for shard, fmt in enumerate(("parquet", "csv", "jsonl", "orc")):
+        path = duckdb_fixture(sf_dir, f"fed_{fmt}", "part", _mk_builder(shard, fmt))
+        if fmt == "parquet":
+            shards.append(spark.read.schema(schema).parquet(path))
+        elif fmt == "csv":
+            shards.append(read_csv(spark, path, schema, escape='"'))
+        elif fmt == "jsonl":
+            shards.append(read_jsonl(spark, path, schema))
+        else:
+            shards.append(read_orc(spark, path, schema))
+    fed = shards[0]
+    for s in shards[1:]:
+        fed = fed.unionByName(s)
+    return (
+        fed.groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.count_distinct("p_brand").alias("n_brands"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("retail_cents"),
+            F.min("p_partkey").alias("min_key"),
+            F.max("p_partkey").alias("max_key"),
+        )
+        .orderBy("p_type")
+    )

@@ -2769,9 +2769,15 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
-    rev = (
+    from frauddetection_spark.operators.graph import _track
+
+    # rev feeds BOTH the probe and the max — pin it once (tracked;
+    # released on next query construction) so lineitem is scanned a
+    # single time; the classic view formulation evaluates it twice
+    rev = _track(
         l.groupBy("l_suppkey")
         .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
+        .persist()
     )
     mx = rev.agg(F.max("rev_e4").alias("max_rev"))
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

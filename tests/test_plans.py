@@ -304,3 +304,71 @@ def test_join_strategy_hints_honored(spark, sf_dir):
 
     bcast = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
     assert "BroadcastHashJoin" in physical(bcast)
+
+
+def test_tpch_q8_dims_broadcast(spark, sf_dir):
+    # the widest join tree: every dim side must broadcast; the only
+    # shuffles belong to the orders⋈lineitem spine and the final agg
+    plan = _executed(REGISTRY["q_tpch_q8"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_max_join_is_broadcast(spark, sf_dir):
+    # the 1-row max and the supplier dim both broadcast — lineitem is
+    # scanned exactly once (classic Q15 evaluates the revenue view
+    # twice)
+    df = REGISTRY["q_tpch_q15"].fn(spark, sf_dir)
+    plan = _executed(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # rev is pinned: both the probe and the max branch read the cache,
+    # so lineitem is scanned once at execution (the plan text still
+    # prints the FileScan inside each InMemoryRelation definition)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_countmin_probe_is_broadcast_and_partial_agg(spark, sf_dir):
+    plan = _executed(REGISTRY["q_countmin"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the grid
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_filter_words_broadcast(spark, sf_dir):
+    plan = _executed(REGISTRY["q_bloom_membership"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hyperplane_est_stays_jvm_side(spark, sf_dir):
+    # the whole sketch pipeline is built-in functions — no Python
+    # evaluation anywhere despite the 64-plane explode
+    plan = _executed(REGISTRY["q_hyperplane_est"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_scan_federated_reads_all_four_formats(spark, sf_dir):
+    # one logical table, four physical formats, one union — each
+    # format's own reader appears exactly once
+    plan = _executed(REGISTRY["q_scan_federated"].fn(spark, sf_dir))
+    for fmt in ("FileScan parquet", "FileScan csv", "FileScan json", "FileScan orc"):
+        assert fmt in plan, fmt
+    assert "Union" in plan
+
+
+def test_arrow_transform_uses_map_in_arrow(spark, sf_dir):
+    # the kernel must ride the MapInArrow node (zero-pandas boundary),
+    # not a pandas conversion
+    plan = _executed(REGISTRY["q_arrow_transform"].fn(spark, sf_dir))
+    assert "MapInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_incremental_agg_has_two_partial_levels(spark, sf_dir):
+    # both the batch-partial and the merge groupBy must combine
+    # map-side: >= 4 HashAggregate operators
+    plan = _executed(REGISTRY["q_incremental_agg"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4

@@ -268,6 +268,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_seasonal_anomaly",
     "q_scan_federated",
     "q_arrow_transform",
+    "q_zorder_layout",
 )
 
 

@@ -941,3 +941,23 @@ def test_hyperplane_estimator_tracks_exact_cosine(spark, sf_dir):
     ).collect()[0]
     assert row["mae"] < 0.35
     assert row["c"] > 0.3
+
+
+def test_zorder_skips_files_linear_cannot(spark, sf_dir):
+    # a selective band predicate on x (the non-sort dimension of the
+    # linear layout) must intersect STRICTLY fewer z-order files than
+    # linear files — the entire point of multi-dimensional clustering
+    df = REGISTRY["q_zorder_layout"].fn(spark, sf_dir)
+    hits = {
+        r["layout"]: r["n_hit"]
+        for r in df.filter((F.col("x_max") >= 32) & (F.col("x_min") <= 39))
+        .groupBy("layout")
+        .agg(F.count("*").alias("n_hit"))
+        .collect()
+    }
+    totals = {
+        r["layout"]: r["n"]
+        for r in df.groupBy("layout").agg(F.count("*").alias("n")).collect()
+    }
+    assert hits["zorder"] < hits["linear"]
+    assert hits["linear"] == totals["linear"]  # 1-D sort skips nothing on x

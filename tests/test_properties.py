@@ -943,11 +943,14 @@ def test_hyperplane_estimator_tracks_exact_cosine(spark, sf_dir):
     assert row["c"] > 0.3
 
 
-def test_zorder_skips_files_linear_cannot(spark, sf_dir):
+def test_zorder_skips_files_linear_cannot(spark):
     # a selective band predicate on x (the non-sort dimension of the
     # linear layout) must intersect STRICTLY fewer z-order files than
-    # linear files — the entire point of multi-dimensional clustering
-    df = REGISTRY["q_zorder_layout"].fn(spark, sf_dir)
+    # linear files — the entire point of multi-dimensional clustering.
+    # Needs enough rows for several files per layout, so this test
+    # pins sf0.01 (sf0.001 yields one file per layout and the claim
+    # is vacuous).
+    df = REGISTRY["q_zorder_layout"].fn(spark, "/root/testdata/sf0.01")
     hits = {
         r["layout"]: r["n_hit"]
         for r in df.filter((F.col("x_max") >= 32) & (F.col("x_min") <= 39))

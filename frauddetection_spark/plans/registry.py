@@ -269,6 +269,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_scan_federated",
     "q_arrow_transform",
     "q_zorder_layout",
+    "q_split_temporal",
+    "q_future_label",
 )
 
 

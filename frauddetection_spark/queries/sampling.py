@@ -947,3 +947,155 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# R1+ — leakage-safe temporal split (per-entity last-window holdout)
+# ---------------------------------------------------------------------------
+
+_TEMPORAL_HOLDOUT_US = 7 * 86400 * 1000000  # 7-day per-user holdout
+
+
+@register(
+    "q_split_temporal",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT user_id, max(epoch_us(ts)) AS max_us
+        FROM events GROUP BY 1
+    ),
+    tagged AS (
+        SELECT e.user_id,
+               CASE WHEN epoch_us(e.ts) > b.max_us - {_TEMPORAL_HOLDOUT_US}
+                    THEN 'test' ELSE 'train' END AS split,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN bounds b USING (user_id)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM tagged GROUP BY 1 ORDER BY split
+    """,
+    survey="R1",
+)
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split: each user's LAST 7 days of activity
+    are the test window, everything earlier trains — the
+    leakage-safe protocol for any model that predicts the future
+    (q_split_stratified / q_split_xxhash split by hash, which is
+    correct for iid generalization but silently leaks for temporal
+    prediction: a hash split trains on Tuesday's events and tests on
+    Monday's, so the model sees the future of every test row's user;
+    production fraud models validated that way ship with inflated
+    offline metrics — the reference's random split, main.py, has
+    exactly this exposure for its sequence features). Anchoring the
+    boundary per user (max ts − 7d) rather than globally keeps every
+    user represented in both sides regardless of their activity span.
+    One aggregate + one broadcast-back join; the boundary compare is
+    exact integer epoch micros."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("max_us")
+    )
+    tagged = e.join(F.broadcast(bounds), "user_id").select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts") > F.col("max_us") - _TEMPORAL_HOLDOUT_US,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+        cents("value").alias("cents"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1+ — forward-looking label generation (no-time-travel contract)
+# ---------------------------------------------------------------------------
+
+_LABEL_HORIZON_US = 7 * 86400 * 1000000  # will-purchase-within-7d
+
+
+@register(
+    "q_future_label",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events
+    ),
+    nxt AS (
+        SELECT user_id, event_id, event_type, us,
+               min(CASE WHEN event_type = 'purchase' THEN us END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_us
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           CAST(sum(CASE WHEN next_purchase_us - us <= {_LABEL_HORIZON_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+           CAST(sum(CASE WHEN next_purchase_us IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+    FROM nxt GROUP BY 1 ORDER BY user_id
+    """,
+    survey="R1,A8",
+)
+def q_future_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking label generation: for every event, 'does this
+    user purchase within the next 7 days?' — the label builder of
+    every churn/conversion/fraud-outcome model, with the
+    no-time-travel contract made structural: the label reads ONLY the
+    forward window (min future purchase time via a 1-FOLLOWING →
+    UNBOUNDED window) while features elsewhere read only the past, so
+    label leakage cannot be introduced by a join mistake — it is
+    impossible by construction. Rows with no future purchase are
+    CENSORED, not negative-by-default (reported separately; collapsing
+    them to negatives is the classic label bug that teaches the model
+    'recent events never convert' — the same right-censoring
+    q_survival_km handles formally). One user-partitioned window
+    (group-bounded) + one aggregate; horizon compare in exact integer
+    micros."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).over(w).alias("next_purchase_us"),
+    )
+    return (
+        nxt.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_examples"),
+            F.sum(
+                F.when(
+                    F.col("next_purchase_us") - F.col("us") <= _LABEL_HORIZON_US,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_positive"),
+            F.sum(F.when(F.col("next_purchase_us").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_censored"),
+        )
+        .orderBy("user_id")
+    )

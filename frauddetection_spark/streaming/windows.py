@@ -367,3 +367,47 @@ def stream_stream_attribution(
         "click_id",
         "c_ts",
     )
+
+
+def stream_stream_attribution_outer(
+    spark: SparkSession, sf_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    attributed to a preceding click when one exists within `horizon`,
+    or with NULL click columns once the click watermark has passed its
+    interval and no match can still arrive. This 'emit the negative'
+    semantics is what inner joins can't express and what funnels need
+    (an unattributed purchase IS the signal); the engine holds each
+    purchase in state exactly until the opposing watermark clears its
+    window, then emits the null row — bounded state, delayed-null
+    emission. End-of-stream caveat (pinned in the parity test):
+    purchases whose interval the final watermark never passes are
+    dropped with the state at query termination, not flushed — a
+    replayed/checkpointed continuation would emit them, a bounded
+    drain does not."""
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "p_ts", "click_id", "c_ts")

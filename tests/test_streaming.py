@@ -284,3 +284,57 @@ def test_pysource_stream_drains_exactly_once(spark, tmp_path):
     assert (
         got.orderBy("id").collect() == batch.orderBy("id").collect()
     )
+
+
+def test_stream_stream_outer_join_emits_nulls(spark, sf_dir):
+    """LEFT OUTER stream-stream join parity: matched rows must equal
+    the inner join's oracle-checked batch twin EXACTLY, and the
+    delayed-null rows (unattributed purchases, emitted only after the
+    click watermark passes their interval) must be a subset of the
+    batch left-join's null set covering nearly all of it — the tail
+    the final watermark never clears is dropped with state at
+    termination, which is the documented bounded-drain semantics, not
+    a bug."""
+    from frauddetection_spark.streaming.windows import (
+        stream_stream_attribution_outer,
+    )
+
+    df = stream_stream_attribution_outer(spark, sf_dir)
+    run_to_memory(df, "t_ss_outer", output_mode="append")
+    got = spark.table("t_ss_outer")
+
+    inner_want = REGISTRY["q_stream_join"].fn(spark, sf_dir).select(
+        "purchase_id",
+        "user_id",
+        F.to_timestamp("p_ts").alias("p_ts"),
+        "click_id",
+        F.to_timestamp("c_ts").alias("c_ts"),
+    )
+    got_matched = got.filter(F.col("click_id").isNotNull())
+    assert got_matched.count() == inner_want.count()
+    assert got_matched.exceptAll(inner_want.select(*got.columns)).count() == 0
+
+    # batch null set: purchases with no qualifying click
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    batch_nulls = purchases.join(
+        inner_want.select("purchase_id"), "purchase_id", "left_anti"
+    )
+    got_nulls = got.filter(F.col("click_id").isNull())
+    # subset of the batch nulls…
+    assert (
+        got_nulls.select("purchase_id")
+        .exceptAll(batch_nulls.select("purchase_id"))
+        .count()
+        == 0
+    )
+    # …covering nearly all of it (only the final-watermark tail may drop)
+    assert got_nulls.count() >= int(0.9 * batch_nulls.count())
+    # and a purchase never appears both matched and null (python-side
+    # sets: both frames share lineage and a self-intersect trips
+    # Spark's conflicting-reference resolver)
+    ids_matched = {r[0] for r in got_matched.select("purchase_id").collect()}
+    ids_null = {r[0] for r in got_nulls.select("purchase_id").collect()}
+    assert not (ids_matched & ids_null)

@@ -271,6 +271,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_zorder_layout",
     "q_split_temporal",
     "q_future_label",
+    "q_mutual_info",
 )
 
 

@@ -1812,3 +1812,111 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A10+ — mutual-information feature ranking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mutual_info",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               (epoch_us(ts) // 3600000000) % 24 // 4 AS f_hourband,
+               least(CAST(round(value * 100) AS BIGINT) // 20000, 4)
+                   AS f_valband
+        FROM events
+    ),
+    melted AS (
+        SELECT 'hour_band' AS feature, f_hourband AS fval, y FROM base
+        UNION ALL
+        SELECT 'value_band' AS feature, f_valband AS fval, y FROM base
+    ),
+    joint AS (
+        SELECT feature, fval, y, CAST(count(*) AS BIGINT) AS nxy
+        FROM melted GROUP BY 1, 2, 3
+    ),
+    mx AS (SELECT feature, fval, CAST(sum(nxy) AS BIGINT) AS nx
+           FROM joint GROUP BY 1, 2),
+    my AS (SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny
+           FROM joint GROUP BY 1, 2),
+    tot AS (SELECT feature, CAST(sum(nxy) AS BIGINT) AS n FROM joint GROUP BY 1)
+    SELECT j.feature AS feature,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum((CAST(j.nxy AS DOUBLE) / t.n)
+                     * ln(CAST(j.nxy AS DOUBLE) * t.n
+                          / (CAST(x.nx AS DOUBLE) * y.ny))), 6) AS mi_nats
+    FROM joint j
+    JOIN mx x ON x.feature = j.feature AND x.fval = j.fval
+    JOIN my y ON y.feature = j.feature AND y.y = j.y
+    JOIN tot t ON t.feature = j.feature
+    GROUP BY j.feature, t.n
+    ORDER BY j.feature
+    """,
+    survey="A10,M5",
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking: MI(feature; purchase) in
+    nats for two discretized behavioral features — the model-free
+    relevance screen that catches nonlinear and non-monotone
+    dependence where correlation and WOE/IV (q_woe_iv, which assumes
+    a binary-target monotone story per bin) both understate it. Joint
+    and marginal counts are exact ints from ONE melted pass (the cell
+    space is bounded: ≤6 feature values × 2 outcomes per feature);
+    the only float op chain is the final Σ p·ln(...) over those few
+    cells, r6-rounded in both twins (the q_entropy libm discipline —
+    ln is the one function the integer toolkit can't replace when
+    arguments are data-dependent). Scale: one groupBy to cells, then
+    arithmetic over a broadcast-sized frame."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24 div 4").alias(
+            "f_hourband"
+        ),
+        F.least(
+            F.expr("cast(round(value * 100) as bigint) div 20000"), F.lit(4)
+        ).alias("f_valband"),
+    )
+    melted = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hour_band").alias("feature"),
+                    F.col("f_hourband").alias("fval"),
+                ),
+                F.struct(
+                    F.lit("value_band").alias("feature"),
+                    F.col("f_valband").alias("fval"),
+                ),
+            )
+        ).alias("m"),
+        "y",
+    ).select("m.feature", "m.fval", "y")
+    joint = melted.groupBy("feature", "fval", "y").agg(
+        F.count("*").alias("nxy")
+    )
+    mx = joint.groupBy("feature", "fval").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    j = (
+        joint.join(mx, ["feature", "fval"])
+        .join(my, ["feature", "y"])
+        .join(F.broadcast(tot), "feature")
+    )
+    term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        F.col("nxy").cast("double")
+        * F.col("n")
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return (
+        j.groupBy("feature")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.round(F.sum(term), 6).alias("mi_nats"),
+        )
+        .select("feature", "n_cells", "mi_nats")
+        .orderBy("feature")
+    )

@@ -964,3 +964,10 @@ def test_zorder_skips_files_linear_cannot(spark):
     }
     assert hits["zorder"] < hits["linear"]
     assert hits["linear"] == totals["linear"]  # 1-D sort skips nothing on x
+
+
+def test_mutual_info_nonnegative(spark, sf_dir):
+    # MI >= 0 always; r6 rounding can dip at most half an ulp of 1e-6
+    df = REGISTRY["q_mutual_info"].fn(spark, sf_dir)
+    assert df.filter(F.col("mi_nats") < -1e-6).count() == 0
+    assert df.count() == 2

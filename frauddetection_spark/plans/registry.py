@@ -272,6 +272,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_split_temporal",
     "q_future_label",
     "q_mutual_info",
+    "q_bigram_perplexity",
 )
 
 

@@ -968,3 +968,123 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E4+ — bigram-LM held-out scoring (the perplexity quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bigram_perplexity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest({_SQL_TOKENS}) AS token,
+               generate_subscripts({_SQL_TOKENS}, 1) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, token AS a,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM tok
+    ),
+    bg AS (SELECT doc_id, a, b FROM big WHERE b IS NOT NULL),
+    cab AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS vsize FROM cab),
+    scored AS (
+        SELECT s.doc_id,
+               CASE WHEN c.cab IS NULL THEN 1 ELSE 0 END AS unseen,
+               CAST(round(ln(CAST(coalesce(c.cab, 0) + 1 AS DOUBLE)
+                             / (coalesce(m.ca, 0) + v.vsize)) * {_PMI_Q})
+                    AS BIGINT) AS lp_q9
+        FROM bg s
+        LEFT JOIN cab c ON c.a = s.a AND c.b = s.b
+        LEFT JOIN ca m ON m.a = s.a
+        CROSS JOIN v
+        WHERE s.doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(unseen) AS BIGINT) AS n_unseen,
+           CAST(sum(lp_q9) AS BIGINT) AS sum_q9,
+           CAST(sum(lp_q9) AS DOUBLE) / {_PMI_Q} / count(*) AS avg_logprob
+    FROM scored GROUP BY 1 ORDER BY doc_id
+    """,
+    survey="E4,E7",
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM scoring — the actual protocol of perplexity
+    quality filtering (CCNet trains KenLM on reference text and scores
+    candidate documents; q_unigram_logprob trains on the corpus itself,
+    where every token is seen and smoothing never fires): the LM
+    (add-one-smoothed conditional p(b|a) = (c_ab+1)/(c_a+V)) trains on
+    the EVEN documents and scores the held-out ODD ones, so unseen
+    bigrams genuinely occur and are both smoothed and counted
+    (n_unseen — itself a quality signal: novel-construction rate).
+    Marginals derive from the SAME bigram counts (Σ_b c_ab), never an
+    independent token count, so conditionals sum to 1 exactly.
+    Per-bigram ln((c_ab+1)/(c_a+V)) is a double of exact ints
+    quantized to 1e-9 before per-document summation (the q_bm25 /
+    q_unigram_logprob transcendental discipline). Scale: bigram LM
+    tables are vocabulary²-bounded and broadcast; the score side is
+    one doc-keyed window + one aggregate."""
+    from pyspark.sql import Window
+
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.col("token").alias("a"),
+            F.lead("token").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    train = bg.filter(F.col("doc_id") % 2 == 0)
+    cab = train.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    v = cab.agg(F.count_distinct("b").alias("vsize"))
+    scored = (
+        bg.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.when(F.col("cab").isNull(), 1).otherwise(0).alias("unseen"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cab"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("ca"), F.lit(0)) + F.col("vsize"))
+                )
+                * _PMI_Q
+            )
+            .cast("bigint")
+            .alias("lp_q9"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("unseen").cast("bigint").alias("n_unseen"),
+            F.sum("lp_q9").cast("bigint").alias("sum_q9"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unseen",
+            "sum_q9",
+            (
+                F.col("sum_q9").cast("double") / _PMI_Q / F.col("n_bigrams")
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

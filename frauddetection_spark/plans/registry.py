@@ -273,6 +273,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_future_label",
     "q_mutual_info",
     "q_bigram_perplexity",
+    "q_threshold_sweep",
 )
 
 

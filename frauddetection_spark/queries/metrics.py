@@ -431,3 +431,98 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# M5+ — threshold sweep: the full operating-point table (PR curve as data)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_threshold_sweep",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    >= 15 AS INTEGER) AS label,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) * 1000000
+                   // CAST(count(*) AS BIGINT) AS s_q
+        FROM events GROUP BY user_id
+    ),
+    grain AS (
+        SELECT s_q, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(label) AS BIGINT) AS pos_g
+        FROM s GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(pos_g) AS BIGINT) AS p FROM grain),
+    sweep AS (
+        SELECT s_q,
+               CAST(sum(n_g) OVER w AS BIGINT) AS n_pred_pos,
+               CAST(sum(pos_g) OVER w AS BIGINT) AS tp
+        FROM grain
+        WINDOW w AS (ORDER BY s_q DESC ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT sw.s_q AS threshold_q6, sw.n_pred_pos, sw.tp,
+           sw.n_pred_pos - sw.tp AS fp,
+           CAST(sw.tp AS DOUBLE) / sw.n_pred_pos AS precision,
+           CAST(sw.tp AS DOUBLE) / t.p AS recall,
+           CAST(2 * sw.tp AS DOUBLE) / (sw.n_pred_pos + t.p) AS f1
+    FROM sweep sw CROSS JOIN tot t
+    ORDER BY threshold_q6 DESC
+    """,
+    survey="M5,A14",
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full operating-point table: precision / recall / F1 at EVERY
+    distinct score threshold — the table a model owner actually reads
+    to pick a production cutoff (q_metric_prf evaluates one fixed
+    threshold, q_metric_ap integrates the curve away; the sweep is
+    the missing middle). Scores collapse to an exact integer grain
+    (n_err·1e6 div n — a float score key can split one logical
+    threshold into two at engine boundaries), cumulative TP/FP come
+    from ONE pass of suffix sums over the descending score grain, and
+    F1 uses the algebraic form 2TP/(n_pred + P) so every ratio is a
+    division of two exact ints. Scale: the sweep runs on the
+    score-GRAIN (≤ |distinct scores| rows, after the per-user
+    aggregate), ranked by the two-phase prefix_rank — no
+    unpartitioned row-level window; at 100 TB you'd additionally
+    quantize the grain (e.g. 1e-3) to bound the output table."""
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    e = t(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    s = e.groupBy("user_id").agg(
+        (n_err >= ERROR_THRESHOLD).cast("int").alias("label"),
+        F.expr(
+            f"cast(sum(case when event_type = 'error' then 1 else 0 end)"
+            f" as bigint) * 1000000 div cast(count(*) as bigint)"
+        ).alias("s_q"),
+    )
+    grain = s.groupBy("s_q").agg(
+        F.count("*").alias("n_g"), F.sum("label").cast("bigint").alias("pos_g")
+    )
+    ranked = prefix_rank(
+        grain,
+        order_by=[F.col("s_q").desc()],
+        sums={"n_pred_pos": F.col("n_g"), "tp": F.col("pos_g")},
+    )
+    tot = grain.agg(F.sum("pos_g").cast("bigint").alias("p"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s_q").alias("threshold_q6"),
+            F.col("n_pred_pos").cast("bigint").alias("n_pred_pos"),
+            F.col("tp").cast("bigint").alias("tp"),
+            (F.col("n_pred_pos") - F.col("tp")).cast("bigint").alias("fp"),
+            (F.col("tp").cast("double") / F.col("n_pred_pos")).alias(
+                "precision"
+            ),
+            (F.col("tp").cast("double") / F.col("p")).alias("recall"),
+            (
+                (2 * F.col("tp")).cast("double")
+                / (F.col("n_pred_pos") + F.col("p"))
+            ).alias("f1"),
+        )
+        .orderBy(F.col("threshold_q6").desc())
+    )

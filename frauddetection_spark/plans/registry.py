@@ -274,6 +274,9 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_mutual_info",
     "q_bigram_perplexity",
     "q_threshold_sweep",
+    "q_wilson_ci",
+    "q_event_study",
+    "q_backtest_snaive",
 )
 
 

@@ -1399,3 +1399,230 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval: uncertainty-aware proportions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_wilson_ci",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 50000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, n, k,
+           CAST(k AS DOUBLE) / n AS p_hat,
+           (CAST(k AS DOUBLE) / n + 1.9208 / n
+            - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                          * (1 - CAST(k AS DOUBLE) / n) / n
+                          + 0.9604 / (CAST(n AS DOUBLE) * n * n) * n))
+               / (1 + 3.8416 / n) AS wilson_lo,
+           (CAST(k AS DOUBLE) / n + 1.9208 / n
+            + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                          * (1 - CAST(k AS DOUBLE) / n) / n
+                          + 0.9604 / (CAST(n AS DOUBLE) * n * n) * n))
+               / (1 + 3.8416 / n) AS wilson_hi
+    FROM agg ORDER BY event_type
+    """,
+    survey="M5,A11",
+)
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) for the high-value-event rate per
+    event type — the proportion CI that behaves at the boundaries
+    where the naive Wald interval fails (Wald collapses to width zero
+    at p̂ ∈ {0,1} and goes negative near them; Wilson stays inside
+    [0,1] and is the standard for conversion dashboards and ranked
+    'best segment' lists — ranking segments by p̂ alone promotes
+    10/10 over 950/1000). All inputs are two exact ints (k, n) per
+    group; z = 1.96 enters only through the precomputed constants
+    1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4 so both twins evaluate
+    the IDENTICAL double expression — one sqrt (IEEE-exact), no
+    distribution functions at query time. One partial-aggregated
+    groupBy; the CI math runs on ≤|types| rows."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(cents("value") >= 50000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(
+        p * (1 - p) / n
+        + F.lit(0.9604) / (n.cast("double") * n * n) * n
+    )
+    denom = 1 + F.lit(3.8416) / n
+    center = p + F.lit(1.9208) / n
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Event study: outcome profile aligned on each user's first conversion
+# ---------------------------------------------------------------------------
+
+_ES_WINDOW = 7  # days each side of the alignment event
+
+
+@register(
+    "q_event_study",
+    oracle=f"""
+    WITH first_conv AS (
+        SELECT user_id,
+               min(epoch_us(ts) // 86400000000) AS day0
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    daily AS (
+        SELECT user_id,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    aligned AS (
+        SELECT d.day - f.day0 AS rel_day, d.cents
+        FROM daily d JOIN first_conv f USING (user_id)
+        WHERE d.day BETWEEN f.day0 - {_ES_WINDOW} AND f.day0 + {_ES_WINDOW}
+    )
+    SELECT CAST(rel_day AS BIGINT) AS rel_day,
+           CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(sum(cents) AS BIGINT) AS cents_total,
+           CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+    FROM aligned GROUP BY 1 ORDER BY rel_day
+    """,
+    survey="A8,A12",
+)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study alignment: every user's daily spend re-indexed to
+    RELATIVE days around their own first purchase (day 0), averaged
+    per offset over ±7 days — the leads-and-lags profile behind 'what
+    changes when a user converts', and the diagnostic that separates
+    a causal jump (flat pre-trend, step at 0) from selection (drift
+    already in the leads). q_did compresses this to a 2×2; the event
+    study is the full picture per offset, each user supplying its own
+    alignment (calendar-time aggregation would smear users converting
+    on different dates into nothing). Day indices are pure integer
+    epoch division; one aggregate to daily grain, one broadcast join
+    of the per-user anchor, one final groupBy on the ±7 offset
+    domain."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.sum(cents("value")).alias("cents"))
+    first_conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.expr("min(unix_micros(ts) div 86400000000)").alias("day0"))
+    )
+    aligned = daily.join(F.broadcast(first_conv), "user_id").filter(
+        (F.col("day") >= F.col("day0") - _ES_WINDOW)
+        & (F.col("day") <= F.col("day0") + _ES_WINDOW)
+    )
+    return (
+        aligned.groupBy((F.col("day") - F.col("day0")).alias("rel_day"))
+        .agg(
+            F.count("*").alias("n_user_days"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        )
+        .select(
+            "rel_day",
+            "n_user_days",
+            "cents_total",
+            (F.col("cents_total").cast("double") / F.col("n_user_days")).alias(
+                "avg_cents"
+            ),
+        )
+        .orderBy("rel_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_backtest_snaive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT a.event_type, a.day, a.cents AS actual, f.cents AS forecast
+        FROM daily a JOIN daily f
+          ON f.event_type = a.event_type AND f.day = a.day - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(actual - forecast)) AS BIGINT) AS mae_cents_total,
+           CAST(sum(abs(actual - forecast)) AS DOUBLE) / count(*)
+               AS mae_cents,
+           CAST(sum(abs(actual - forecast)) AS DOUBLE) / sum(actual)
+               AS wape
+    FROM joined GROUP BY 1 ORDER BY event_type
+    """,
+    survey="A8,A2",
+)
+def q_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    per event type as the same weekday one week earlier, score MAE
+    and WAPE against actuals — the baseline every production forecast
+    must beat before it ships (a model that loses to seasonal-naive
+    is worse than no model, and most drift incidents are caught by
+    exactly this backtest running daily). WAPE (Σ|e|/Σactual), not
+    MAPE: MAPE divides per-row by near-zero actuals and explodes on
+    quiet days, the classic forecast-metric bug. The forecast join is
+    a self-join on (type, day−7) — one shuffle on the daily grain —
+    and errors are exact integer cents with two final divisions."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).agg(F.sum(cents("value")).alias("cents"))
+    f = daily.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("cents").alias("forecast"),
+    )
+    j = daily.withColumnRenamed("cents", "actual").join(
+        f, ["event_type", "day"]
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(err).cast("bigint").alias("mae_cents_total"),
+            F.sum("actual").alias("_sa"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "mae_cents_total",
+            (F.col("mae_cents_total").cast("double") / F.col("n_days")).alias(
+                "mae_cents"
+            ),
+            (F.col("mae_cents_total").cast("double") / F.col("_sa")).alias(
+                "wape"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -971,3 +971,16 @@ def test_mutual_info_nonnegative(spark, sf_dir):
     df = REGISTRY["q_mutual_info"].fn(spark, sf_dir)
     assert df.filter(F.col("mi_nats") < -1e-6).count() == 0
     assert df.count() == 2
+
+
+def test_wilson_interval_brackets_and_bounded(spark, sf_dir):
+    # Wilson never leaves [0,1] (the Wald failure mode) and always
+    # brackets the point estimate
+    df = REGISTRY["q_wilson_ci"].fn(spark, sf_dir)
+    bad = df.filter(
+        (F.col("wilson_lo") < -1e-12)
+        | (F.col("wilson_hi") > 1 + 1e-12)
+        | (F.col("wilson_lo") > F.col("p_hat"))
+        | (F.col("wilson_hi") < F.col("p_hat"))
+    )
+    assert bad.count() == 0

@@ -980,7 +980,9 @@ def test_wilson_interval_brackets_and_bounded(spark, sf_dir):
     bad = df.filter(
         (F.col("wilson_lo") < -1e-12)
         | (F.col("wilson_hi") > 1 + 1e-12)
-        | (F.col("wilson_lo") > F.col("p_hat"))
-        | (F.col("wilson_hi") < F.col("p_hat"))
+        # float residue: at p_hat = 0 the analytic lo is exactly 0 but
+        # the expression can leave ~1e-18 behind
+        | (F.col("wilson_lo") > F.col("p_hat") + 1e-12)
+        | (F.col("wilson_hi") < F.col("p_hat") - 1e-12)
     )
     assert bad.count() == 0

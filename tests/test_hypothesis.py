@@ -80,3 +80,42 @@ def test_portable_split_ratio(spark):
         df.agg(F.avg((F.col("s") == "train").cast("double"))).first()[0]
     )
     assert 0.78 <= frac <= 0.82
+
+
+def _py_morton(x: int, y: int) -> int:
+    m = 0
+    for b in range(8):
+        m |= ((x >> b) & 1) << (2 * b)
+        m |= ((y >> b) & 1) << (2 * b + 1)
+    return m
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_morton_interleave_matches_python(spark, pts):
+    """The z-order SQL expression must agree with the bit-twiddling
+    reference on arbitrary (x, y) — and be a bijection on the 16-bit
+    domain (distinct inputs → distinct codes)."""
+    from frauddetection_spark.queries.relational import _morton_sql
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = [
+        r.m
+        for r in df.select(F.expr(_morton_sql("div")).alias("m")).collect()
+    ]
+    want = [_py_morton(x, y) for x, y in pts]
+    assert got == want
+    assert len({_py_morton(x, y) for x, y in set(pts)}) == len(set(pts))

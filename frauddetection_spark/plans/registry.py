@@ -277,6 +277,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_wilson_ci",
     "q_event_study",
     "q_backtest_snaive",
+    "q_eb_shrinkage",
+    "q_k_anonymity",
 )
 
 

@@ -1626,3 +1626,183 @@ def q_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes rate shrinkage (beta-binomial, method-of-moments prior)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_eb_shrinkage",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    rq AS (
+        SELECT user_id, n, k, (k * 1000000000) // n AS r_q9 FROM g
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(r_q9) AS BIGINT) AS s_r,
+               CAST(sum(CAST(r_q9 AS HUGEINT) * r_q9) AS HUGEINT) AS s_r2
+        FROM rq
+    ),
+    prior AS (
+        SELECT
+          (CAST(s_r AS DOUBLE) / n_groups / 1e9)
+            * ((CAST(s_r AS DOUBLE) / n_groups / 1e9)
+               * (1 - CAST(s_r AS DOUBLE) / n_groups / 1e9)
+               / ((CAST(s_r2 AS DOUBLE) / 1e18
+                   - CAST(s_r AS DOUBLE) * s_r / n_groups / 1e18)
+                  / (n_groups - 1)) - 1) AS alpha,
+          (1 - CAST(s_r AS DOUBLE) / n_groups / 1e9)
+            * ((CAST(s_r AS DOUBLE) / n_groups / 1e9)
+               * (1 - CAST(s_r AS DOUBLE) / n_groups / 1e9)
+               / ((CAST(s_r2 AS DOUBLE) / 1e18
+                   - CAST(s_r AS DOUBLE) * s_r / n_groups / 1e18)
+                  / (n_groups - 1)) - 1) AS beta
+        FROM mom
+    )
+    SELECT g.user_id, g.n, g.k,
+           CAST(g.k AS DOUBLE) / g.n AS raw_rate,
+           (g.k + p.alpha) / (g.n + p.alpha + p.beta) AS eb_rate
+    FROM g CROSS JOIN prior p
+    ORDER BY user_id
+    """,
+    survey="A11,A10",
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate shrinkage: each user's error rate pulled
+    toward the population prior in proportion to how little evidence
+    the user carries — the beta-binomial smoothing every fraud/abuse
+    dashboard needs before ranking entities by rate (raw rates rank a
+    1/1 user above a 94/100 user; EB ranks by what the evidence
+    supports — the same machinery as q_wilson_ci but producing a
+    POINT estimate that composes into downstream features, and the
+    baseball-batting-average example of Efron & Morris). The prior
+    (α, β) comes from method-of-moments on the observed rate
+    distribution — mean and variance over per-user rates, five
+    sufficient statistics in ONE pass, no iterative fitting — and the
+    shrunk rate is (k+α)/(n+α+β). Rate moments are summation-order
+    hazards (a float Σ(k/n) differs between 8 and 32 partitions in
+    the last ulp, and α/β amplify it into every output row), so each
+    rate quantizes to the exact integer k·1e9 div n BEFORE the
+    cross-row sums — s_r as int64, s_r² as decimal/HUGEINT — making
+    α and β bit-identical expressions of three exact integers;
+    shrinkage toward μ is pinned as a property test. Scale: one
+    groupBy + one 1-row broadcast."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    r = F.col("k").cast("double") / F.col("n")
+    rq = g.withColumn("r_q9", F.expr("(k * 1000000000) div n"))
+    mom = rq.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("r_q9").cast("bigint").alias("s_r"),
+        F.sum(
+            F.col("r_q9").cast("decimal(38,0)") * F.col("r_q9")
+        ).alias("s_r2"),
+    )
+    mu = F.col("s_r").cast("double") / F.col("n_groups") / F.lit(1e9)
+    var = (
+        F.col("s_r2").cast("double") / F.lit(1e18)
+        - F.col("s_r").cast("double") * F.col("s_r") / F.col("n_groups") / F.lit(1e18)
+    ) / (F.col("n_groups") - 1)
+    scale = mu * (1 - mu) / var - 1
+    prior = mom.select(
+        (mu * scale).alias("alpha"), ((1 - mu) * scale).alias("beta")
+    )
+    return (
+        g.crossJoin(F.broadcast(prior))
+        .select(
+            "user_id",
+            "n",
+            "k",
+            r.alias("raw_rate"),
+            ((F.col("k") + F.col("alpha")) / (F.col("n") + F.col("alpha") + F.col("beta"))).alias(
+                "eb_rate"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+        SELECT c_nationkey AS nation,
+               c_mktsegment AS segment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+               c_custkey % 7 AS sensitive
+        FROM customer
+    ),
+    groups AS (
+        SELECT nation, segment, bal_band,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT sensitive) AS BIGINT) AS l_diversity
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT nation, segment, bal_band, group_size, l_diversity,
+           CAST(group_size < {_KANON_K} AS INTEGER) AS violates_k
+    FROM groups ORDER BY nation, segment, bal_band
+    """,
+    survey="A2,P2",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifiers — the
+    privacy gate a dataset must pass before leaving the trust
+    boundary (training-data releases included): every (nation,
+    segment, balance-band) equivalence class is measured for size
+    (k-anonymity: a class smaller than k=5 re-identifies its members
+    by linkage) and for distinct sensitive values (l-diversity: a
+    large class whose sensitive attribute is CONSTANT still leaks it
+    — k-anonymity alone misses homogeneity attacks). Output is the
+    full class table with violation flags, so the caller can suppress
+    or generalize exactly the failing cells; the audit itself is one
+    partial-aggregated groupBy over the quasi-identifier key — linear
+    at any scale, and the class table is the thing you'd persist
+    alongside a released dataset as its privacy certificate. Balance
+    band is exact integer cents//1e5; the stand-in sensitive
+    attribute is a deterministic custkey residue."""
+    c = t(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("cast(round(c_acctbal * 100) as bigint) div 100000").alias(
+            "bal_band"
+        ),
+        (F.col("c_custkey") % 7).alias("sensitive"),
+    )
+    return (
+        qi.groupBy("nation", "segment", "bal_band")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct("sensitive").alias("l_diversity"),
+        )
+        .select(
+            "nation",
+            "segment",
+            "bal_band",
+            "group_size",
+            "l_diversity",
+            (F.col("group_size") < _KANON_K).cast("int").alias("violates_k"),
+        )
+        .orderBy("nation", "segment", "bal_band")
+    )

@@ -986,3 +986,23 @@ def test_wilson_interval_brackets_and_bounded(spark, sf_dir):
         | (F.col("wilson_hi") < F.col("p_hat") - 1e-12)
     )
     assert bad.count() == 0
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    # every EB rate lies between the raw rate and the prior mean
+    # (shrinkage is a convex combination), and low-n users move more
+    df = REGISTRY["q_eb_shrinkage"].fn(spark, sf_dir)
+    rows = df.collect()
+    mu = sum(r["raw_rate"] for r in rows) / len(rows)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], mu))
+        assert lo - 1e-9 <= r["eb_rate"] <= hi + 1e-9
+
+
+def test_k_anonymity_partitions_population(spark, sf_dir):
+    # equivalence classes partition the table: sizes sum to |customer|
+    df = REGISTRY["q_k_anonymity"].fn(spark, sf_dir)
+    total = df.agg(F.sum("group_size")).first()[0]
+    n = load_table(spark, sf_dir, "customer").count()
+    assert total == n
+    assert df.filter(F.col("l_diversity") > F.col("group_size")).count() == 0

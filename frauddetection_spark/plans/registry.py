@@ -279,6 +279,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_backtest_snaive",
     "q_eb_shrinkage",
     "q_k_anonymity",
+    "q_attribution_markov",
 )
 
 

@@ -1655,3 +1655,314 @@ def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain (removal-effect) attribution
+# ---------------------------------------------------------------------------
+
+_MK_L = 6               # truncation depth of the absorbing chain
+_MK_MASS = 10 ** 12       # integer mass units at START
+_MK_TOUCHES = ("view", "click", "signup")
+
+
+@register(
+    "q_attribution_markov",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ),
+    conv AS (
+        SELECT user_id, min(CASE WHEN event_type = 'purchase'
+                                 THEN (us - 1704067200000000) * 1000000
+                                      + event_id % 1000000 END) AS conv_key
+        FROM ev GROUP BY 1
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type,
+               (e.us - 1704067200000000) * 1000000
+                   + e.event_id % 1000000 AS ord_key,
+               c.conv_key
+        FROM ev e JOIN conv c USING (user_id)
+        WHERE e.event_type != 'purchase'
+          AND (c.conv_key IS NULL
+               OR (e.us - 1704067200000000) * 1000000
+                      + e.event_id % 1000000 < c.conv_key)
+    ),
+    seq AS (
+        SELECT user_id, event_type AS state, ord_key, conv_key,
+               lead(event_type) OVER w AS nxt,
+               row_number() OVER w AS rn
+        FROM touches
+        WINDOW w AS (PARTITION BY user_id ORDER BY ord_key)
+    ),
+    trans_raw AS (
+        -- START -> first touch
+        SELECT 'START' AS s, state AS t FROM seq WHERE rn = 1
+        UNION ALL
+        -- touch -> touch
+        SELECT state, nxt FROM seq WHERE nxt IS NOT NULL
+        UNION ALL
+        -- last touch -> outcome
+        SELECT state, CASE WHEN conv_key IS NULL THEN 'NULL' ELSE 'CONV' END
+        FROM seq WHERE nxt IS NULL
+        UNION ALL
+        -- touchless users: START -> outcome
+        SELECT 'START',
+               CASE WHEN c.conv_key IS NULL THEN 'NULL' ELSE 'CONV' END
+        FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM touches t WHERE t.user_id = c.user_id)
+    ),
+    trans AS (
+        SELECT s, t, CAST(count(*) AS BIGINT) AS c FROM trans_raw GROUP BY 1, 2
+    ),
+    scen(scenario, removed) AS (VALUES
+        ('full', NULL), ('rm_view', 'view'),
+        ('rm_click', 'click'), ('rm_signup', 'signup')),
+    redirected AS (
+        SELECT sc.scenario, tr.s,
+               CASE WHEN tr.t = sc.removed THEN 'NULL' ELSE tr.t END AS t,
+               tr.c
+        FROM trans tr CROSS JOIN scen sc
+        WHERE tr.s IS DISTINCT FROM sc.removed
+    ),
+    agg AS (
+        SELECT scenario, s, t, CAST(sum(c) AS BIGINT) AS c
+        FROM redirected GROUP BY 1, 2, 3
+    ),
+    absorbing AS (
+        SELECT scenario, 'CONV' AS s, 'CONV' AS t, CAST(1 AS BIGINT) AS c
+        FROM scen
+        UNION ALL
+        SELECT scenario, 'NULL', 'NULL', CAST(1 AS BIGINT) FROM scen
+    ),
+    ptab AS (
+        SELECT a.scenario, a.s, a.t, a.c,
+               CAST(sum(a.c) OVER (PARTITION BY a.scenario, a.s) AS BIGINT)
+                   AS r
+        FROM (SELECT * FROM agg UNION ALL SELECT * FROM absorbing) a
+    ),
+    v0 AS (
+        SELECT scenario, 'START' AS state,
+               CAST({_MK_MASS} AS BIGINT) AS mass
+        FROM scen
+    ),
+    v1 AS (
+        SELECT v.scenario, p.t AS state,
+               CAST(sum((v.mass * p.c) // p.r) AS BIGINT) AS mass
+        FROM v0 v
+        JOIN ptab p ON p.scenario = v.scenario AND p.s = v.state
+        GROUP BY 1, 2
+    ),
+    v2 AS (
+        SELECT v.scenario, p.t AS state,
+               CAST(sum((v.mass * p.c) // p.r) AS BIGINT) AS mass
+        FROM v1 v
+        JOIN ptab p ON p.scenario = v.scenario AND p.s = v.state
+        GROUP BY 1, 2
+    ),
+    v3 AS (
+        SELECT v.scenario, p.t AS state,
+               CAST(sum((v.mass * p.c) // p.r) AS BIGINT) AS mass
+        FROM v2 v
+        JOIN ptab p ON p.scenario = v.scenario AND p.s = v.state
+        GROUP BY 1, 2
+    ),
+    v4 AS (
+        SELECT v.scenario, p.t AS state,
+               CAST(sum((v.mass * p.c) // p.r) AS BIGINT) AS mass
+        FROM v3 v
+        JOIN ptab p ON p.scenario = v.scenario AND p.s = v.state
+        GROUP BY 1, 2
+    ),
+    v5 AS (
+        SELECT v.scenario, p.t AS state,
+               CAST(sum((v.mass * p.c) // p.r) AS BIGINT) AS mass
+        FROM v4 v
+        JOIN ptab p ON p.scenario = v.scenario AND p.s = v.state
+        GROUP BY 1, 2
+    ),
+    v6 AS (
+        SELECT v.scenario, p.t AS state,
+               CAST(sum((v.mass * p.c) // p.r) AS BIGINT) AS mass
+        FROM v5 v
+        JOIN ptab p ON p.scenario = v.scenario AND p.s = v.state
+        GROUP BY 1, 2
+    )
+    SELECT f.scenario,
+           CAST(coalesce(c.mass, 0) AS BIGINT) AS conv_mass,
+           CAST(coalesce(n.mass, 0) AS BIGINT) AS null_mass,
+           CAST(coalesce(c.mass, 0) AS DOUBLE)
+               / nullif(CAST(b.mass AS DOUBLE), 0) AS conv_vs_full
+    FROM scen f
+    LEFT JOIN v6 c ON c.scenario = f.scenario AND c.state = 'CONV'
+    LEFT JOIN v6 n ON n.scenario = f.scenario AND n.state = 'NULL'
+    LEFT JOIN v6 b ON b.scenario = 'full' AND b.state = 'CONV'
+    ORDER BY f.scenario
+    """,
+    survey="A8,J5",
+)
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution — the data-driven
+    model that replaces heuristic credit rules (q_attribution_ushape
+    is position-based): journeys become a first-order chain over
+    touch states with absorbing CONV/NULL, and a channel's credit is
+    its REMOVAL EFFECT — how much absorbing-conversion probability
+    disappears when every transition into the channel is redirected
+    to NULL (the channel 'doesn't exist'); all four chains (full +
+    three removals) evaluate in the SAME plan via a scenario column.
+
+    Exactness: the absorbing-chain limit needs a matrix inverse, so
+    the chain is truncated at L=6 steps and the distribution vector
+    iterates as integer mass (1e12 units at START) with per-term
+    floor((mass·c) div r) — the q_taint_tracing haircut: floors only
+    lose mass, never create it (property test pins conv+null ≤ START
+    mass and removal effects in [0,1]), and positive-operand integer
+    division agrees between engines where float matrix powers would
+    accumulate order-dependent drift. Journey ordering is the exact
+    integer (us−epoch2024)·1e6 + event_id%1e6 key (raw micros × 1e7
+    overflows int64 — ANSI mode caught it at construction); the transition matrix is a ≤7-state
+    broadcast frame, so each of the 6 iterations is a tiny-frame
+    join — the heavy lifting is ONE pass over events to build
+    transitions."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "signup", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - 1704067200000000) * 1000000"
+            " + event_id % 1000000"
+        ).alias("ord_key"),
+    )
+    conv = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ord_key"))
+        ).alias("conv_key")
+    )
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(
+            F.col("conv_key").isNull() | (F.col("ord_key") < F.col("conv_key"))
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ord_key")
+    seq = touches.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "conv_key",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    outcome = F.when(F.col("conv_key").isNull(), "NULL").otherwise("CONV")
+    trans_raw = (
+        seq.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("s"), F.col("state").alias("t"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull()).select(
+                F.col("state").alias("s"), F.col("nxt").alias("t")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNull()).select(
+                F.col("state").alias("s"), outcome.alias("t")
+            )
+        )
+        .unionByName(
+            conv.join(
+                touches.select("user_id").distinct(), "user_id", "left_anti"
+            ).select(F.lit("START").alias("s"), outcome.alias("t"))
+        )
+    )
+    trans = trans_raw.groupBy("s", "t").agg(F.count("*").alias("c"))
+    scen = spark.createDataFrame(
+        [("full", None), ("rm_view", "view"),
+         ("rm_click", "click"), ("rm_signup", "signup")],
+        "scenario string, removed string",
+    )
+    redirected = (
+        trans.crossJoin(F.broadcast(scen))
+        .filter(~F.col("s").eqNullSafe(F.col("removed")))
+        .select(
+            "scenario",
+            "s",
+            F.when(F.col("t").eqNullSafe(F.col("removed")), "NULL")
+            .otherwise(F.col("t"))
+            .alias("t"),
+            "c",
+        )
+        .groupBy("scenario", "s", "t")
+        .agg(F.sum("c").alias("c"))
+    )
+    absorbing = scen.select("scenario").crossJoin(
+        spark.createDataFrame(
+            [("CONV", "CONV", 1), ("NULL", "NULL", 1)], "s string, t string, c long"
+        )
+    )
+    ptab = redirected.unionByName(absorbing).select(
+        "scenario",
+        "s",
+        "t",
+        "c",
+        F.sum("c").over(Window.partitionBy("scenario", "s")).alias("r"),
+    )
+    v = scen.select(
+        "scenario",
+        F.lit("START").alias("state"),
+        F.lit(_MK_MASS).cast("bigint").alias("mass"),
+    )
+    p = ptab.select(
+        F.col("scenario").alias("p_scenario"),
+        F.col("s").alias("p_s"),
+        F.col("t").alias("p_t"),
+        "c",
+        "r",
+    )
+    for _ in range(_MK_L):
+        v = (
+            v.join(
+                F.broadcast(p),
+                (F.col("scenario") == F.col("p_scenario"))
+                & (F.col("state") == F.col("p_s")),
+            )
+            .groupBy(F.col("scenario"), F.col("p_t").alias("state2"))
+            .agg(
+                F.sum(
+                    F.expr("(mass * c) div r")
+                ).cast("bigint").alias("mass")
+            )
+            .select(
+                "scenario", F.col("state2").alias("state"), "mass"
+            )
+        )
+    final = v
+    conv_m = final.filter(F.col("state") == "CONV").select(
+        "scenario", F.col("mass").alias("conv_mass")
+    )
+    null_m = final.filter(F.col("state") == "NULL").select(
+        F.col("scenario").alias("n_scenario"), F.col("mass").alias("null_mass")
+    )
+    base = conv_m.filter(F.col("scenario") == "full").select(
+        F.col("conv_mass").alias("full_mass")
+    )
+    return (
+        scen.select("scenario")
+        .join(conv_m, "scenario", "left")
+        .join(null_m, F.col("scenario") == F.col("n_scenario"), "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "scenario",
+            F.coalesce("conv_mass", F.lit(0)).cast("bigint").alias("conv_mass"),
+            F.coalesce("null_mass", F.lit(0)).cast("bigint").alias("null_mass"),
+            (
+                F.coalesce("conv_mass", F.lit(0)).cast("double")
+                / F.nullif(F.col("full_mass").cast("double"), F.lit(0.0))
+            ).alias("conv_vs_full"),
+        )
+        .orderBy("scenario")
+    )

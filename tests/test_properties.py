@@ -1006,3 +1006,20 @@ def test_k_anonymity_partitions_population(spark, sf_dir):
     n = load_table(spark, sf_dir, "customer").count()
     assert total == n
     assert df.filter(F.col("l_diversity") > F.col("group_size")).count() == 0
+
+
+def test_markov_attribution_mass_and_effects(spark, sf_dir):
+    from frauddetection_spark.queries.behavior import _MK_MASS
+
+    rows = {
+        r["scenario"]: r
+        for r in REGISTRY["q_attribution_markov"].fn(spark, sf_dir).collect()
+    }
+    for r in rows.values():
+        # floors only lose mass, never create it
+        assert r["conv_mass"] + r["null_mass"] <= _MK_MASS
+        assert r["conv_mass"] >= 0 and r["null_mass"] >= 0
+    for name, r in rows.items():
+        if name != "full":
+            # removing a channel cannot increase absorbed conversion
+            assert r["conv_mass"] <= rows["full"]["conv_mass"]

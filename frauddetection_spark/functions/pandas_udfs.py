@@ -142,3 +142,14 @@ def document_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         doc_token_stats, schema=TOKEN_STATS_SCHEMA
     )
+
+
+@F.pandas_udf(LongType())
+def zlib_size(text: pd.Series) -> pd.Series:
+    """DEFLATE-compressed byte length at fixed level 6 — Arrow-batched,
+    stdlib zlib, deterministic for a fixed zlib build. The raw
+    material of the compressibility quality signal (see
+    q_compress_ratio)."""
+    import zlib
+
+    return text.map(lambda s: len(zlib.compress((s or "").encode("utf-8"), 6)))

@@ -280,6 +280,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_eb_shrinkage",
     "q_k_anonymity",
     "q_attribution_markov",
+    "q_chain_ladder",
+    "q_compress_ratio",
 )
 
 

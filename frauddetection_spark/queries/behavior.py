@@ -1966,3 +1966,101 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scenario")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder loss development (actuarial run-off triangle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_chain_ladder",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               epoch_us(ts) // 604800000000 AS week,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1
+    ),
+    tri AS (
+        SELECT c.cohort, e.week - c.cohort AS age,
+               CAST(sum(e.cents) AS BIGINT) AS inc
+        FROM ev e JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, age, inc,
+               CAST(sum(inc) OVER (PARTITION BY cohort ORDER BY age
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+        FROM tri
+    ),
+    pairs AS (
+        SELECT a.age AS from_age,
+               CAST(sum(b.cum) AS BIGINT) AS s_next,
+               CAST(sum(a.cum) AS BIGINT) AS s_cur,
+               CAST(count(*) AS BIGINT) AS n_cohorts
+        FROM cum a
+        JOIN cum b ON b.cohort = a.cohort AND b.age = a.age + 1
+        GROUP BY 1
+    )
+    SELECT from_age, n_cohorts, s_cur, s_next,
+           CAST(s_next AS DOUBLE) / s_cur AS dev_factor
+    FROM pairs ORDER BY from_age
+    """,
+    survey="A8,A5",
+)
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors from the cohort run-off
+    triangle — the actuarial estimator behind loss reserving and its
+    product twin, revenue-vintage forecasting ('cohorts at age 2 grow
+    another f₂ by age 3'): cumulative spend per (cohort-week, age) and
+    the volume-weighted age-to-age factor Σ_c cum(c, k+1) / Σ_c
+    cum(c, k) over cohorts observed at BOTH ages — the all-cohort
+    weighting is the classical estimator and the both-ages restriction
+    is what keeps the youngest cohort from biasing factors downward
+    (the classic naive-implementation bug: including age-k rows whose
+    k+1 is simply unobserved yet). q_retention_cohorts counts users
+    on this triangle; chain-ladder chains VALUES along it. Sums are
+    exact int cents; each factor is one double division of two exact
+    ints. Scale: the triangle is a two-key aggregate (|cohorts|·|ages|
+    rows — tiny), cumulation is a cohort-bounded window."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("week"),
+        cents("value").alias("cents"),
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    tri = (
+        e.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("inc"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tri.select("cohort", "age", F.sum("inc").over(w).alias("cum"))
+    nxt = cum.select(
+        "cohort", (F.col("age") - 1).alias("age"), F.col("cum").alias("cum_next")
+    )
+    pairs = cum.join(nxt, ["cohort", "age"]).groupBy(
+        F.col("age").alias("from_age")
+    ).agg(
+        F.count("*").alias("n_cohorts"),
+        F.sum("cum").cast("bigint").alias("s_cur"),
+        F.sum("cum_next").cast("bigint").alias("s_next"),
+    )
+    return pairs.select(
+        "from_age",
+        "n_cohorts",
+        "s_cur",
+        "s_next",
+        (F.col("s_next").cast("double") / F.col("s_cur")).alias("dev_factor"),
+    ).orderBy("from_age")

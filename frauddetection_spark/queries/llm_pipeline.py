@@ -1147,3 +1147,63 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compressibility quality scoring (rows-only: no zlib in the oracle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_compress_ratio",
+    oracle=None,  # DuckDB has no DEFLATE; pinned by property tests +
+    #               the driver's rows-only check instead
+    survey="E5,E8",
+)
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-compressibility quality scoring: compressed/raw byte ratio
+    per document plus per-source aggregates — the corpus filter
+    family RefinedWeb/MassiveText use at both tails (a ratio near 0
+    is boilerplate/repetition soup; near 1 is high-entropy junk —
+    base64 blobs, minified code, random strings; natural prose sits
+    in a mid band). The kernel is an Arrow-batched scalar pandas_udf
+    over stdlib zlib at fixed level (functions/pandas_udfs.py::
+    zlib_size — the legitimate Python-boundary case: the JVM has no
+    DEFLATE expression, and the UDF is a pure map the optimizer can
+    pipeline). Rows-only by necessity (DuckDB has no zlib either);
+    the invariants that make it trustworthy are property-pinned:
+    repetitive text strictly out-compresses shuffled high-entropy
+    text of the same length, and compressed size never exceeds raw +
+    DEFLATE's absolute ~11-byte-per-stream overhead (short docs can
+    legitimately show ratio > 1 — filter thresholds must be
+    length-aware). Scale: map-only over documents + one
+    partial-aggregated groupBy."""
+    from frauddetection_spark.functions.pandas_udfs import zlib_size
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.octet_length("text").alias("raw_bytes"),
+        zlib_size(F.col("text")).alias("zip_bytes"),
+    )
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        "raw_bytes",
+        "zip_bytes",
+        (F.col("zip_bytes").cast("double") / F.col("raw_bytes")).alias("ratio"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("raw_bytes").cast("bigint").alias("raw_total"),
+            F.sum("zip_bytes").cast("bigint").alias("zip_total"),
+            (
+                F.sum("zip_bytes").cast("double") / F.sum("raw_bytes")
+            ).alias("corpus_ratio"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -1023,3 +1023,25 @@ def test_markov_attribution_mass_and_effects(spark, sf_dir):
         if name != "full":
             # removing a channel cannot increase absorbed conversion
             assert r["conv_mass"] <= rows["full"]["conv_mass"]
+
+
+def test_compress_ratio_orders_entropy(spark, sf_dir):
+    """Repetitive text must out-compress high-entropy text of the same
+    length, and DEFLATE overhead keeps every ratio in (0, 1.1]."""
+    from frauddetection_spark.functions.pandas_udfs import zlib_size
+
+    rep = "spark " * 200
+    import random
+
+    rng = random.Random(7)
+    junk = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(len(rep)))
+    df = spark.createDataFrame([(1, rep), (2, junk)], ["i", "text"]).select(
+        "i", (zlib_size(F.col("text")) / F.octet_length("text")).alias("r")
+    )
+    r = {row["i"]: row["r"] for row in df.collect()}
+    assert r[1] < r[2] / 3
+    out = REGISTRY["q_compress_ratio"].fn(spark, sf_dir)
+    assert out.filter(F.col("min_ratio") <= 0).count() == 0
+    # DEFLATE worst case is raw + ~11 bytes + 5/16KB-block — an
+    # ABSOLUTE overhead, so short docs legitimately exceed ratio 1
+    assert out.filter(F.col("zip_total") > F.col("raw_total") + 32 * F.col("n_docs")).count() == 0

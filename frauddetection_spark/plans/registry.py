@@ -282,6 +282,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_attribution_markov",
     "q_chain_ladder",
     "q_compress_ratio",
+    "q_dedup_semantic",
 )
 
 

@@ -1211,3 +1211,149 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double"))
         ).alias("cos_exact"),
     ).orderBy("vec_a")
+
+
+# ---------------------------------------------------------------------------
+# E2+ — embedding-cosine (semantic) near-dup groups
+# ---------------------------------------------------------------------------
+
+SEMDUP_TAU_PCT2 = 1225  # τ² · 1e4 for τ = 0.35
+
+
+def _semdup_pairs_kernel(pdf):
+    """Per-label exact pair mining: int64 quantized Gram matrix with a
+    float prescreen and EXACT integer admission (10⁴·dot² ≥ 1225·na·nb,
+    dot > 0) decided in arbitrary-precision Python ints for the
+    borderline band — numpy int64 would overflow at dot² ≈ 4e27."""
+    import numpy as np
+    import pandas as pd
+
+    V = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    ids = pdf["vec_id"].to_numpy()
+    Q = np.round(V * 1_000_000).astype(np.int64)
+    G = Q @ Q.T  # exact: |dot| ≤ 64·1e12 ≪ 2⁶³
+    n2 = np.diag(G).astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        cos = G / np.sqrt(np.outer(n2, n2))
+    iu = np.triu_indices(len(ids), k=1)
+    cand = [
+        (i, j)
+        for i, j in zip(*iu)
+        if cos[i, j] >= 0.349  # prescreen with margin below τ=0.35
+    ]
+    out = []
+    for i, j in cand:
+        dot = int(G[i, j])
+        if dot > 0 and 10_000 * dot * dot >= SEMDUP_TAU_PCT2 * int(G[i, i]) * int(
+            G[j, j]
+        ):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            out.append((a, b))
+    return pd.DataFrame(out, columns=["src", "dst"]) if out else pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+    )
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE comp_q AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+        FROM comp_q GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        FROM comp_q a
+        JOIN comp_q b ON a.label = b.label AND a.i = b.i
+                     AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    dup AS (
+        SELECT d.va, d.vb
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.va
+        JOIN norms nb ON nb.vec_id = d.vb
+        WHERE d.dot > 0
+          AND 10000 * CAST(d.dot AS HUGEINT) * d.dot
+              >= {SEMDUP_TAU_PCT2} * CAST(na.n2 AS HUGEINT) * nb.n2
+    ),
+    und AS (
+        SELECT va AS src, vb AS dst FROM dup
+        UNION
+        SELECT vb, va FROM dup
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM und),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, und.dst
+        FROM reach JOIN und ON und.src = reach.r
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    g AS (
+        SELECT e.vec_id, coalesce(c.component, e.vec_id) AS group_id
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    )
+    SELECT group_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           string_agg(vec_id, ',' ORDER BY vec_id) AS members
+    FROM g GROUP BY group_id ORDER BY group_id
+    """,
+    survey="E2,E3,M2",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine (semantic) near-dup groups — the dedup family
+    member that catches paraphrases and translations sharing no
+    n-grams (exact hash → MinHash/Jaccard → SimHash → THIS is the
+    escalation ladder of a pretraining dedup stack; this rung needs
+    the embedding table the others don't). Candidate blocking is the
+    label/metadata block (the production analogues: shard by source,
+    near-duplicate only within language, or IVF/hyperplane buckets —
+    q_ann_ivf / q_hyperplane_est supply those), pairs admit on the
+    EXACT integer predicate 10⁴·dot² ≥ τ²10⁴·‖a‖²‖b‖² with dot > 0
+    (HUGEINT/decimal — dot² tops int64; a float cosine threshold
+    flips borderline pairs between engines), transitive closure
+    collapses clusters (connected_components), and min(vec_id) is
+    canonical. The Spark pair miner is the cogrouped numpy kernel
+    with a float prescreen and exact Python-int admission for the
+    borderline band — per-block O(b²·d) in one Arrow batch, never a
+    64-dim-exploded shuffle. Iterative CC ⇒ executes at construction
+    (scale-lint exemption class); oracle is the recursive-CTE
+    closure."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from frauddetection_spark.operators.graph import connected_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = emb.select("vec_id", "embedding", "label").groupBy("label").applyInPandas(
+        lambda pdf: _semdup_pairs_kernel(pdf),
+        StructType(
+            [
+                StructField("src", LongType()),
+                StructField("dst", LongType()),
+            ]
+        ),
+    )
+    comp = connected_components(pairs)
+    groups = emb.select("vec_id").join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id", F.coalesce("component", "vec_id").alias("group_id")
+    )
+    return (
+        groups.groupBy("group_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.array_join(
+                F.sort_array(F.collect_list("vec_id")), ","
+            ).alias("members"),
+        )
+        .orderBy("group_id")
+    )

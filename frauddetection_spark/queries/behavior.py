@@ -1839,10 +1839,20 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + event_id % 1000000"
         ).alias("ord_key"),
     )
-    conv = e.groupBy("user_id").agg(
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.col("ord_key"))
-        ).alias("conv_key")
+    from frauddetection_spark.operators.graph import _track
+
+    # conv feeds three consumers (touch filter, touchless-user branch,
+    # outcome) and seq feeds three union branches — pin both once or
+    # the events scan + windows re-evaluate per branch (measured: the
+    # un-pinned build alone cost ~10s of the original 72s)
+    conv = _track(
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ord_key"))
+            ).alias("conv_key")
+        )
+        .persist()
     )
     touches = (
         e.filter(F.col("event_type") != "purchase")
@@ -1852,12 +1862,14 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("user_id").orderBy("ord_key")
-    seq = touches.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        "conv_key",
-        F.lead("event_type").over(w).alias("nxt"),
-        F.row_number().over(w).alias("rn"),
+    seq = _track(
+        touches.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "conv_key",
+            F.lead("event_type").over(w).alias("nxt"),
+            F.row_number().over(w).alias("rn"),
+        ).persist()
     )
     outcome = F.when(F.col("conv_key").isNull(), "NULL").otherwise("CONV")
     trans_raw = (
@@ -1880,11 +1892,14 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     trans = trans_raw.groupBy("s", "t").agg(F.count("*").alias("c"))
+    # single partition: a multi-partition local relation turns the
+    # cross joins below into nPart² Cartesian TASKS (measured 10.9s
+    # for an 8-row crossJoin of two parallelized literals)
     scen = spark.createDataFrame(
         [("full", None), ("rm_view", "view"),
          ("rm_click", "click"), ("rm_signup", "signup")],
         "scenario string, removed string",
-    )
+    ).coalesce(1)
     redirected = (
         trans.crossJoin(F.broadcast(scen))
         .filter(~F.col("s").eqNullSafe(F.col("removed")))
@@ -1900,8 +1915,11 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("c"))
     )
     absorbing = scen.select("scenario").crossJoin(
-        spark.createDataFrame(
-            [("CONV", "CONV", 1), ("NULL", "NULL", 1)], "s string, t string, c long"
+        F.broadcast(
+            spark.createDataFrame(
+                [("CONV", "CONV", 1), ("NULL", "NULL", 1)],
+                "s string, t string, c long",
+            )
         )
     )
     ptab = redirected.unionByName(absorbing).select(
@@ -1916,55 +1934,48 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("START").alias("state"),
         F.lit(_MK_MASS).cast("bigint").alias("mass"),
     )
-    p = ptab.select(
-        F.col("scenario").alias("p_scenario"),
-        F.col("s").alias("p_s"),
-        F.col("t").alias("p_t"),
-        "c",
-        "r",
-    )
-    for _ in range(_MK_L):
-        v = (
-            v.join(
-                F.broadcast(p),
-                (F.col("scenario") == F.col("p_scenario"))
-                & (F.col("state") == F.col("p_s")),
-            )
-            .groupBy(F.col("scenario"), F.col("p_t").alias("state2"))
-            .agg(
-                F.sum(
-                    F.expr("(mass * c) div r")
-                ).cast("bigint").alias("mass")
-            )
-            .select(
-                "scenario", F.col("state2").alias("state"), "mass"
-            )
+    # The transition matrix is ≤ (|touch states|+3)² ≈ 49 rows BY
+    # CONSTRUCTION regardless of data size (states are the three touch
+    # channels + START/CONV/NULL), so the L×|scenarios| matrix-vector
+    # products iterate on the DRIVER in exact Python ints — the
+    # q_cluster_griddensity precedent: everything data-sized (the
+    # transition build: events scan → journeys → windows → unions)
+    # stays distributed, and the constant-size iteration is the same
+    # class of driver hop as collecting an aggregate scalar. The
+    # first cut iterated as 6 chained tiny Spark joins: 72s at sf0.1
+    # from per-iteration re-broadcast + plan growth, 15s with a
+    # pinned matrix, ~2s on the driver — for a frame that can never
+    # outgrow a page.
+    rows = ptab.collect()
+    P: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
+    for r0 in rows:
+        P.setdefault((r0["scenario"], r0["s"]), []).append(
+            (r0["t"], int(r0["c"]), int(r0["r"]))
         )
-    final = v
-    conv_m = final.filter(F.col("state") == "CONV").select(
-        "scenario", F.col("mass").alias("conv_mass")
-    )
-    null_m = final.filter(F.col("state") == "NULL").select(
-        F.col("scenario").alias("n_scenario"), F.col("mass").alias("null_mass")
-    )
-    base = conv_m.filter(F.col("scenario") == "full").select(
-        F.col("conv_mass").alias("full_mass")
-    )
-    return (
-        scen.select("scenario")
-        .join(conv_m, "scenario", "left")
-        .join(null_m, F.col("scenario") == F.col("n_scenario"), "left")
-        .crossJoin(F.broadcast(base))
-        .select(
-            "scenario",
-            F.coalesce("conv_mass", F.lit(0)).cast("bigint").alias("conv_mass"),
-            F.coalesce("null_mass", F.lit(0)).cast("bigint").alias("null_mass"),
-            (
-                F.coalesce("conv_mass", F.lit(0)).cast("double")
-                / F.nullif(F.col("full_mass").cast("double"), F.lit(0.0))
-            ).alias("conv_vs_full"),
+    scenarios = ["full", "rm_view", "rm_click", "rm_signup"]
+    result = {}
+    for sc in scenarios:
+        mass = {"START": _MK_MASS}
+        for _ in range(_MK_L):
+            nxt: dict[str, int] = {}
+            for state, m in mass.items():
+                for tgt, c, r_tot in P.get((sc, state), []):
+                    nxt[tgt] = nxt.get(tgt, 0) + (m * c) // r_tot
+            mass = nxt
+        result[sc] = (mass.get("CONV", 0), mass.get("NULL", 0))
+    full_conv = result["full"][0]
+    out_rows = [
+        (
+            sc,
+            result[sc][0],
+            result[sc][1],
+            (float(result[sc][0]) / full_conv) if full_conv else None,
         )
-        .orderBy("scenario")
+        for sc in sorted(scenarios)
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "scenario string, conv_mass long, null_mass long, conv_vs_full double",
     )
 
 

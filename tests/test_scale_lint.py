@@ -81,6 +81,11 @@ ITERATIVE_FIXPOINT = {
     "q_entity_resolution",
     # constant-size (grid-geometry-bounded) edge collect + union-find
     "q_cluster_griddensity",
+    # constant-size (state-space-bounded) transition-matrix collect +
+    # driver-side exact-integer chain iteration
+    "q_attribution_markov",
+    # cosine-pair mining + connected-components fixpoint
+    "q_dedup_semantic",
 }
 
 # MLlib estimator queries: ``Estimator.fit`` is TRAINING — an action by

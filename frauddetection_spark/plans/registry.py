@@ -283,6 +283,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_chain_ladder",
     "q_compress_ratio",
     "q_dedup_semantic",
+    "q_anova_f",
 )
 
 

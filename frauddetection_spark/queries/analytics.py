@@ -1920,3 +1920,126 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("feature", "n_cells", "mi_nats")
         .orderBy("feature")
     )
+
+
+# ---------------------------------------------------------------------------
+# A10+ — one-way ANOVA F (between/within variance decomposition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS s_view,
+               CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sg,
+               CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+                   AS ssg
+        FROM events
+    )
+    SELECT CAST(5 AS BIGINT) AS k, nn,
+           ((CAST(s_click AS DOUBLE) * s_click / n_click)
+           + (CAST(s_error AS DOUBLE) * s_error / n_error)
+           + (CAST(s_purchase AS DOUBLE) * s_purchase / n_purchase)
+           + (CAST(s_signup AS DOUBLE) * s_signup / n_signup)
+           + (CAST(s_view AS DOUBLE) * s_view / n_view))
+               - CAST(sg AS DOUBLE) * sg / nn AS ss_between,
+           CAST(ssg AS DOUBLE) - ((CAST(s_click AS DOUBLE) * s_click / n_click)
+           + (CAST(s_error AS DOUBLE) * s_error / n_error)
+           + (CAST(s_purchase AS DOUBLE) * s_purchase / n_purchase)
+           + (CAST(s_signup AS DOUBLE) * s_signup / n_signup)
+           + (CAST(s_view AS DOUBLE) * s_view / n_view)) AS ss_within,
+           ((((CAST(s_click AS DOUBLE) * s_click / n_click)
+           + (CAST(s_error AS DOUBLE) * s_error / n_error)
+           + (CAST(s_purchase AS DOUBLE) * s_purchase / n_purchase)
+           + (CAST(s_signup AS DOUBLE) * s_signup / n_signup)
+           + (CAST(s_view AS DOUBLE) * s_view / n_view))
+             - CAST(sg AS DOUBLE) * sg / nn) / (5 - 1))
+               / ((CAST(ssg AS DOUBLE) - ((CAST(s_click AS DOUBLE) * s_click / n_click)
+           + (CAST(s_error AS DOUBLE) * s_error / n_error)
+           + (CAST(s_purchase AS DOUBLE) * s_purchase / n_purchase)
+           + (CAST(s_signup AS DOUBLE) * s_signup / n_signup)
+           + (CAST(s_view AS DOUBLE) * s_view / n_view))) / (nn - 5))
+               AS f_stat
+    FROM cells
+    """,
+    survey="A10,A11",
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean spend differ across the five event
+    types? The k-group generalization of the suite's two-sample tests
+    (q_ttest_welch compares two groups; running k·(k−1)/2 pairwise
+    t-tests inflates false positives — the F test is the single gate
+    before pairwise drill-down). Sufficient statistics are exact
+    (per-type n and Σcents as int64, global Σcents² as
+    decimal/HUGEINT); SS_between = Σ(s²/n) − S²/N and SS_within =
+    Σc² − Σ(s²/n). The Σ(s²/n) float sum is ORDER-dependent across
+    engines, so the five per-type terms pivot into ONE row via
+    conditional aggregation over the fixed type domain and add in a
+    single written left-to-right order identical in both twins — the
+    q_did fixed-cell discipline. Scale: one partial-aggregated pass
+    to a single row, then scalar math."""
+    e = t(spark, sf_dir, "events")
+    c = cents("value")
+    cells = e.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "click", c).otherwise(0))
+        .cast("bigint")
+        .alias("s_click"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_error"),
+        F.sum(F.when(F.col("event_type") == "error", c).otherwise(0))
+        .cast("bigint")
+        .alias("s_error"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("s_purchase"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_signup"),
+        F.sum(F.when(F.col("event_type") == "signup", c).otherwise(0))
+        .cast("bigint")
+        .alias("s_signup"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "view", c).otherwise(0))
+        .cast("bigint")
+        .alias("s_view"),
+        F.count("*").alias("nn"),
+        F.sum(c).alias("sg"),
+        F.sum(c.cast("decimal(38,0)") * c).alias("ssg"),
+    )
+    sq_over_n = (
+        (F.col("s_click").cast("double") * F.col("s_click") / F.col("n_click"))
+        + (F.col("s_error").cast("double") * F.col("s_error") / F.col("n_error"))
+        + (F.col("s_purchase").cast("double") * F.col("s_purchase") / F.col("n_purchase"))
+        + (F.col("s_signup").cast("double") * F.col("s_signup") / F.col("n_signup"))
+        + (F.col("s_view").cast("double") * F.col("s_view") / F.col("n_view"))
+    )
+    ssb = sq_over_n - F.col("sg").cast("double") * F.col("sg") / F.col("nn")
+    ssw = F.col("ssg").cast("double") - sq_over_n
+    return cells.select(
+        F.lit(5).cast("bigint").alias("k"),
+        F.col("nn").cast("bigint").alias("nn"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (5 - 1)) / (ssw / (F.col("nn") - 5))).alias("f_stat"),
+    )

@@ -284,6 +284,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_compress_ratio",
     "q_dedup_semantic",
     "q_anova_f",
+    "q_auc_delong",
 )
 
 

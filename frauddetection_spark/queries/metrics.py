@@ -526,3 +526,160 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("threshold_q6").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# M5+ — DeLong variance of the AUC (is the AUC significantly > chance?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_auc_delong",
+    oracle=f"""
+    WITH s AS ({_SQL_SCORED}),
+    grain AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(label) AS BIGINT) AS np_g
+        FROM s GROUP BY 1
+    ),
+    pre AS (
+        SELECT score, n_g, np_g,
+               CAST(coalesce(sum(n_g) OVER w, 0) AS BIGINT) AS cum_n_before,
+               CAST(coalesce(sum(np_g) OVER w, 0) AS BIGINT) AS cum_np_before
+        FROM grain
+        WINDOW w AS (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    tot AS (
+        SELECT CAST(sum(np_g) AS BIGINT) AS n_pos,
+               CAST(sum(n_g - np_g) AS BIGINT) AS n_neg
+        FROM grain
+    ),
+    q AS (
+        SELECT p.np_g, p.n_g - p.np_g AS nn_g,
+               2 * (p.cum_n_before - p.cum_np_before)
+                   + (p.n_g - p.np_g) AS v10_q,
+               2 * t.n_pos - 2 * p.cum_np_before - p.np_g AS v01_q,
+               t.n_pos, t.n_neg
+        FROM pre p CROSS JOIN tot t
+    ),
+    moments AS (
+        SELECT max(n_pos) AS n_pos, max(n_neg) AS n_neg,
+               CAST(sum(np_g * v10_q) AS BIGINT) AS s10_1,
+               CAST(sum(np_g * CAST(v10_q AS HUGEINT) * v10_q) AS HUGEINT)
+                   AS s10_2,
+               CAST(sum(nn_g * v01_q) AS BIGINT) AS s01_1,
+               CAST(sum(nn_g * CAST(v01_q AS HUGEINT) * v01_q) AS HUGEINT)
+                   AS s01_2
+        FROM q
+    )
+    SELECT n_pos, n_neg,
+           CAST(s10_1 AS DOUBLE) / nullif(2.0 * n_neg * n_pos, 0) AS auc,
+           ((CAST(s10_2 AS DOUBLE) - CAST(s10_1 AS DOUBLE) * s10_1 / nullif(n_pos, 0))
+             / nullif(n_pos - 1, 0) / nullif(4.0 * n_neg * n_neg, 0)) / nullif(n_pos, 0)
+           + ((CAST(s01_2 AS DOUBLE) - CAST(s01_1 AS DOUBLE) * s01_1 / nullif(n_neg, 0))
+             / nullif(n_neg - 1, 0) / nullif(4.0 * n_pos * n_pos, 0)) / nullif(n_neg, 0) AS var_auc,
+           sqrt(((CAST(s10_2 AS DOUBLE) - CAST(s10_1 AS DOUBLE) * s10_1 / nullif(n_pos, 0))
+             / nullif(n_pos - 1, 0) / nullif(4.0 * n_neg * n_neg, 0)) / nullif(n_pos, 0)
+           + ((CAST(s01_2 AS DOUBLE) - CAST(s01_1 AS DOUBLE) * s01_1 / nullif(n_neg, 0))
+             / nullif(n_neg - 1, 0) / nullif(4.0 * n_pos * n_pos, 0)) / nullif(n_neg, 0)) AS se_auc,
+           (CAST(s10_1 AS DOUBLE) / nullif(2.0 * n_neg * n_pos, 0) - 0.5)
+             / nullif(sqrt(((CAST(s10_2 AS DOUBLE) - CAST(s10_1 AS DOUBLE) * s10_1 / nullif(n_pos, 0))
+               / nullif(n_pos - 1, 0) / nullif(4.0 * n_neg * n_neg, 0)) / nullif(n_pos, 0)
+             + ((CAST(s01_2 AS DOUBLE) - CAST(s01_1 AS DOUBLE) * s01_1 / nullif(n_neg, 0))
+               / nullif(n_neg - 1, 0) / nullif(4.0 * n_pos * n_pos, 0)) / nullif(n_neg, 0)), 0) AS z_vs_chance
+    FROM moments
+    """,
+    survey="M5,A10",
+)
+def q_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance of the ROC-AUC — the inference layer on top of
+    q_metric_auc that model monitoring actually needs ('AUC fell from
+    0.74 to 0.71 — noise or drift?'): per-observation placement
+    values V₁₀ (each positive's fraction of negatives ranked below,
+    ties half) and V₀₁, whose sample variances give
+    Var(AUC) = S₁₀/n⁺ + S₀₁/n⁻. Exactness: placements are rationals
+    with denominator 2n⁻ (resp. 2n⁺), so each tie-group's placement
+    QUANTIZES to the exact integer 2·cum_neg_before + neg_in_group —
+    no float placement ever sums across groups; both first and second
+    moments ride int64/decimal, and AUC itself falls out of the same
+    integers (Σnp·V10q / 2n⁻n⁺ ≡ the Mann-Whitney form). The score
+    grain comes from ONE aggregation + the two-phase prefix_rank —
+    same scale shape as q_metric_auc, no row-level global window.
+    Reference parity: the reference reports sklearn's point AUC
+    (new_utlis_1.py:35-50) with no uncertainty at all."""
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    scored = _scored(t(spark, sf_dir, "events"))
+    grain = scored.groupBy("score").agg(
+        F.count("*").alias("n_g"), F.sum("label").cast("bigint").alias("np_g")
+    )
+    pr = prefix_rank(
+        grain,
+        [F.col("score")],
+        sums={"cum_n": F.col("n_g"), "cum_np": F.col("np_g")},
+    )
+    pre = pr.select(
+        "n_g",
+        "np_g",
+        (F.col("cum_n") - F.col("n_g")).alias("cum_n_before"),
+        (F.col("cum_np") - F.col("np_g")).alias("cum_np_before"),
+    )
+    tot = grain.agg(
+        F.sum("np_g").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n_g") - F.col("np_g")).cast("bigint").alias("n_neg"),
+    )
+    q = pre.crossJoin(F.broadcast(tot)).select(
+        "np_g",
+        (F.col("n_g") - F.col("np_g")).alias("nn_g"),
+        (
+            2 * (F.col("cum_n_before") - F.col("cum_np_before"))
+            + (F.col("n_g") - F.col("np_g"))
+        ).alias("v10_q"),
+        (2 * F.col("n_pos") - 2 * F.col("cum_np_before") - F.col("np_g")).alias(
+            "v01_q"
+        ),
+        "n_pos",
+        "n_neg",
+    )
+    m = q.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(F.col("np_g") * F.col("v10_q")).cast("bigint").alias("s10_1"),
+        F.sum(
+            F.col("np_g").cast("decimal(38,0)") * F.col("v10_q") * F.col("v10_q")
+        ).alias("s10_2"),
+        F.sum(F.col("nn_g") * F.col("v01_q")).cast("bigint").alias("s01_1"),
+        F.sum(
+            F.col("nn_g").cast("decimal(38,0)") * F.col("v01_q") * F.col("v01_q")
+        ).alias("s01_2"),
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    nz = lambda col: F.nullif(col, F.lit(0))  # noqa: E731  degenerate-class guard
+    auc = F.col("s10_1").cast("double") / nz(2.0 * nneg * npos)
+    s10 = (
+        (
+            F.col("s10_2").cast("double")
+            - F.col("s10_1").cast("double") * F.col("s10_1") / nz(npos.cast("double"))
+        )
+        / nz((npos - 1).cast("double"))
+        / nz(4.0 * nneg * nneg)
+    )
+    s01 = (
+        (
+            F.col("s01_2").cast("double")
+            - F.col("s01_1").cast("double") * F.col("s01_1") / nz(nneg.cast("double"))
+        )
+        / nz((nneg - 1).cast("double"))
+        / nz(4.0 * npos * npos)
+    )
+    var = s10 / nz(npos.cast("double")) + s01 / nz(nneg.cast("double"))
+    return m.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        var.alias("var_auc"),
+        F.sqrt(var).alias("se_auc"),
+        # var can be exactly 0 (degenerate: every placement identical)
+        ((auc - 0.5) / nz(F.sqrt(var))).alias("z_vs_chance"),
+    )

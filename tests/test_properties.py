@@ -1045,3 +1045,14 @@ def test_compress_ratio_orders_entropy(spark, sf_dir):
     # DEFLATE worst case is raw + ~11 bytes + 5/16KB-block — an
     # ABSOLUTE overhead, so short docs legitimately exceed ratio 1
     assert out.filter(F.col("zip_total") > F.col("raw_total") + 32 * F.col("n_docs")).count() == 0
+
+
+def test_delong_auc_matches_point_auc(spark):
+    # the placement-value AUC must equal the Mann-Whitney rank AUC
+    # (same integers, different arrangement), and the variance must be
+    # positive with z consistent. Pinned at sf0.01: sf0.001 has zero
+    # positives (fixture threshold) and the whole row is NULL-guarded.
+    d = REGISTRY["q_auc_delong"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    a = REGISTRY["q_metric_auc"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert abs(d["auc"] - a["auc"]) < 1e-12
+    assert d["var_auc"] > 0

@@ -285,6 +285,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_dedup_semantic",
     "q_anova_f",
     "q_auc_delong",
+    "q_brier_decomp",
 )
 
 

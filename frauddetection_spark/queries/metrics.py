@@ -683,3 +683,220 @@ def q_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
         # var can be exactly 0 (degenerate: every placement identical)
         ((auc - 0.5) / nz(F.sqrt(var))).alias("z_vs_chance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M5+ — Brier score with Murphy decomposition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_brier_decomp",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    >= 15 AS INTEGER) AS y,
+               (CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS s_q6,
+               least((CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                                END) AS BIGINT) * 10)
+                     // CAST(count(*) AS BIGINT), 9) AS bin
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+               CAST(sum(CASE WHEN bin = 0 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_0,
+               CAST(sum(CASE WHEN bin = 0 THEN y ELSE 0 END) AS BIGINT) AS p_0,
+               CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+               CAST(sum(CASE WHEN bin = 1 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_1,
+               CAST(sum(CASE WHEN bin = 1 THEN y ELSE 0 END) AS BIGINT) AS p_1,
+               CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+               CAST(sum(CASE WHEN bin = 2 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_2,
+               CAST(sum(CASE WHEN bin = 2 THEN y ELSE 0 END) AS BIGINT) AS p_2,
+               CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+               CAST(sum(CASE WHEN bin = 3 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_3,
+               CAST(sum(CASE WHEN bin = 3 THEN y ELSE 0 END) AS BIGINT) AS p_3,
+               CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+               CAST(sum(CASE WHEN bin = 4 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_4,
+               CAST(sum(CASE WHEN bin = 4 THEN y ELSE 0 END) AS BIGINT) AS p_4,
+               CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_5,
+               CAST(sum(CASE WHEN bin = 5 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_5,
+               CAST(sum(CASE WHEN bin = 5 THEN y ELSE 0 END) AS BIGINT) AS p_5,
+               CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_6,
+               CAST(sum(CASE WHEN bin = 6 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_6,
+               CAST(sum(CASE WHEN bin = 6 THEN y ELSE 0 END) AS BIGINT) AS p_6,
+               CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_7,
+               CAST(sum(CASE WHEN bin = 7 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_7,
+               CAST(sum(CASE WHEN bin = 7 THEN y ELSE 0 END) AS BIGINT) AS p_7,
+               CAST(sum(CASE WHEN bin = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_8,
+               CAST(sum(CASE WHEN bin = 8 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_8,
+               CAST(sum(CASE WHEN bin = 8 THEN y ELSE 0 END) AS BIGINT) AS p_8,
+               CAST(sum(CASE WHEN bin = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_9,
+               CAST(sum(CASE WHEN bin = 9 THEN s_q6 ELSE 0 END) AS BIGINT) AS s_9,
+               CAST(sum(CASE WHEN bin = 9 THEN y ELSE 0 END) AS BIGINT) AS p_9,
+               CAST(count(*) AS BIGINT) AS nn,
+               CAST(sum(y) AS BIGINT) AS pp,
+               CAST(sum(CAST(s_q6 - 1000000 * y AS HUGEINT)
+                        * (s_q6 - 1000000 * y)) AS HUGEINT) AS bq12
+        FROM s
+    )
+    SELECT nn AS n_users, pp AS n_pos,
+           CAST(bq12 AS DOUBLE) / 1e12 / nn AS brier,
+           ((CASE WHEN n_0 = 0 THEN 0 ELSE CAST(s_0 - 1000000 * p_0 AS DOUBLE) * (s_0 - 1000000 * p_0) / n_0 / 1e12 END)
+             + (CASE WHEN n_1 = 0 THEN 0 ELSE CAST(s_1 - 1000000 * p_1 AS DOUBLE) * (s_1 - 1000000 * p_1) / n_1 / 1e12 END)
+             + (CASE WHEN n_2 = 0 THEN 0 ELSE CAST(s_2 - 1000000 * p_2 AS DOUBLE) * (s_2 - 1000000 * p_2) / n_2 / 1e12 END)
+             + (CASE WHEN n_3 = 0 THEN 0 ELSE CAST(s_3 - 1000000 * p_3 AS DOUBLE) * (s_3 - 1000000 * p_3) / n_3 / 1e12 END)
+             + (CASE WHEN n_4 = 0 THEN 0 ELSE CAST(s_4 - 1000000 * p_4 AS DOUBLE) * (s_4 - 1000000 * p_4) / n_4 / 1e12 END)
+             + (CASE WHEN n_5 = 0 THEN 0 ELSE CAST(s_5 - 1000000 * p_5 AS DOUBLE) * (s_5 - 1000000 * p_5) / n_5 / 1e12 END)
+             + (CASE WHEN n_6 = 0 THEN 0 ELSE CAST(s_6 - 1000000 * p_6 AS DOUBLE) * (s_6 - 1000000 * p_6) / n_6 / 1e12 END)
+             + (CASE WHEN n_7 = 0 THEN 0 ELSE CAST(s_7 - 1000000 * p_7 AS DOUBLE) * (s_7 - 1000000 * p_7) / n_7 / 1e12 END)
+             + (CASE WHEN n_8 = 0 THEN 0 ELSE CAST(s_8 - 1000000 * p_8 AS DOUBLE) * (s_8 - 1000000 * p_8) / n_8 / 1e12 END)
+             + (CASE WHEN n_9 = 0 THEN 0 ELSE CAST(s_9 - 1000000 * p_9 AS DOUBLE) * (s_9 - 1000000 * p_9) / n_9 / 1e12 END)) / nn AS reliability,
+           ((CASE WHEN n_0 = 0 THEN 0 ELSE n_0 * (CAST(p_0 AS DOUBLE) / n_0 - CAST(pp AS DOUBLE) / nn) * (CAST(p_0 AS DOUBLE) / n_0 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_1 = 0 THEN 0 ELSE n_1 * (CAST(p_1 AS DOUBLE) / n_1 - CAST(pp AS DOUBLE) / nn) * (CAST(p_1 AS DOUBLE) / n_1 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_2 = 0 THEN 0 ELSE n_2 * (CAST(p_2 AS DOUBLE) / n_2 - CAST(pp AS DOUBLE) / nn) * (CAST(p_2 AS DOUBLE) / n_2 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_3 = 0 THEN 0 ELSE n_3 * (CAST(p_3 AS DOUBLE) / n_3 - CAST(pp AS DOUBLE) / nn) * (CAST(p_3 AS DOUBLE) / n_3 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_4 = 0 THEN 0 ELSE n_4 * (CAST(p_4 AS DOUBLE) / n_4 - CAST(pp AS DOUBLE) / nn) * (CAST(p_4 AS DOUBLE) / n_4 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_5 = 0 THEN 0 ELSE n_5 * (CAST(p_5 AS DOUBLE) / n_5 - CAST(pp AS DOUBLE) / nn) * (CAST(p_5 AS DOUBLE) / n_5 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_6 = 0 THEN 0 ELSE n_6 * (CAST(p_6 AS DOUBLE) / n_6 - CAST(pp AS DOUBLE) / nn) * (CAST(p_6 AS DOUBLE) / n_6 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_7 = 0 THEN 0 ELSE n_7 * (CAST(p_7 AS DOUBLE) / n_7 - CAST(pp AS DOUBLE) / nn) * (CAST(p_7 AS DOUBLE) / n_7 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_8 = 0 THEN 0 ELSE n_8 * (CAST(p_8 AS DOUBLE) / n_8 - CAST(pp AS DOUBLE) / nn) * (CAST(p_8 AS DOUBLE) / n_8 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_9 = 0 THEN 0 ELSE n_9 * (CAST(p_9 AS DOUBLE) / n_9 - CAST(pp AS DOUBLE) / nn) * (CAST(p_9 AS DOUBLE) / n_9 - CAST(pp AS DOUBLE) / nn) END)) / nn AS resolution,
+           (CAST(pp AS DOUBLE) / nn) * (1 - CAST(pp AS DOUBLE) / nn)
+               AS uncertainty,
+           CAST(bq12 AS DOUBLE) / 1e12 / nn
+             - ((CASE WHEN n_0 = 0 THEN 0 ELSE CAST(s_0 - 1000000 * p_0 AS DOUBLE) * (s_0 - 1000000 * p_0) / n_0 / 1e12 END)
+             + (CASE WHEN n_1 = 0 THEN 0 ELSE CAST(s_1 - 1000000 * p_1 AS DOUBLE) * (s_1 - 1000000 * p_1) / n_1 / 1e12 END)
+             + (CASE WHEN n_2 = 0 THEN 0 ELSE CAST(s_2 - 1000000 * p_2 AS DOUBLE) * (s_2 - 1000000 * p_2) / n_2 / 1e12 END)
+             + (CASE WHEN n_3 = 0 THEN 0 ELSE CAST(s_3 - 1000000 * p_3 AS DOUBLE) * (s_3 - 1000000 * p_3) / n_3 / 1e12 END)
+             + (CASE WHEN n_4 = 0 THEN 0 ELSE CAST(s_4 - 1000000 * p_4 AS DOUBLE) * (s_4 - 1000000 * p_4) / n_4 / 1e12 END)
+             + (CASE WHEN n_5 = 0 THEN 0 ELSE CAST(s_5 - 1000000 * p_5 AS DOUBLE) * (s_5 - 1000000 * p_5) / n_5 / 1e12 END)
+             + (CASE WHEN n_6 = 0 THEN 0 ELSE CAST(s_6 - 1000000 * p_6 AS DOUBLE) * (s_6 - 1000000 * p_6) / n_6 / 1e12 END)
+             + (CASE WHEN n_7 = 0 THEN 0 ELSE CAST(s_7 - 1000000 * p_7 AS DOUBLE) * (s_7 - 1000000 * p_7) / n_7 / 1e12 END)
+             + (CASE WHEN n_8 = 0 THEN 0 ELSE CAST(s_8 - 1000000 * p_8 AS DOUBLE) * (s_8 - 1000000 * p_8) / n_8 / 1e12 END)
+             + (CASE WHEN n_9 = 0 THEN 0 ELSE CAST(s_9 - 1000000 * p_9 AS DOUBLE) * (s_9 - 1000000 * p_9) / n_9 / 1e12 END)) / nn
+             + ((CASE WHEN n_0 = 0 THEN 0 ELSE n_0 * (CAST(p_0 AS DOUBLE) / n_0 - CAST(pp AS DOUBLE) / nn) * (CAST(p_0 AS DOUBLE) / n_0 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_1 = 0 THEN 0 ELSE n_1 * (CAST(p_1 AS DOUBLE) / n_1 - CAST(pp AS DOUBLE) / nn) * (CAST(p_1 AS DOUBLE) / n_1 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_2 = 0 THEN 0 ELSE n_2 * (CAST(p_2 AS DOUBLE) / n_2 - CAST(pp AS DOUBLE) / nn) * (CAST(p_2 AS DOUBLE) / n_2 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_3 = 0 THEN 0 ELSE n_3 * (CAST(p_3 AS DOUBLE) / n_3 - CAST(pp AS DOUBLE) / nn) * (CAST(p_3 AS DOUBLE) / n_3 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_4 = 0 THEN 0 ELSE n_4 * (CAST(p_4 AS DOUBLE) / n_4 - CAST(pp AS DOUBLE) / nn) * (CAST(p_4 AS DOUBLE) / n_4 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_5 = 0 THEN 0 ELSE n_5 * (CAST(p_5 AS DOUBLE) / n_5 - CAST(pp AS DOUBLE) / nn) * (CAST(p_5 AS DOUBLE) / n_5 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_6 = 0 THEN 0 ELSE n_6 * (CAST(p_6 AS DOUBLE) / n_6 - CAST(pp AS DOUBLE) / nn) * (CAST(p_6 AS DOUBLE) / n_6 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_7 = 0 THEN 0 ELSE n_7 * (CAST(p_7 AS DOUBLE) / n_7 - CAST(pp AS DOUBLE) / nn) * (CAST(p_7 AS DOUBLE) / n_7 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_8 = 0 THEN 0 ELSE n_8 * (CAST(p_8 AS DOUBLE) / n_8 - CAST(pp AS DOUBLE) / nn) * (CAST(p_8 AS DOUBLE) / n_8 - CAST(pp AS DOUBLE) / nn) END)
+             + (CASE WHEN n_9 = 0 THEN 0 ELSE n_9 * (CAST(p_9 AS DOUBLE) / n_9 - CAST(pp AS DOUBLE) / nn) * (CAST(p_9 AS DOUBLE) / n_9 - CAST(pp AS DOUBLE) / nn) END)) / nn
+             - (CAST(pp AS DOUBLE) / nn) * (1 - CAST(pp AS DOUBLE) / nn)
+               AS within_bin
+    FROM cells
+    """,
+    survey="M5,A6",
+)
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition BS ≈ reliability −
+    resolution + uncertainty — the scoring-rule completion of
+    q_metric_calibration: reliability says how far bin forecasts sit
+    from bin outcomes (lower better), resolution how much the bins
+    separate outcomes (higher better), uncertainty the irreducible
+    outcome variance; the emitted within_bin residual is the part the
+    binned identity misses when forecasts vary inside bins (exactly
+    zero only for K-valued forecasts — reporting it keeps the
+    decomposition honest rather than silently approximate).
+    Forecasts quantize to exact integers (s_q6 = n_err·1e6 div n; the
+    Brier sum rides decimal/HUGEINT), bins are the calibration
+    query's pure-integer deciles, and the ten per-bin float terms
+    pivot into ONE row over the FIXED bin domain 0..9 and add in a
+    single written order with zero-bin guards — the q_anova_f / q_did
+    fixed-cell discipline. One groupBy(user) + one single-row
+    conditional aggregate."""
+    e = t(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    s = e.groupBy("user_id").agg(
+        (n_err >= ERROR_THRESHOLD).cast("int").alias("y"),
+        F.expr(
+            "(cast(sum(case when event_type = 'error' then 1 else 0 end)"
+            " as bigint) * 1000000) div cast(count(*) as bigint)"
+        ).alias("s_q6"),
+        F.least(
+            F.expr(
+                "(cast(sum(case when event_type = 'error' then 1 else 0 end)"
+                " as bigint) * 10) div cast(count(*) as bigint)"
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    cells = s.agg(
+        F.sum(F.when(F.col("bin") == 0, 1).otherwise(0)).cast("bigint").alias("n_0"),
+        F.sum(F.when(F.col("bin") == 0, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_0"),
+        F.sum(F.when(F.col("bin") == 0, F.col("y")).otherwise(0)).cast("bigint").alias("p_0"),
+        F.sum(F.when(F.col("bin") == 1, 1).otherwise(0)).cast("bigint").alias("n_1"),
+        F.sum(F.when(F.col("bin") == 1, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_1"),
+        F.sum(F.when(F.col("bin") == 1, F.col("y")).otherwise(0)).cast("bigint").alias("p_1"),
+        F.sum(F.when(F.col("bin") == 2, 1).otherwise(0)).cast("bigint").alias("n_2"),
+        F.sum(F.when(F.col("bin") == 2, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_2"),
+        F.sum(F.when(F.col("bin") == 2, F.col("y")).otherwise(0)).cast("bigint").alias("p_2"),
+        F.sum(F.when(F.col("bin") == 3, 1).otherwise(0)).cast("bigint").alias("n_3"),
+        F.sum(F.when(F.col("bin") == 3, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_3"),
+        F.sum(F.when(F.col("bin") == 3, F.col("y")).otherwise(0)).cast("bigint").alias("p_3"),
+        F.sum(F.when(F.col("bin") == 4, 1).otherwise(0)).cast("bigint").alias("n_4"),
+        F.sum(F.when(F.col("bin") == 4, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_4"),
+        F.sum(F.when(F.col("bin") == 4, F.col("y")).otherwise(0)).cast("bigint").alias("p_4"),
+        F.sum(F.when(F.col("bin") == 5, 1).otherwise(0)).cast("bigint").alias("n_5"),
+        F.sum(F.when(F.col("bin") == 5, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_5"),
+        F.sum(F.when(F.col("bin") == 5, F.col("y")).otherwise(0)).cast("bigint").alias("p_5"),
+        F.sum(F.when(F.col("bin") == 6, 1).otherwise(0)).cast("bigint").alias("n_6"),
+        F.sum(F.when(F.col("bin") == 6, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_6"),
+        F.sum(F.when(F.col("bin") == 6, F.col("y")).otherwise(0)).cast("bigint").alias("p_6"),
+        F.sum(F.when(F.col("bin") == 7, 1).otherwise(0)).cast("bigint").alias("n_7"),
+        F.sum(F.when(F.col("bin") == 7, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_7"),
+        F.sum(F.when(F.col("bin") == 7, F.col("y")).otherwise(0)).cast("bigint").alias("p_7"),
+        F.sum(F.when(F.col("bin") == 8, 1).otherwise(0)).cast("bigint").alias("n_8"),
+        F.sum(F.when(F.col("bin") == 8, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_8"),
+        F.sum(F.when(F.col("bin") == 8, F.col("y")).otherwise(0)).cast("bigint").alias("p_8"),
+        F.sum(F.when(F.col("bin") == 9, 1).otherwise(0)).cast("bigint").alias("n_9"),
+        F.sum(F.when(F.col("bin") == 9, F.col("s_q6")).otherwise(0)).cast("bigint").alias("s_9"),
+        F.sum(F.when(F.col("bin") == 9, F.col("y")).otherwise(0)).cast("bigint").alias("p_9"),
+        F.count("*").alias("nn"),
+        F.sum("y").cast("bigint").alias("pp"),
+        F.sum(
+            (F.col("s_q6") - 1000000 * F.col("y")).cast("decimal(38,0)")
+            * (F.col("s_q6") - 1000000 * F.col("y"))
+        ).alias("bq12"),
+    )
+    rel = (
+        F.when(F.col("n_0") == 0, 0.0).otherwise((F.col("s_0") - 1000000 * F.col("p_0")).cast("double") * (F.col("s_0") - 1000000 * F.col("p_0")) / F.col("n_0") / F.lit(1e12))
+        + F.when(F.col("n_1") == 0, 0.0).otherwise((F.col("s_1") - 1000000 * F.col("p_1")).cast("double") * (F.col("s_1") - 1000000 * F.col("p_1")) / F.col("n_1") / F.lit(1e12))
+        + F.when(F.col("n_2") == 0, 0.0).otherwise((F.col("s_2") - 1000000 * F.col("p_2")).cast("double") * (F.col("s_2") - 1000000 * F.col("p_2")) / F.col("n_2") / F.lit(1e12))
+        + F.when(F.col("n_3") == 0, 0.0).otherwise((F.col("s_3") - 1000000 * F.col("p_3")).cast("double") * (F.col("s_3") - 1000000 * F.col("p_3")) / F.col("n_3") / F.lit(1e12))
+        + F.when(F.col("n_4") == 0, 0.0).otherwise((F.col("s_4") - 1000000 * F.col("p_4")).cast("double") * (F.col("s_4") - 1000000 * F.col("p_4")) / F.col("n_4") / F.lit(1e12))
+        + F.when(F.col("n_5") == 0, 0.0).otherwise((F.col("s_5") - 1000000 * F.col("p_5")).cast("double") * (F.col("s_5") - 1000000 * F.col("p_5")) / F.col("n_5") / F.lit(1e12))
+        + F.when(F.col("n_6") == 0, 0.0).otherwise((F.col("s_6") - 1000000 * F.col("p_6")).cast("double") * (F.col("s_6") - 1000000 * F.col("p_6")) / F.col("n_6") / F.lit(1e12))
+        + F.when(F.col("n_7") == 0, 0.0).otherwise((F.col("s_7") - 1000000 * F.col("p_7")).cast("double") * (F.col("s_7") - 1000000 * F.col("p_7")) / F.col("n_7") / F.lit(1e12))
+        + F.when(F.col("n_8") == 0, 0.0).otherwise((F.col("s_8") - 1000000 * F.col("p_8")).cast("double") * (F.col("s_8") - 1000000 * F.col("p_8")) / F.col("n_8") / F.lit(1e12))
+        + F.when(F.col("n_9") == 0, 0.0).otherwise((F.col("s_9") - 1000000 * F.col("p_9")).cast("double") * (F.col("s_9") - 1000000 * F.col("p_9")) / F.col("n_9") / F.lit(1e12))
+    ) / F.col("nn")
+    res = (
+        F.when(F.col("n_0") == 0, 0.0).otherwise(F.col("n_0") * (F.col("p_0").cast("double") / F.col("n_0") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_0").cast("double") / F.col("n_0") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_1") == 0, 0.0).otherwise(F.col("n_1") * (F.col("p_1").cast("double") / F.col("n_1") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_1").cast("double") / F.col("n_1") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_2") == 0, 0.0).otherwise(F.col("n_2") * (F.col("p_2").cast("double") / F.col("n_2") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_2").cast("double") / F.col("n_2") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_3") == 0, 0.0).otherwise(F.col("n_3") * (F.col("p_3").cast("double") / F.col("n_3") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_3").cast("double") / F.col("n_3") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_4") == 0, 0.0).otherwise(F.col("n_4") * (F.col("p_4").cast("double") / F.col("n_4") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_4").cast("double") / F.col("n_4") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_5") == 0, 0.0).otherwise(F.col("n_5") * (F.col("p_5").cast("double") / F.col("n_5") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_5").cast("double") / F.col("n_5") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_6") == 0, 0.0).otherwise(F.col("n_6") * (F.col("p_6").cast("double") / F.col("n_6") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_6").cast("double") / F.col("n_6") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_7") == 0, 0.0).otherwise(F.col("n_7") * (F.col("p_7").cast("double") / F.col("n_7") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_7").cast("double") / F.col("n_7") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_8") == 0, 0.0).otherwise(F.col("n_8") * (F.col("p_8").cast("double") / F.col("n_8") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_8").cast("double") / F.col("n_8") - F.col("pp").cast("double") / F.col("nn")))
+        + F.when(F.col("n_9") == 0, 0.0).otherwise(F.col("n_9") * (F.col("p_9").cast("double") / F.col("n_9") - F.col("pp").cast("double") / F.col("nn")) * (F.col("p_9").cast("double") / F.col("n_9") - F.col("pp").cast("double") / F.col("nn")))
+    ) / F.col("nn")
+    brier = F.col("bq12").cast("double") / F.lit(1e12) / F.col("nn")
+    unc = (F.col("pp").cast("double") / F.col("nn")) * (
+        1 - F.col("pp").cast("double") / F.col("nn")
+    )
+    return cells.select(
+        F.col("nn").cast("bigint").alias("n_users"),
+        F.col("pp").cast("bigint").alias("n_pos"),
+        brier.alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        (brier - rel + res - unc).alias("within_bin"),
+    )

@@ -1056,3 +1056,16 @@ def test_delong_auc_matches_point_auc(spark):
     a = REGISTRY["q_metric_auc"].fn(spark, "/root/testdata/sf0.01").collect()[0]
     assert abs(d["auc"] - a["auc"]) < 1e-12
     assert d["var_auc"] > 0
+
+
+def test_brier_decomposition_consistency(spark):
+    # rel/res/unc nonnegative; BS in [0,1]; the binned identity holds
+    # up to the reported within-bin residual (which must be small
+    # relative to BS for decile bins)
+    r = REGISTRY["q_brier_decomp"].fn(spark, "/root/testdata/sf0.01").collect()[0]
+    assert 0 <= r["brier"] <= 1
+    assert r["reliability"] >= 0 and r["resolution"] >= 0 and r["uncertainty"] >= 0
+    lhs = r["brier"]
+    rhs = r["reliability"] - r["resolution"] + r["uncertainty"] + r["within_bin"]
+    assert abs(lhs - rhs) < 1e-12
+    assert abs(r["within_bin"]) <= max(0.05, 0.5 * r["brier"])

@@ -265,6 +265,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         "q_entity_resolution",  # connected-components step is iterative
         "q_cluster_griddensity",  # connected-components step is iterative
         "q_viz_projection",  # MLlib PCA .fit() is execution
+        "q_attribution_markov",  # constant-size transition-matrix collect
+        "q_dedup_semantic",  # connected-components step is iterative
     }
     reg = load_all()
     # warm the memoized probe + CSV materialization outside the assert

@@ -286,6 +286,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_anova_f",
     "q_auc_delong",
     "q_brier_decomp",
+    "q_attribution_shapley",
 )
 
 

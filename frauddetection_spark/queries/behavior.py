@@ -2075,3 +2075,213 @@ def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_next",
         (F.col("s_next").cast("double") / F.col("s_cur")).alias("dev_factor"),
     ).orderBy("from_age")
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value attribution (coalition model; completes the trio)
+# ---------------------------------------------------------------------------
+
+_SHAP_WINDOW_US = 172800000000  # first-48h journey window per user
+
+
+@register(
+    "q_attribution_shapley",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0 FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase'
+                        THEN epoch_us(e.ts) END) AS first_p
+        FROM events e JOIN f USING (user_id)
+        WHERE epoch_us(e.ts) < f.t0 + 172800000000
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT e.user_id,
+               CAST(max(CASE WHEN e.event_type = 'view'
+                             AND (w.first_p IS NULL OR epoch_us(e.ts) < w.first_p) THEN 1 ELSE 0 END)
+                  + 2 * max(CASE WHEN e.event_type = 'click'
+                                 AND (w.first_p IS NULL OR epoch_us(e.ts) < w.first_p) THEN 1 ELSE 0 END)
+                  + 4 * max(CASE WHEN e.event_type = 'signup'
+                                 AND (w.first_p IS NULL OR epoch_us(e.ts) < w.first_p) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mask,
+               CAST(CASE WHEN max(w.first_p) IS NOT NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events e
+        JOIN f USING (user_id) JOIN w USING (user_id)
+        WHERE epoch_us(e.ts) < f.t0 + 172800000000
+        GROUP BY 1
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+               CAST(sum(CASE WHEN mask = 0 THEN conv ELSE 0 END) AS BIGINT) AS k_0,
+               CAST(sum(CASE WHEN mask = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+               CAST(sum(CASE WHEN mask = 1 THEN conv ELSE 0 END) AS BIGINT) AS k_1,
+               CAST(sum(CASE WHEN mask = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+               CAST(sum(CASE WHEN mask = 2 THEN conv ELSE 0 END) AS BIGINT) AS k_2,
+               CAST(sum(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+               CAST(sum(CASE WHEN mask = 3 THEN conv ELSE 0 END) AS BIGINT) AS k_3,
+               CAST(sum(CASE WHEN mask = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+               CAST(sum(CASE WHEN mask = 4 THEN conv ELSE 0 END) AS BIGINT) AS k_4,
+               CAST(sum(CASE WHEN mask = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_5,
+               CAST(sum(CASE WHEN mask = 5 THEN conv ELSE 0 END) AS BIGINT) AS k_5,
+               CAST(sum(CASE WHEN mask = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_6,
+               CAST(sum(CASE WHEN mask = 6 THEN conv ELSE 0 END) AS BIGINT) AS k_6,
+               CAST(sum(CASE WHEN mask = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_7,
+               CAST(sum(CASE WHEN mask = 7 THEN conv ELSE 0 END) AS BIGINT) AS k_7
+        FROM j
+    ),
+    v AS (
+        SELECT CASE WHEN n_0 = 0 THEN 0 ELSE (k_0 * 1000000000) // n_0 END AS v_0,
+           CASE WHEN n_1 = 0 THEN 0 ELSE (k_1 * 1000000000) // n_1 END AS v_1,
+           CASE WHEN n_2 = 0 THEN 0 ELSE (k_2 * 1000000000) // n_2 END AS v_2,
+           CASE WHEN n_3 = 0 THEN 0 ELSE (k_3 * 1000000000) // n_3 END AS v_3,
+           CASE WHEN n_4 = 0 THEN 0 ELSE (k_4 * 1000000000) // n_4 END AS v_4,
+           CASE WHEN n_5 = 0 THEN 0 ELSE (k_5 * 1000000000) // n_5 END AS v_5,
+           CASE WHEN n_6 = 0 THEN 0 ELSE (k_6 * 1000000000) // n_6 END AS v_6,
+           CASE WHEN n_7 = 0 THEN 0 ELSE (k_7 * 1000000000) // n_7 END AS v_7
+        FROM cells
+    ),
+    phi AS (
+        SELECT 'view' AS channel, CAST((2 * (v_1 - v_0) + 1 * (v_3 - v_2) + 1 * (v_5 - v_4) + 2 * (v_7 - v_6)) AS BIGINT) AS phi6_q9 FROM v
+        UNION ALL
+        SELECT 'click' AS channel, CAST((2 * (v_2 - v_0) + 1 * (v_3 - v_1) + 1 * (v_6 - v_4) + 2 * (v_7 - v_5)) AS BIGINT) AS phi6_q9 FROM v
+        UNION ALL
+        SELECT 'signup' AS channel, CAST((2 * (v_4 - v_0) + 1 * (v_5 - v_1) + 1 * (v_6 - v_2) + 2 * (v_7 - v_3)) AS BIGINT) AS phi6_q9 FROM v
+    )
+    SELECT channel, phi6_q9,
+           CAST(phi6_q9 AS DOUBLE) / 6e9 AS shapley_value
+    FROM phi ORDER BY channel
+    """,
+    survey="A8,J5",
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution — the coalition model completing the
+    attribution trio (q_attribution_ushape: position heuristic;
+    q_attribution_markov: chain removal; Shapley: the unique
+    efficiency/symmetry/dummy-axiom split of conversion lift): each
+    user's FIRST-48-HOURS journey collapses to a 3-bit mask of
+    channels touched before the first in-window purchase, conversion
+    = purchased in-window (the bounded window is what makes masks and
+    outcomes VARY — over a whole month every active user touches
+    every channel and the game is symmetric-degenerate), v(S) is the
+    conversion rate of users with mask exactly S, and φ_i =
+    Σ_{S∌i} w(S)·(v(S∪i) − v(S)) with the n=3 weights 6w ∈
+    {2,1,2}. Exactness: the 8 subset rates quantize to k·1e9 div n
+    integers, so each φ is an exact integer combination of 8
+    quantized rates — after one groupBy(user) and an 8-cell
+    conditional aggregate (fixed 0..7 mask domain, the
+    q_did/q_anova_f pivot discipline) the whole computation is
+    integer arithmetic on one row; /6e9 is the only float. Exact
+    Shapley is 2ⁿ by nature — n>10 channels wants sampled
+    permutations, a different operator."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    f0 = e.groupBy("user_id").agg(F.min("us").alias("t0"))
+    ew = e.join(f0, "user_id").filter(
+        F.col("us") < F.col("t0") + _SHAP_WINDOW_US
+    )
+    w = ew.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("first_p")
+    )
+    pre = F.col("first_p").isNull() | (F.col("us") < F.col("first_p"))
+    j = (
+        ew.join(w, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(
+                    F.when((F.col("event_type") == "view") & pre, 1).otherwise(0)
+                )
+                + 2
+                * F.max(
+                    F.when((F.col("event_type") == "click") & pre, 1).otherwise(0)
+                )
+                + 4
+                * F.max(
+                    F.when((F.col("event_type") == "signup") & pre, 1).otherwise(
+                        0
+                    )
+                )
+            ).cast("bigint").alias("mask"),
+            F.max(F.when(F.col("first_p").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("conv"),
+        )
+    )
+    cells = j.agg(
+        F.sum(F.when(F.col("mask") == 0, 1).otherwise(0)).cast("bigint").alias("n_0"),
+        F.sum(F.when(F.col("mask") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("k_0"),
+        F.sum(F.when(F.col("mask") == 1, 1).otherwise(0)).cast("bigint").alias("n_1"),
+        F.sum(F.when(F.col("mask") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("k_1"),
+        F.sum(F.when(F.col("mask") == 2, 1).otherwise(0)).cast("bigint").alias("n_2"),
+        F.sum(F.when(F.col("mask") == 2, F.col("conv")).otherwise(0)).cast("bigint").alias("k_2"),
+        F.sum(F.when(F.col("mask") == 3, 1).otherwise(0)).cast("bigint").alias("n_3"),
+        F.sum(F.when(F.col("mask") == 3, F.col("conv")).otherwise(0)).cast("bigint").alias("k_3"),
+        F.sum(F.when(F.col("mask") == 4, 1).otherwise(0)).cast("bigint").alias("n_4"),
+        F.sum(F.when(F.col("mask") == 4, F.col("conv")).otherwise(0)).cast("bigint").alias("k_4"),
+        F.sum(F.when(F.col("mask") == 5, 1).otherwise(0)).cast("bigint").alias("n_5"),
+        F.sum(F.when(F.col("mask") == 5, F.col("conv")).otherwise(0)).cast("bigint").alias("k_5"),
+        F.sum(F.when(F.col("mask") == 6, 1).otherwise(0)).cast("bigint").alias("n_6"),
+        F.sum(F.when(F.col("mask") == 6, F.col("conv")).otherwise(0)).cast("bigint").alias("k_6"),
+        F.sum(F.when(F.col("mask") == 7, 1).otherwise(0)).cast("bigint").alias("n_7"),
+        F.sum(F.when(F.col("mask") == 7, F.col("conv")).otherwise(0)).cast("bigint").alias("k_7"),
+    )
+    v = cells.select(
+        F.when(F.col("n_0") == 0, 0)
+        .otherwise(F.expr("(k_0 * 1000000000) div n_0"))
+        .alias("v_0"),
+        F.when(F.col("n_1") == 0, 0)
+        .otherwise(F.expr("(k_1 * 1000000000) div n_1"))
+        .alias("v_1"),
+        F.when(F.col("n_2") == 0, 0)
+        .otherwise(F.expr("(k_2 * 1000000000) div n_2"))
+        .alias("v_2"),
+        F.when(F.col("n_3") == 0, 0)
+        .otherwise(F.expr("(k_3 * 1000000000) div n_3"))
+        .alias("v_3"),
+        F.when(F.col("n_4") == 0, 0)
+        .otherwise(F.expr("(k_4 * 1000000000) div n_4"))
+        .alias("v_4"),
+        F.when(F.col("n_5") == 0, 0)
+        .otherwise(F.expr("(k_5 * 1000000000) div n_5"))
+        .alias("v_5"),
+        F.when(F.col("n_6") == 0, 0)
+        .otherwise(F.expr("(k_6 * 1000000000) div n_6"))
+        .alias("v_6"),
+        F.when(F.col("n_7") == 0, 0)
+        .otherwise(F.expr("(k_7 * 1000000000) div n_7"))
+        .alias("v_7"),
+    )
+    rows = []
+    rows.append(
+        v.select(
+            F.lit("view").alias("channel"),
+            (2 * (F.col("v_1") - F.col("v_0")) + 1 * (F.col("v_3") - F.col("v_2")) + 1 * (F.col("v_5") - F.col("v_4")) + 2 * (F.col("v_7") - F.col("v_6"))).cast("bigint").alias("phi6_q9"),
+        )
+    )
+    rows.append(
+        v.select(
+            F.lit("click").alias("channel"),
+            (2 * (F.col("v_2") - F.col("v_0")) + 1 * (F.col("v_3") - F.col("v_1")) + 1 * (F.col("v_6") - F.col("v_4")) + 2 * (F.col("v_7") - F.col("v_5"))).cast("bigint").alias("phi6_q9"),
+        )
+    )
+    rows.append(
+        v.select(
+            F.lit("signup").alias("channel"),
+            (2 * (F.col("v_4") - F.col("v_0")) + 1 * (F.col("v_5") - F.col("v_1")) + 1 * (F.col("v_6") - F.col("v_2")) + 2 * (F.col("v_7") - F.col("v_3"))).cast("bigint").alias("phi6_q9"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "channel",
+        "phi6_q9",
+        (F.col("phi6_q9").cast("double") / 6e9).alias("shapley_value"),
+    ).orderBy("channel")

@@ -1069,3 +1069,14 @@ def test_brier_decomposition_consistency(spark):
     rhs = r["reliability"] - r["resolution"] + r["uncertainty"] + r["within_bin"]
     assert abs(lhs - rhs) < 1e-12
     assert abs(r["within_bin"]) <= max(0.05, 0.5 * r["brier"])
+
+
+def test_shapley_efficiency_bound(spark, sf_dir):
+    # Σφ = v(full) − v(empty) ∈ [−1, 1]; each φ bounded by 1 in
+    # absolute value (rates live in [0,1])
+    rows = REGISTRY["q_attribution_shapley"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    total = sum(r["phi6_q9"] for r in rows)
+    assert abs(total) <= 6_000_000_000
+    for r in rows:
+        assert abs(r["phi6_q9"]) <= 6_000_000_000

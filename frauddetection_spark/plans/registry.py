@@ -287,6 +287,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_auc_delong",
     "q_brier_decomp",
     "q_attribution_shapley",
+    "q_iv_wald",
 )
 
 

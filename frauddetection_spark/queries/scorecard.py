@@ -1806,3 +1806,91 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "segment", "bal_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variables (Wald) estimate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_iv_wald",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               user_id % 2 AS z,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z * x) AS BIGINT) AS szx,
+               CAST(sum(z * y) AS BIGINT) AS szy
+        FROM u
+    )
+    SELECT n, sz,
+           CAST(n * szy - sz * sy AS BIGINT) AS cov_zy_num,
+           CAST(n * szx - sz * sx AS BIGINT) AS cov_zx_num,
+           CAST(n * szy - sz * sy AS DOUBLE)
+               / nullif(CAST(n * sz - sz * sz AS DOUBLE), 0) AS itt,
+           CAST(n * szx - sz * sx AS DOUBLE)
+               / nullif(CAST(n * sz - sz * sz AS DOUBLE), 0) AS first_stage,
+           CAST(n * szy - sz * sy AS DOUBLE)
+               / nullif(CAST(n * szx - sz * sx AS DOUBLE), 0) AS beta_iv
+    FROM m
+    """,
+    survey="A10,A11",
+)
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables (Wald) estimate — the quasi-experimental
+    tool for when treatment itself is confounded but an as-if-random
+    ENCOURAGEMENT exists (the classic: you can't randomize signups,
+    you can randomize who gets the nudge): β_IV = Cov(z,y)/Cov(z,x)
+    scales the intent-to-treat effect by the first stage, recovering
+    the per-unit-of-treatment effect among compliers. Completes the
+    causal toolkit (q_did parallel trends, q_cuped variance
+    reduction, q_event_study dynamics, q_qte distributional, IV
+    endogeneity). The instrument here is the user-id parity — a
+    deterministic stand-in for a randomized encouragement arm.
+    Exactness: five sufficient statistics as exact int64 in ONE pass
+    (with binary z, z·x and z·y stay in int64 at any realistic
+    per-user magnitude); both covariance numerators n·Σzw − Σz·Σw
+    are exact integers EMITTED for the hash, and the three final
+    ratios (ITT, first stage, β) are single divisions of those exact
+    ints, denominator-guarded. ALWAYS read β next to first_stage —
+    a weak first stage makes IV explode, which is visible here as a
+    small cov_zx_num, the number the operator refuses to hide."""
+    e = t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(cents("value")).alias("y"),
+    ).select("*", (F.col("user_id") % 2).alias("z"))
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("x")).cast("bigint").alias("szx"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+    )
+    n, sz, sx, sy = F.col("n"), F.col("sz"), F.col("sx"), F.col("sy")
+    cov_zy = n * F.col("szy") - sz * sy
+    cov_zx = n * F.col("szx") - sz * sx
+    var_z = n * sz - sz * sz
+    nz = lambda c: F.nullif(c, F.lit(0.0))  # noqa: E731
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        "sz",
+        cov_zy.cast("bigint").alias("cov_zy_num"),
+        cov_zx.cast("bigint").alias("cov_zx_num"),
+        (cov_zy.cast("double") / nz(var_z.cast("double"))).alias("itt"),
+        (cov_zx.cast("double") / nz(var_z.cast("double"))).alias("first_stage"),
+        (cov_zy.cast("double") / nz(cov_zx.cast("double"))).alias("beta_iv"),
+    )

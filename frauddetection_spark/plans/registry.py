@@ -288,6 +288,8 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_brier_decomp",
     "q_attribution_shapley",
     "q_iv_wald",
+    "q_tpch_q12",
+    "q_tpch_q21",
 )
 
 

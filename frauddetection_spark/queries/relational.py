@@ -3466,3 +3466,140 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 / Q21 shapes — completing the 22-query suite on this schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY l_returnflag
+    """,
+    survey="J1,A2,P9",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-modes-and-priority: for lines shipped
+    LATE in one year, how many belonged to critical-priority orders vs
+    the rest, per class. This schema has no l_shipmode /
+    l_commitdate / l_receiptdate, so the class column is l_returnflag
+    and "late" is the join-residual inequality l_shipdate >
+    o_orderdate + 60 days — preserving the query's two defining
+    features: a join whose non-equi part cannot be pushed into either
+    scan (it references BOTH sides), and the CASE-conditional split
+    aggregation that pivots order priority into two counts in ONE
+    pass (two filtered joins would scan orders twice). The year
+    predicate prunes the lineitem scan; orders needs only
+    (orderkey, orderdate, priority) — check ReadSchema."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    WITH ol AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ),
+    ag AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+               max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        FROM ol GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM ag
+    JOIN supplier s ON s.s_suppkey = ag.late_supp
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ag.n_supp >= 2 AND ag.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    survey="J1,J4,J6,A3,A14",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: on
+    finished multi-supplier orders, find the supplier who was the
+    ONLY late one (every co-supplier delivered on time) and rank by
+    how many orders they alone delayed. The reference formulation is
+    the suite's hardest subquery nest — EXISTS(another supplier on
+    the order) AND NOT EXISTS(another LATE supplier) — and the
+    scalable rewrite is ONE aggregation per order computing
+    (distinct suppliers, distinct late suppliers, the late supplier),
+    replacing two correlated re-scans of lineitem with a single
+    shuffle on orderkey: n_supp >= 2 encodes the EXISTS, n_late = 1
+    encodes the NOT-EXISTS, and max(CASE late) is well-defined as
+    THE late supplier precisely because n_late = 1. Lateness is the
+    Q12 stand-in (shipdate > orderdate + 60d; no receipt/commit
+    dates on this schema). supplier and nation broadcast; the top-10
+    total-orders-per-supplier agg is tiny."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ol = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).cast("int").alias("late"),
+        )
+    )
+    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
+    ag = ol.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("late_supp"),
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ag.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("late_supp"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )

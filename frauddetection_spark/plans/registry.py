@@ -290,6 +290,10 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_iv_wald",
     "q_tpch_q12",
     "q_tpch_q21",
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
 )
 
 

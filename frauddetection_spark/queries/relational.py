@@ -3603,3 +3603,297 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q16 / Q20 shapes — the partsupp-centric four, on a
+# supply relation DERIVED from lineitem (this schema ships no partsupp
+# table): per (partkey, suppkey), cost_c = min observed price in cents
+# (the supplier's best quote) and availqty = total quantity supplied.
+# Exact integers both sides, so every downstream threshold stays an
+# integer predicate.
+# ---------------------------------------------------------------------------
+
+_SQL_SUPPLY = """
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cost_c,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp stand-in: one shuffle on (partkey, suppkey)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint").alias("cost_c"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("availqty"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    rs AS (
+        SELECT s.s_suppkey, s.s_name,
+               CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_c, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    sup AS (
+        SELECT supply.*, rs.s_name, rs.bal_c, rs.n_name
+        FROM supply JOIN rs ON rs.s_suppkey = supply.ps_suppkey
+    ),
+    mn AS (SELECT ps_partkey, min(cost_c) AS mc FROM sup GROUP BY 1)
+    SELECT sup.s_name, sup.n_name, sup.ps_partkey AS p_partkey,
+           p.p_type, sup.cost_c, sup.bal_c
+    FROM sup
+    JOIN mn ON mn.ps_partkey = sup.ps_partkey AND sup.cost_c = mn.mc
+    JOIN part p ON p.p_partkey = sup.ps_partkey
+    WHERE p.p_size = 15
+    ORDER BY bal_c DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+    survey="J1,J2,A2,A14",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier: for every size-15 part,
+    the ASIA supplier(s) quoting the part's regional minimum cost,
+    richest suppliers first. The defining feature is the CORRELATED
+    MIN subquery (cost = min cost over the same region-restricted
+    supply), decorrelated to one aggregate on the SAME filtered frame
+    joined back on (partkey, min-cost) — ties keep ALL min-cost
+    suppliers, per the original semantics. The region→nation→supplier
+    chain collapses to a ~1/5-of-suppliers broadcast before the
+    supply shuffle; part is filtered on size BEFORE its join.
+    Balance ranks as exact cents."""
+    sup = _supply(spark, sf_dir)
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    rs = (
+        t(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_c"),
+            "s_nationkey",
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "bal_c", "n_name")
+    )
+    sup = sup.join(F.broadcast(rs), F.col("s_suppkey") == F.col("ps_suppkey"))
+    mn = sup.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
+        F.min("cost_c").alias("mc")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_type"
+    )
+    return (
+        sup.join(
+            mn,
+            (F.col("mn_partkey") == F.col("ps_partkey"))
+            & (F.col("cost_c") == F.col("mc")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .select(
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_type",
+            "cost_c",
+            "bal_c",
+        )
+        .orderBy(F.col("bal_c").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY}),
+    v AS (
+        SELECT ps_partkey,
+               CAST(sum(CAST(cost_c AS HUGEINT) * availqty) AS HUGEINT) AS val
+        FROM supply JOIN supplier s ON s.s_suppkey = ps_suppkey
+        WHERE s.s_nationkey % 5 = 2
+        GROUP BY 1
+    ),
+    tot AS (SELECT sum(val) AS tv, count(*) AS np FROM v)
+    SELECT v.ps_partkey, CAST(v.val AS BIGINT) AS value_e4
+    FROM v, tot
+    WHERE v.val * np > 2 * tv
+    ORDER BY value_e4 DESC, ps_partkey
+    """,
+    survey="A2,J1,P2",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock identification: parts whose
+    nation-7 supply value (Σ cost·availqty) exceeds a GLOBAL
+    threshold — the original's `HAVING value > fraction · Σ total`
+    scalar subquery, here 2× the per-part average with the comparison
+    CROSS-MULTIPLIED to the exact integer predicate val·n_parts >
+    2·Σval (a float fraction-of-total threshold can flip boundary
+    parts between engines; this cannot). The nation-band filter
+    (nationkey ≡ 2 mod 5 — a 5-nation region that is non-empty at
+    every test sf, where any single nationkey is absent from the
+    10-supplier sf0.001 sample) broadcasts
+    into the supply shuffle; the 1-row (Σ, n) aggregate broadcasts
+    back over the per-part frame. Intermediates ride decimal
+    (HUGEINT in the twin) since Σ cost·qty approaches int64 range at
+    warehouse scale; the emitted per-part value fits bigint."""
+    sup = _supply(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") % 5 == 2
+    ).select("s_suppkey")
+    v = (
+        sup.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("cost_c").cast("decimal(38,0)") * F.col("availqty")
+            ).alias("val")
+        )
+    )
+    tot = v.agg(F.sum("val").alias("tv"), F.count("*").alias("np"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.col("np") > F.lit(2) * F.col("tv"))
+        .select("ps_partkey", F.col("val").cast("bigint").alias("value_e4"))
+        .orderBy(F.col("value_e4").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH supply AS ({_SQL_SUPPLY})
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM supply
+    JOIN part p ON p.p_partkey = ps_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_size IN (5, 15, 25, 35, 45)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    survey="A3,J6,A2",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship: how many
+    DISTINCT suppliers can deliver each (brand, type, size) family,
+    excluding one brand, off-list sizes, and blacklisted suppliers
+    (negative balance stands in for the original's complaint-comment
+    scan — same anti-join shape, NOT IN → LEFT ANTI). The distinct
+    count shuffles once on the group key after the part dim
+    (filtered, broadcast) prunes the supply frame; the blacklist is
+    a ~100-row broadcast anti join, NEVER a NOT-IN subquery
+    re-executed per row."""
+    sup = _supply(spark, sf_dir)
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#11")
+            & F.col("p_size").isin(5, 15, 25, 35, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        sup.join(F.broadcast(bad), F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH y AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l_shipdate < TIMESTAMP '1998-01-01'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS q97,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qall
+        FROM lineitem
+        JOIN part p ON p.p_partkey = l_partkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+    ),
+    hot AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts
+        FROM y WHERE 2 * q97 > qall GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name, hot.n_excess_parts
+    FROM hot
+    JOIN supplier s ON s.s_suppkey = hot.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY s_name
+    """,
+    survey="J7,A2,P8",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — potential part promotion: suppliers holding
+    CONCENTRATED demand in one part family — (part, supplier) pairs
+    where the 1997 shipped quantity exceeds HALF the pair's all-time
+    quantity (the original compares availqty against 0.5 · one year's
+    shipments; with supply derived from shipments the meaningful
+    direction is one-year share > 50%, same aggregate-derived-
+    threshold shape). The original's nested IN subqueries
+    (suppkey IN … partkey IN …) decorrelate to: part-name filter
+    broadcast into ONE conditional aggregation per (part, supp) —
+    the year split is a CASE inside the same pass, not a second
+    scan — then the exact integer predicate 2·q97 > qall, then a
+    per-supplier count. supplier and nation broadcast at the end."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    in97 = (
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+    )
+    q = F.col("l_quantity").cast("bigint")
+    y = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in97, q).otherwise(F.lit(0).cast("bigint")))
+            .cast("bigint").alias("q97"),
+            F.sum(q).cast("bigint").alias("qall"),
+        )
+    )
+    hot = (
+        y.filter(F.lit(2) * F.col("q97") > F.col("qall"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_excess_parts"))
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        hot.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name", "n_excess_parts")
+        .orderBy("s_name")
+    )

@@ -294,6 +294,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
+    "q_label_propagation",
 )
 
 

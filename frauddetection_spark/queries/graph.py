@@ -1526,3 +1526,109 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("bigint").alias("step"),
         "node",
     ).orderBy("seed", "walk", "step")
+
+
+# ---------------------------------------------------------------------------
+# Community detection — synchronous label propagation (3 rounds)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+    WITH edges0 AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    und AS (
+        SELECT src, dst FROM edges0 WHERE src <> dst
+        UNION
+        SELECT dst AS src, src AS dst FROM edges0 WHERE src <> dst
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+    c1 AS (SELECT e.dst AS v, l.label, count(*) AS cnt
+           FROM und e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+    l1 AS (SELECT v AS node, label FROM (
+           SELECT v, label,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cnt DESC, label) AS rn
+           FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.dst AS v, l.label, count(*) AS cnt
+           FROM und e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+    l2 AS (SELECT v AS node, label FROM (
+           SELECT v, label,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cnt DESC, label) AS rn
+           FROM c2) WHERE rn = 1),
+    c3 AS (SELECT e.dst AS v, l.label, count(*) AS cnt
+           FROM und e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+    l3 AS (SELECT v AS node, label FROM (
+           SELECT v, label,
+                  row_number() OVER (PARTITION BY v
+                                     ORDER BY cnt DESC, label) AS rn
+           FROM c3) WHERE rn = 1)
+    SELECT node, label FROM l3 ORDER BY node
+    """,
+    survey="J5,A2",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation, 3 rounds
+    (reference scope: the CDR graph's fraud rings are communities;
+    the repo's connected components find *reachability* clusters —
+    LPA finds *densely-linked* ones inside a component). Every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its neighbors with the tie broken toward the
+    SMALLEST label — the deterministic variant (classic LPA breaks
+    ties randomly and never hash-matches across engines; min-label
+    tie-break also guarantees termination instead of 2-cycles).
+    Each round is ONE shuffle pattern: propagate labels along the
+    mirrored edge list (join on src), count per (node, label), pick
+    per node by (count desc, label asc) — expressed as min(struct
+    (-cnt, label)), a plain aggregate, NOT an unpartitioned window.
+    Rounds are a FIXED 3 (plan unrolls; no driver-side fixpoint
+    loop, no collect), so lineage depth is constant; at 100 TB each
+    round is the same edges⋈labels shuffle on src — linear in
+    edges, the GraphX/Pregel cost shape. Edges are REPEAT contacts
+    (the same (user, counterparty) pair in ≥3 events): on the raw
+    distinct-contact graph the min-label tie-break cascades the
+    whole (dense) graph into ONE community in 3 rounds — hash-green
+    but meaningless; the ≥3 support threshold is the standard
+    ring-detection sparsification (a fraud ring talks repeatedly,
+    a marketplace touches once)."""
+    from frauddetection_spark.operators.graph import mirror
+
+    ev = t(spark, sf_dir, "events")
+    repeat = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter((F.col("w") >= 3) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    e = mirror(repeat)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        msgs = e.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("v"), "label")
+        cnt = msgs.groupBy("v", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("s")
+            )
+            .select(F.col("v").alias("node"), F.col("s.label").alias("label"))
+        )
+    return labels.orderBy("node")

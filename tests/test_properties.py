@@ -1080,3 +1080,50 @@ def test_shapley_efficiency_bound(spark, sf_dir):
     assert abs(total) <= 6_000_000_000
     for r in rows:
         assert abs(r["phi6_q9"]) <= 6_000_000_000
+
+
+def test_label_propagation_refines_components(spark, sf_dir):
+    """Labels travel only along edges, so every LPA community must lie
+    INSIDE one connected component of the same (repeat-contact,
+    mirrored) graph — a community straddling two components would
+    mean a label teleported. Also: every label is a real node id."""
+    import pyspark.sql.functions as F
+
+    from frauddetection_spark.plans.registry import load_all
+    from frauddetection_spark.operators.graph import (
+        connected_components,
+        edges_from_events,
+        mirror,
+    )
+    from frauddetection_spark.queries._util import t
+
+    reg = load_all()
+    lpa = reg["q_label_propagation"].fn(spark, sf_dir)
+
+    ev = t(spark, sf_dir, "events")
+    repeat = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter((F.col("w") >= 3) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    cc = connected_components(mirror(repeat))  # (node, component)
+    joined = lpa.join(cc, "node", "inner")
+    assert joined.count() == lpa.count(), "every LPA node is in the CC frame"
+    # each label maps to exactly one component
+    spans = (
+        joined.groupBy("label")
+        .agg(F.countDistinct("component").alias("n_comp"))
+        .filter(F.col("n_comp") > 1)
+        .count()
+    )
+    assert spans == 0, "a community straddles two components"
+    # labels are node ids
+    nodes = set(r.node for r in lpa.select("node").collect())
+    labels = set(r.label for r in lpa.select("label").distinct().collect())
+    assert labels <= nodes

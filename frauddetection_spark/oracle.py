@@ -47,6 +47,16 @@ def _canon_cell(v):
         return f"{v:.6f}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    # numpy containers/scalars: ndarray str() renders with whitespace
+    # ("[ 45  8]") and differs between Arrow-enabled Spark toPandas and
+    # DuckDB fetchdf — canonicalize through tolist()/item() instead.
+    # (np.int64 etc. also route here; their python equivalents print
+    # identically either way, so this is shape-normalizing only.)
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        w = v.tolist()
+        if isinstance(w, (list, tuple)):
+            return "[" + ",".join(_canon_cell(x) for x in w) + "]"
+        return _canon_cell(w)
     return str(v)
 
 

@@ -2043,3 +2043,251 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw.alias("ss_within"),
         ((ssb / (5 - 1)) / (ssw / (F.col("nn") - 5))).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theilsen",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT)
+                   AS d,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_c
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.user_id,
+               CAST(floor(CAST((b.spend_c - a.spend_c) AS DOUBLE) * 1000000
+                          / (b.d - a.d)) AS BIGINT) AS slope_q,
+               a.d AS di, b.d AS dj
+        FROM daily a JOIN daily b
+          ON a.user_id = b.user_id AND b.d > a.d
+    ),
+    ranked AS (
+        SELECT user_id, slope_q,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY slope_q, di, dj) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_pairs
+        FROM pairs
+    )
+    SELECT r.user_id,
+           nd.n_days,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.slope_q AS ts_slope_q,
+           CAST(r.slope_q AS DOUBLE) / 1000000 AS ts_slope_cents_per_day
+    FROM ranked r
+    JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY 1) nd USING (user_id)
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    ORDER BY user_id
+    """,
+    survey="A2,A4,J1",
+)
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator of each user's daily-spend trend: the
+    MEDIAN of all pairwise slopes (spend_j − spend_i)/(d_j − d_i) —
+    the robust line fit that tolerates up to ~29% outlier days, where
+    the OLS slope (q_trend_slope's family) is dragged by a single
+    refund spike or binge day. Work is O(days²) per user, but days
+    are bounded by the CALENDAR WINDOW (≤ 31 here), not by data
+    volume — at 100 TB the pair space grows linearly with users,
+    never quadratically with events; the pair join is per-user-keyed
+    (co-partitioned self-join after ONE daily rollup shuffle).
+    Numerics: slopes quantize to floor(Δcents·1e6 / Δdays) — the
+    numerator is exact int64, the IEEE double division and floor are
+    bit-identical cross-engine, and the MEDIAN is the LOWER median
+    picked by row_number over the total order (slope_q, di, dj), so
+    no two-middle averaging and no float rank. A user needs ≥ 2
+    active days to emit a row."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
+            .cast("bigint").alias("d"),
+        )
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("spend_c"))
+    )
+    a = daily.select("user_id", F.col("d").alias("di"), F.col("spend_c").alias("ci"))
+    b = daily.select("user_id", F.col("d").alias("dj"), F.col("spend_c").alias("cj"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("dj") > F.col("di"))
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("cj") - F.col("ci")).cast("double")
+                * 1000000
+                / (F.col("dj") - F.col("di"))
+            ).cast("bigint").alias("slope_q"),
+            "di",
+            "dj",
+        )
+    )
+    w = Window.partitionBy("user_id")
+    ranked = pairs.select(
+        "user_id",
+        "slope_q",
+        F.row_number().over(w.orderBy("slope_q", "di", "dj")).alias("rn"),
+        F.count("*").over(w).alias("n_pairs"),
+    )
+    nd = daily.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .join(nd, "user_id")
+        .select(
+            "user_id",
+            "n_days",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("slope_q").alias("ts_slope_q"),
+            (F.col("slope_q").cast("double") / 1000000).alias(
+                "ts_slope_cents_per_day"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pro-rata date spread (revenue recognition over the order→ship window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_date_spread",
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey,
+               CAST(o.o_orderdate AS DATE) AS d0,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) + 1
+                   AS nd,
+               CAST(round(l.l_extendedprice * 100) AS BIGINT) AS total_c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), spread AS (
+        SELECT li.d0 + CAST(t.i AS INTEGER) AS day_d,
+               total_c // nd
+                   + CASE WHEN t.i < total_c % nd THEN 1 ELSE 0 END
+                   AS amount_c
+        FROM li
+        CROSS JOIN LATERAL unnest(generate_series(0, nd - 1)) AS t(i)
+        WHERE nd BETWEEN 1 AND 400
+    )
+    SELECT strftime(day_d, '%Y-%m-%d') AS day,
+           CAST(sum(amount_c) AS BIGINT) AS recognized_c,
+           CAST(count(*) AS BIGINT) AS n_allocs
+    FROM spread GROUP BY 1 ORDER BY 1
+    """,
+    survey="P4,A2,J1",
+)
+def q_date_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pro-rata allocation over a date interval — the revenue-
+    recognition / calendarization staple: each line's price is spread
+    evenly across the days from order date to ship date, recognized
+    daily. Exactness via LARGEST-REMAINDER cents: per-day share is
+    total div nd, and the first r = (total mod nd) days get one extra
+    cent, so the per-line allocations re-sum to the line total to the
+    cent (no float drift for either engine to disagree on).
+
+    The oracle states the semantics as the naive O(lines × days)
+    explode; the Spark plan is the DIFFERENCE-ARRAY rewrite — each
+    line emits THREE boundary deltas instead of nd exploded rows
+    (+[base+1, alloc] at d0, −1 at d0+r ending the extra-cent run,
+    −[base, alloc] at d0+nd), deltas pre-aggregate per day map-side,
+    and one prefix sum over the dense calendar spine reconstructs
+    every day's total. Per-line work is O(1) regardless of span, the
+    day-key shuffle is calendar-bounded, and the prefix sum runs over
+    spine-many rows (~years×365) through the range-partitioned
+    prefix_rank — at 100 TB this is ~50× less intermediate volume
+    than the explode with bit-identical output."""
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.to_date("l_shipdate").alias("ship_d"),
+            cents(F.col("l_extendedprice")).alias("total_c"),
+        )
+        .join(
+            t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.to_date("o_orderdate").alias("d0"),
+            ),
+            "l_orderkey",
+        )
+        .withColumn(
+            "nd", (F.datediff(F.col("ship_d"), F.col("d0")) + 1).cast("bigint")
+        )
+        .filter(F.col("nd").between(1, 400))
+        # greatest(nd,1) is a no-op post-filter (nd >= 1) but keeps the
+        # div/mod exception-free if the optimizer evaluates the
+        # projection alongside the filter in one codegen stage.
+        .select(
+            "d0",
+            "nd",
+            F.expr("total_c div greatest(nd, 1L)").alias("base"),
+            (F.col("total_c") % F.greatest(F.col("nd"), F.lit(1).cast("bigint"))).alias(
+                "r"
+            ),
+        )
+    )
+    deltas = (
+        li.select(
+            F.col("d0").alias("day_d"),
+            (F.col("base") + 1).alias("dc"),
+            F.lit(1).cast("bigint").alias("dn"),
+        )
+        .unionAll(
+            li.select(
+                F.date_add("d0", F.col("r").cast("int")).alias("day_d"),
+                F.lit(-1).cast("bigint").alias("dc"),
+                F.lit(0).cast("bigint").alias("dn"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.date_add("d0", F.col("nd").cast("int")).alias("day_d"),
+                (-F.col("base")).alias("dc"),
+                F.lit(-1).cast("bigint").alias("dn"),
+            )
+        )
+        .groupBy("day_d")
+        .agg(F.sum("dc").alias("dsum"), F.sum("dn").alias("nsum"))
+    )
+    # Dense calendar spine: boundary deltas only exist at range edges,
+    # but every day inside a range carries recognition — spine
+    # cardinality is bounded by the calendar, never the data.
+    spine = (
+        li.agg(
+            F.min("d0").alias("lo"),
+            F.max(F.date_add("d0", F.col("nd").cast("int"))).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_d"))
+        .join(deltas, "day_d", "left")
+        .select(
+            "day_d",
+            F.coalesce("dsum", F.lit(0)).alias("dsum"),
+            F.coalesce("nsum", F.lit(0)).alias("nsum"),
+        )
+    )
+    run = prefix_rank(
+        spine,
+        [F.col("day_d")],
+        sums={"recognized_c": F.col("dsum"), "n_allocs": F.col("nsum")},
+    )
+    return (
+        run.filter(F.col("n_allocs") > 0)
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            F.col("recognized_c").cast("bigint").alias("recognized_c"),
+            F.col("n_allocs").cast("bigint").alias("n_allocs"),
+        )
+        .orderBy("day")
+    )

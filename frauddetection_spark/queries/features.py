@@ -1375,3 +1375,112 @@ def q_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("c_hi") - F.col("c_lo"))
         ).alias(f"p{_PG_P}_cents"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: peak simultaneous sessions per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_concurrency",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN us - lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id)
+                    <= {SESSION_GAP_US} THEN 0 ELSE 1 END AS new_s
+        FROM e
+    ), sess AS (
+        SELECT user_id,
+               CAST(sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+               us
+        FROM flagged
+    ), iv AS (
+        SELECT user_id, session_id,
+               min(us) AS start_us, max(us) + 1 AS end_us
+        FROM sess GROUP BY user_id, session_id
+    ), b AS (
+        SELECT user_id, session_id, start_us AS us, 1 AS delta FROM iv
+        UNION ALL
+        SELECT user_id, session_id, end_us AS us, -1 AS delta FROM iv
+    ), sw AS (
+        SELECT us, delta,
+               CAST(sum(delta) OVER (
+                   ORDER BY us, delta, user_id, session_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        FROM b
+    )
+    SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+           max(conc) AS peak_conc,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts,
+           CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ends
+    FROM sw GROUP BY 1 ORDER BY 1
+    """,
+    survey="A8,A1",
+)
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — the sweep-line interval
+    overlap counter (capacity planning / bot-burst detection: how many
+    users are ACTIVE at once, not how many events fire). Sessions are
+    the same >30-min-gap islands as q_sessionize; each becomes a
+    half-open interval [start_us, max_us+1) so zero-duration
+    single-event sessions still open before they close, then the sweep
+    is +1/-1 boundary deltas running-summed over the GLOBAL time order.
+    The global running sum is the classic unpartitioned-window scale
+    killer, so it runs through prefix_rank (operators/rank.py): range-
+    partition on the total order (us, delta, user_id, session_id),
+    per-partition partial sums, + broadcast prefix offsets — exact,
+    deterministic, no single-reducer sort at any data size. Ends sort
+    before starts at equal us (delta -1 < +1), the half-open
+    convention: touching intervals never overlap."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.col("us") - F.lag("us").over(w) <= SESSION_GAP_US, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("start_us"), (F.max("us") + 1).alias("end_us"))
+    )
+    b = sess.select(
+        "user_id", "session_id", F.col("start_us").alias("us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            "user_id", "session_id", F.col("end_us").alias("us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    sw = prefix_rank(
+        b,
+        [F.col("us"), F.col("delta"), F.col("user_id"), F.col("session_id")],
+        sums={"conc": F.col("delta")},
+    )
+    return (
+        sw.groupBy(
+            F.date_format(F.timestamp_micros(F.col("us")), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.max("conc").cast("bigint").alias("peak_conc"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n_starts"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .cast("bigint").alias("n_ends"),
+        )
+        .orderBy("day")
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frauddetection_spark.operators.rank import prefix_max
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
@@ -181,4 +182,84 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("value_sum"),
         )
         .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness diagnostic: would this delay drop data?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_watermark_lateness",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, epoch_us(ts) AS us,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               epoch_us(ts) + ((event_id * 2654435761) % 1800) * 1000000
+                   AS arr_us
+        FROM events
+    ), m AS (
+        SELECT day, us,
+               max(us) OVER (ORDER BY arr_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS wm_us
+        FROM e
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN wm_us - us > 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+           CAST(sum(CASE WHEN wm_us - us > 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+           CAST(max(CASE WHEN wm_us IS NULL THEN 0
+                         WHEN wm_us - us < 0 THEN 0
+                         ELSE wm_us - us END) AS BIGINT) AS max_late_us
+    FROM m GROUP BY day ORDER BY day
+    """,
+    survey="A8,E8",
+)
+def q_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning diagnostic for the streaming suite: replay the
+    batch history in ARRIVAL order and count the events a Structured
+    Streaming watermark of 10 min / 1 h would have DROPPED — the
+    question every withWatermark() delay choice has to answer, asked
+    of historical data before the stream exists. Arrival order models
+    multi-source ingest skew with an explicit deterministic delay
+    (Knuth multiplicative hash of event_id mod 30 min — exact int64 in
+    both engines; engine-private hashes like xxhash64 never cross-
+    match, cf. q_split_xxhash's rows-only status). The watermark is
+    the EXCLUSIVE running max of event time over arrival order — a
+    global total order, so it runs through prefix_max
+    (operators/rank.py): range-partition on (arr_us, event_id), local
+    cummax, broadcast per-partition maxima — no single-reducer window
+    at any scale. Streaming twin semantics: streaming/windows.py
+    watermarked aggregations drop exactly the rows counted late here."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        (
+            F.unix_micros("ts")
+            + (F.col("event_id") * F.lit(2654435761).cast("bigint")) % 1800
+            * F.lit(1_000_000)
+        ).alias("arr_us"),
+    )
+    m = prefix_max(
+        e, [F.col("arr_us"), F.col("event_id")], F.col("us"), out="wm_us"
+    )
+    late = F.col("wm_us") - F.col("us")
+    return (
+        m.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(late > 600_000_000, 1).otherwise(0))
+            .cast("bigint").alias("n_late_10m"),
+            F.sum(F.when(late > 3_600_000_000, 1).otherwise(0))
+            .cast("bigint").alias("n_late_1h"),
+            F.max(
+                F.when(late.isNull() | (late < 0), 0).otherwise(late)
+            ).cast("bigint").alias("max_late_us"),
+        )
+        .orderBy("day")
     )

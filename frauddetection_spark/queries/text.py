@@ -1088,3 +1088,70 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build with impact-ordered posting heads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_inverted_index",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           (list(doc_id ORDER BY tf DESC, doc_id))[1:8] AS postings_head
+    FROM tf GROUP BY token ORDER BY token
+    """,
+    survey="E4,A13,A14",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-infrastructure primitive the
+    retrieval suite (tfidf/bm25) consumes implicitly, materialized:
+    per token its document frequency, total term count, and an
+    IMPACT-ORDERED posting-list head (top-8 docs by within-doc term
+    frequency, doc_id tie-break) — the index-prefix shape real engines
+    store so top-k retrieval touches only list heads. The full posting
+    list for a stop-word-frequency token is O(corpus) and is exactly
+    what an index at 100 TB must NOT materialize per-executor; the
+    8-element head is a bounded aggregate (collect_list is capped by
+    the groupBy(token, doc_id) pre-aggregation feeding it — each
+    token's list is df-long structs, truncated to 8 after an
+    array_sort; for web-scale df the head would be computed with a
+    per-token top-k window instead, same ordering key). Two shuffles:
+    (token, doc_id) tf rollup, then token."""
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("tf")).alias("ntf"), "doc_id"))
+                    ),
+                    lambda s: s["doc_id"],
+                ),
+                1,
+                8,
+            ).alias("postings_head"),
+        )
+        .orderBy("token")
+    )

@@ -72,6 +72,12 @@ HEADLINE = [
     "q_tpch_q8",
     "q_countmin",
     "q_hyperplane_est",
+    # round-5b additions: the difference-array interval allocator
+    # (3 boundary deltas/line + calendar-spine prefix sum — replaces a
+    # flagged 5.2x naive explode) and the vocab-weighted BPE merge
+    # step (pair stats O(|vocab|), corpus touched once)
+    "q_date_spread",
+    "q_bpe_merge",
 ]
 
 

@@ -1207,3 +1207,119 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step: tokenizer-training pair statistics over the vocab
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bpe_merge",
+    oracle=r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(text, '\s+')) AS word
+        FROM documents
+    ), vocab AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+        WHERE length(word) >= 2 GROUP BY 1
+    ), p1 AS (
+        SELECT substring(word, CAST(t.i AS INTEGER), 2) AS pair,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM vocab
+        CROSS JOIN LATERAL
+            unnest(generate_series(1, length(word) - 1)) AS t(i)
+        GROUP BY 1
+    ), top1 AS (
+        SELECT pair AS mpair FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+    ), v2 AS (
+        SELECT replace(word, mpair, '@') AS word, freq
+        FROM vocab CROSS JOIN top1
+    ), p2 AS (
+        SELECT substring(word, CAST(t.i AS INTEGER), 2) AS pair,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM v2
+        CROSS JOIN LATERAL
+            unnest(generate_series(1, length(word) - 1)) AS t(i)
+        WHERE length(word) >= 2
+        GROUP BY 1
+    ), ranked AS (
+        SELECT 1 AS round, pair, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+        FROM p1
+        UNION ALL
+        SELECT 2, pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair)
+        FROM p2
+    )
+    SELECT round, rank, pair, cnt FROM ranked
+    WHERE rank <= 10 ORDER BY round, rank
+    """,
+    survey="E4,A14",
+)
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training merge step — the pair-statistics kernel
+    every byte-pair-encoding trainer iterates: count adjacent
+    character pairs, merge the most frequent, recount. Two fixed
+    rounds (round 1 raw pairs, round 2 after applying the top merge as
+    '@'), top-10 pairs each with (cnt DESC, pair) deterministic rank.
+    The scale trick is the classic one real trainers use: pairs are
+    counted over the VOCAB weighted by word frequency, not over the
+    corpus — the corpus is touched once for the word rollup, and every
+    merge round is O(|vocab| × word_len), independent of corpus size
+    (at 100 TB the vocab is millions where the corpus is trillions).
+    replace() is left-to-right non-overlapping in both engines
+    ('aaa' @ 'aa' → '@a', 'banana' @ 'an' → 'b@@a' — verified), which
+    IS the BPE merge convention. The top merge joins back as a 1-row
+    broadcast; Spark's sequence(1,0) counts DOWN, so sub-2-char words
+    are filtered before the position explode in both rounds."""
+    from frauddetection_spark.operators.graph import _track
+
+    vocab = _track(
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .persist()
+    )
+
+    def pair_counts(words: DataFrame) -> DataFrame:
+        return (
+            words.filter(F.length("word") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("word") - 1)
+                ).alias("i"),
+                "word",
+            )
+            .select(
+                F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+
+    p1 = _track(pair_counts(vocab).persist())
+    top1 = p1.orderBy(F.col("cnt").desc(), "pair").limit(1).select(
+        F.col("pair").alias("mpair")
+    )
+    v2 = vocab.crossJoin(F.broadcast(top1)).select(
+        F.replace(F.col("word"), F.col("mpair"), F.lit("@")).alias("word"),
+        "freq",
+    )
+    p2 = pair_counts(v2)
+    w10 = Window.partitionBy("round").orderBy(F.col("cnt").desc(), "pair")
+    both = (
+        p1.withColumn("round", F.lit(1).cast("int"))
+        .unionByName(p2.withColumn("round", F.lit(2).cast("int")))
+        .withColumn("rank", F.row_number().over(w10))
+    )
+    return (
+        both.filter(F.col("rank") <= 10)
+        .select(
+            "round", F.col("rank").cast("bigint").alias("rank"), "pair", "cnt"
+        )
+        .orderBy("round", "rank")
+    )

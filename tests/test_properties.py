@@ -1127,3 +1127,101 @@ def test_label_propagation_refines_components(spark, sf_dir):
     nodes = set(r.node for r in lpa.select("node").collect())
     labels = set(r.label for r in lpa.select("label").distinct().collect())
     assert labels <= nodes
+
+
+# --- round-5b additions -----------------------------------------------------
+
+
+def test_date_spread_conserves_cents(spark, sf_dir):
+    # largest-remainder allocation: Σ recognized over all days must
+    # equal Σ line cents of the spread-eligible lines, to the cent
+    out = REGISTRY["q_date_spread"].fn(spark, sf_dir)
+    got = out.agg(F.sum("recognized_c")).first()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("d0"),
+    )
+    want = (
+        li.join(o, "l_orderkey")
+        .withColumn("nd", F.datediff("ship_d", "d0") + 1)
+        .filter(F.col("nd").between(1, 400))
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    assert got == want
+
+
+def test_concurrency_starts_match_sessions(spark, sf_dir):
+    # every session opens exactly once: Σ n_starts == q_sessionize rows
+    conc = REGISTRY["q_concurrency"].fn(spark, sf_dir)
+    n_starts = conc.agg(F.sum("n_starts")).first()[0]
+    n_sessions = REGISTRY["q_sessionize"].fn(spark, sf_dir).count()
+    assert n_starts == n_sessions
+    peaks = conc.agg(F.min("peak_conc")).first()[0]
+    assert peaks >= 1  # a day in the output saw at least one boundary
+
+
+def test_theilsen_covers_multiday_users(spark, sf_dir):
+    # one row per user with >= 2 active days, none for single-day users
+    out = REGISTRY["q_theilsen"].fn(spark, sf_dir)
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
+
+
+def test_bpe_top_merge_vanishes_in_round2(spark, sf_dir):
+    # left-to-right non-overlapping replace removes EVERY occurrence of
+    # the merged pair, so round 1's rank-1 pair cannot appear in round 2
+    out = REGISTRY["q_bpe_merge"].fn(spark, sf_dir)
+    top1 = (
+        out.filter((F.col("round") == 1) & (F.col("rank") == 1))
+        .select("pair")
+        .first()[0]
+    )
+    again = out.filter((F.col("round") == 2) & (F.col("pair") == top1)).count()
+    assert again == 0
+
+
+def test_watermark_lateness_monotone_thresholds(spark, sf_dir):
+    # a 1h watermark can only drop a subset of what 10min would drop
+    bad = (
+        REGISTRY["q_watermark_lateness"]
+        .fn(spark, sf_dir)
+        .filter(
+            (F.col("n_late_1h") > F.col("n_late_10m"))
+            | (F.col("n_late_10m") > F.col("n_events"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_inverted_index_head_lengths(spark, sf_dir):
+    # postings head carries min(df, 8) docs; df sums to |distinct
+    # (token, doc) pairs| of the tokenization
+    out = REGISTRY["q_inverted_index"].fn(spark, sf_dir)
+    bad = out.filter(
+        F.size("postings_head") != F.least(F.col("df"), F.lit(8))
+    ).count()
+    assert bad == 0
+    df_sum = out.agg(F.sum("df")).first()[0]
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", r"\s+")).alias("tok"))
+        .distinct()
+        .count()
+    )
+    assert df_sum == pairs

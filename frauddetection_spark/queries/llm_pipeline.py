@@ -1323,3 +1323,184 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus funnel: the composed pretraining pipeline
+# ---------------------------------------------------------------------------
+
+
+def _corpus_funnel_oracle() -> str:
+    from frauddetection_spark.operators.textsim import SQL_WORD_SHINGLES
+
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    per AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_count
+        FROM tf GROUP BY 1
+    ),
+    flags AS (
+        SELECT d.doc_id, d.text,
+               (d.lang = 'en') AS lang_ok,
+               (p.n_words >= {MIN_WORDS}
+                AND p.n_distinct * 1.0 / p.n_words >= {MIN_DISTINCT_FRAC}
+                AND p.top_count * 1.0 / p.n_words <= {MAX_TOP_FRAC})
+                   AS qual_ok
+        FROM documents d JOIN per p USING (doc_id)
+    ),
+    sq AS (SELECT doc_id, text FROM flags WHERE lang_ok AND qual_ok),
+    sk AS (SELECT min(doc_id) AS doc_id FROM sq GROUP BY sha256(text)),
+    sh AS ({SQL_WORD_SHINGLES}),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    tr AS (
+        SELECT s.doc_id, s.shingle FROM sh s JOIN sk USING (doc_id)
+        WHERE s.doc_id % {BENCH_MOD} <> 0
+    ),
+    ov AS (
+        SELECT doc_id, count(*) AS n_sh, count(b.shingle) AS n_ov
+        FROM tr LEFT JOIN bench b USING (shingle) GROUP BY 1
+    ),
+    final AS (
+        SELECT k.doc_id FROM sk k LEFT JOIN ov USING (doc_id)
+        WHERE k.doc_id % {BENCH_MOD} <> 0
+          AND (ov.n_sh IS NULL OR ov.n_ov * 1.0 / ov.n_sh < {CONTAM_RATE})
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+        UNION ALL SELECT 2, 'lang',
+               (SELECT CAST(count(*) AS BIGINT) FROM flags WHERE lang_ok)
+        UNION ALL SELECT 3, 'quality',
+               (SELECT CAST(count(*) AS BIGINT) FROM sq)
+        UNION ALL SELECT 4, 'dedup',
+               (SELECT CAST(count(*) AS BIGINT) FROM sk)
+        UNION ALL SELECT 5, 'decontam',
+               (SELECT CAST(count(*) AS BIGINT) FROM final)
+    ) ORDER BY stage
+    """
+
+
+@register(
+    "q_corpus_funnel",
+    oracle=None,  # late-bound below (needs textsim's shingle CTE)
+    survey="E1,E2,E4,E5",
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED pretraining-corpus pipeline, end to end, reported
+    as a funnel: raw → language filter (en) → Gopher-style quality
+    rules → exact-hash dedup (min-doc_id keeper) → benchmark
+    decontamination (3-shingle overlap ≥ 20% vs the held-out set),
+    one row per stage with the surviving doc count. This is the
+    integration query: every stage reuses the exact semantics of its
+    standalone operator (q_quality_rules' thresholds, q_dedup_hash's
+    keeper rule, q_decontaminate's shingle-overlap rule), so the
+    funnel numbers are the composition the standalone queries promise.
+    Plan shape: per-doc flags from ONE tf rollup, dedup and
+    decontamination computed only on the shrinking survivor set
+    (keeper groupBy runs on quality survivors; the shingle overlap
+    join runs on keepers only, with the tiny benchmark side the
+    broadcast build); the five counts are 1-row aggregates crossJoined
+    and exploded — no driver-side loop, and the expensive frontiers
+    (flags, keepers) are persisted once and released by the registry's
+    cache guard."""
+    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.textsim import word_shingles
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    per = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+    )
+    flags = _track(
+        docs.join(per, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            (F.col("lang") == "en").alias("lang_ok"),
+            (
+                (F.col("n_words") >= MIN_WORDS)
+                & (F.col("n_distinct") / F.col("n_words") >= MIN_DISTINCT_FRAC)
+                & (F.col("top_count") / F.col("n_words") <= MAX_TOP_FRAC)
+            ).alias("qual_ok"),
+        )
+        .persist()
+    )
+    sq = flags.filter(F.col("lang_ok") & F.col("qual_ok")).select(
+        "doc_id", "text"
+    )
+    sk = _track(
+        sq.groupBy(F.sha2("text", 256))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
+    sh = word_shingles(docs)
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
+    tr = sh.join(sk, "doc_id", "semi").filter(F.col("doc_id") % BENCH_MOD != 0)
+    ov = (
+        tr.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.sum("hit").alias("n_ov"))
+    )
+    final = (
+        sk.join(ov, "doc_id", "left")
+        .filter(
+            (F.col("doc_id") % BENCH_MOD != 0)
+            & (
+                F.col("n_sh").isNull()
+                | (F.coalesce(F.col("n_ov"), F.lit(0)) / F.col("n_sh")
+                   < CONTAM_RATE)
+            )
+        )
+        .select("doc_id")
+    )
+    c123 = flags.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("lang_ok") & F.col("qual_ok"), 1).otherwise(0))
+        .cast("bigint").alias("n3"),
+    )
+    c4 = sk.agg(F.count("*").cast("bigint").alias("n4"))
+    c5 = final.agg(F.count("*").cast("bigint").alias("n5"))
+    one = c123.crossJoin(F.broadcast(c4)).crossJoin(F.broadcast(c5))
+    stages = F.array(
+        F.struct(F.lit(1).cast("bigint").alias("stage"),
+                 F.lit("raw").alias("stage_name"), F.col("n1").alias("n_docs")),
+        F.struct(F.lit(2).cast("bigint").alias("stage"),
+                 F.lit("lang").alias("stage_name"), F.col("n2").alias("n_docs")),
+        F.struct(F.lit(3).cast("bigint").alias("stage"),
+                 F.lit("quality").alias("stage_name"), F.col("n3").alias("n_docs")),
+        F.struct(F.lit(4).cast("bigint").alias("stage"),
+                 F.lit("dedup").alias("stage_name"), F.col("n4").alias("n_docs")),
+        F.struct(F.lit(5).cast("bigint").alias("stage"),
+                 F.lit("decontam").alias("stage_name"), F.col("n5").alias("n_docs")),
+    )
+    return (
+        one.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.stage_name", "s.n_docs")
+        .orderBy("stage")
+    )
+
+
+_REG["q_corpus_funnel"] = _dc.replace(
+    _REG["q_corpus_funnel"], oracle=_corpus_funnel_oracle()
+)

@@ -1225,3 +1225,15 @@ def test_inverted_index_head_lengths(spark, sf_dir):
         .count()
     )
     assert df_sum == pairs
+
+
+def test_corpus_funnel_monotone(spark, sf_dir):
+    # a funnel only shrinks; stage 1 is the raw table count
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in REGISTRY["q_corpus_funnel"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert all(rows[i] >= rows[i + 1] for i in range(1, 5))
+    n_raw = load_table(spark, sf_dir, "documents").count()
+    assert rows[1] == n_raw

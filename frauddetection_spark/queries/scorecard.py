@@ -1894,3 +1894,127 @@ def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cov_zx.cast("double") / nz(var_z.cast("double"))).alias("first_stage"),
         (cov_zy.cast("double") / nz(cov_zx.cast("double"))).alias("beta_iv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-based collaborative filtering: cosine neighborhoods
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_item_cf",
+    oracle="""
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), deg AS (
+        SELECT u FROM (SELECT u, count(*) AS cnt FROM ui GROUP BY 1)
+        WHERE cnt <= 100
+    ), uif AS (SELECT ui.u, ui.p FROM ui JOIN deg USING (u)),
+    marg AS (SELECT p, CAST(count(*) AS BIGINT) AS n_users
+             FROM uif GROUP BY 1),
+    pairs AS (
+        SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_uv
+        FROM uif a JOIN uif b ON a.u = b.u AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+        SELECT p1 AS item, p2 AS neighbor, n_uv FROM pairs
+        UNION ALL
+        SELECT p2, p1, n_uv FROM pairs
+    ), scored AS (
+        SELECT s.item, s.neighbor, s.n_uv,
+               round(s.n_uv / sqrt(CAST(ma.n_users AS DOUBLE)
+                                   * mb.n_users), 6) AS cosine
+        FROM sym s
+        JOIN marg ma ON s.item = ma.p
+        JOIN marg mb ON s.neighbor = mb.p
+    )
+    SELECT item, rank, neighbor, n_uv, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY item
+            ORDER BY cosine DESC, n_uv DESC, neighbor) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY item, rank
+    """,
+    survey="J1,A2,A14",
+)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering (the classic item-item
+    neighborhood model): top-5 neighbors per part by binary cosine
+    n_uv / sqrt(n_u · n_v) over the USER-item incidence — who-bought-
+    this-also-bought, at customer grain where q_cooccurrence is lift
+    at order-basket grain. The pair space is Σ deg(u)² over users, so
+    the standard CF scale guard applies and is explicit: users with
+    > 100 distinct items are dropped before the pair join (whale
+    pruning — at 100 TB a single crawler account otherwise contributes
+    millions of pairs; the cap bounds per-user work by a constant).
+    One shuffle keys the pair join on the user, one groups item pairs,
+    marginals join back broadcast-size; the cosine is a single
+    IEEE-identical expression rounded to 6dp, ranks totally ordered by
+    (cosine, n_uv, neighbor)."""
+    ui = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_partkey").alias("p"))
+        .join(
+            t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_custkey").alias("u"),
+            ),
+            "l_orderkey",
+        )
+        .select("u", "p")
+        .distinct()
+    )
+    deg = ui.groupBy("u").count().filter(F.col("count") <= 100).select("u")
+    uif = ui.join(deg, "u", "semi")
+    marg = uif.groupBy("p").agg(F.count("*").cast("bigint").alias("n_users"))
+    a = uif.select("u", F.col("p").alias("p1"))
+    b = uif.select("u", F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("bigint").alias("n_uv"))
+        .filter(F.col("n_uv") >= 2)
+    )
+    sym = pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "n_uv"
+    ).unionAll(
+        pairs.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "n_uv"
+        )
+    )
+    scored = (
+        sym.join(
+            marg.select(F.col("p").alias("item"), F.col("n_users").alias("na")),
+            "item",
+        )
+        .join(
+            marg.select(
+                F.col("p").alias("neighbor"), F.col("n_users").alias("nb")
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "n_uv",
+            F.round(
+                F.col("n_uv")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("n_uv").desc(), "neighbor"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "item", F.col("rank").cast("bigint").alias("rank"),
+            "neighbor", "n_uv", "cosine",
+        )
+        .orderBy("item", "rank")
+    )

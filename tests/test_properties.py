@@ -1237,3 +1237,14 @@ def test_corpus_funnel_monotone(spark, sf_dir):
     assert all(rows[i] >= rows[i + 1] for i in range(1, 5))
     n_raw = load_table(spark, sf_dir, "documents").count()
     assert rows[1] == n_raw
+
+
+def test_item_cf_cosine_bounds_and_rank(spark, sf_dir):
+    # binary cosine lives in (0, 1]; at most 5 neighbors per item
+    out = REGISTRY["q_item_cf"].fn(spark, sf_dir)
+    row = out.agg(
+        F.min("cosine"), F.max("cosine"), F.max("rank"), F.min("n_uv")
+    ).first()
+    if row[0] is not None:
+        assert 0.0 < row[0] and row[1] <= 1.0
+        assert row[2] <= 5 and row[3] >= 2

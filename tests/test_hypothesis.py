@@ -119,3 +119,82 @@ def test_morton_interleave_matches_python(spark, pts):
     want = [_py_morton(x, y) for x, y in pts]
     assert got == want
     assert len({_py_morton(x, y) for x, y in set(pts)}) == len(set(pts))
+
+
+# --- oracle comparator canonicalization (the ndarray rendering fix) ---------
+
+
+@given(
+    # homogeneous lists only: engine array columns are typed (a bigint
+    # array or a double array), and np.array([0, 0.0]) would upcast a
+    # mixed list wholesale — a numpy artifact no real column hits
+    st.one_of(
+        st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=0,
+            max_size=8,
+        ),
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_canon_cell_numpy_matches_python(xs):
+    # DuckDB fetchdf returns numpy arrays, Arrow toPandas may return
+    # either — both must canonicalize identically to the python list
+    import numpy as np
+
+    from frauddetection_spark.oracle import _canon_cell
+
+    assert _canon_cell(np.array(xs)) == _canon_cell(xs)
+    if xs:
+        assert _canon_cell(np.int64(7)) == _canon_cell(7)
+        assert _canon_cell(np.float64(1.25)) == _canon_cell(1.25)
+
+
+# --- prefix_rank vs the single-partition window oracle ----------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_rank_matches_window_oracle(spark, rows):
+    # the two-phase range-partitioned form must equal the classic
+    # unpartitioned running sum/rank on any input, including ties
+    # (made total by a unique idx key)
+    from pyspark.sql import Window
+
+    from frauddetection_spark.operators.rank import prefix_rank
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "idx long, k long, v long"
+    )
+    got = {
+        r["idx"]: (r["rn"], r["s"])
+        for r in prefix_rank(
+            df, [F.col("k"), F.col("idx")], sums={"s": F.col("v")}
+        ).collect()
+    }
+    w = Window.orderBy("k", "idx").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["idx"]: (r["rn"], r["s"])
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy("k", "idx")))
+        .withColumn("s", F.sum("v").over(w))
+        .collect()
+    }
+    assert got == want

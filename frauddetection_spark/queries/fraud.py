@@ -2153,3 +2153,169 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour_slot", "week", "n", "med_n", "mad_n")
         .orderBy("event_type", "hour_slot", "week")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end fraud-dataset funnel: the reference's pipeline composed
+# ---------------------------------------------------------------------------
+
+
+def _fraud_funnel_oracle() -> str:
+    from frauddetection_spark.operators.sampling import sql_portable_split
+    from frauddetection_spark.queries.sampling import ERROR_THRESHOLD
+
+    return f"""
+    WITH per AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_err
+        FROM events GROUP BY 1
+    ),
+    edges0 AS (
+        SELECT user_id AS src,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    nodes AS (
+        SELECT DISTINCT u FROM (
+            SELECT src AS u FROM edges0 WHERE src <> dst
+            UNION ALL
+            SELECT dst FROM edges0 WHERE src <> dst
+        )
+    ),
+    f AS (
+        SELECT p.user_id,
+               (p.n_events >= 60) AS featured,
+               (n.u IS NOT NULL) AS in_graph,
+               ({sql_portable_split("p.user_id")} = 'train') AS is_train,
+               (p.n_err >= {ERROR_THRESHOLD}) AS is_pos
+        FROM per p LEFT JOIN nodes n ON p.user_id = n.u
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'users' AS stage_name,
+               CAST(count(*) AS BIGINT) AS n_users FROM f
+        UNION ALL SELECT 2, 'featured',
+               CAST(sum(CASE WHEN featured THEN 1 ELSE 0 END) AS BIGINT)
+               FROM f
+        UNION ALL SELECT 3, 'connected',
+               CAST(sum(CASE WHEN featured AND in_graph
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL SELECT 4, 'train',
+               CAST(sum(CASE WHEN featured AND in_graph AND is_train
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM f
+        UNION ALL SELECT 5, 'train_pos',
+               CAST(sum(CASE WHEN featured AND in_graph AND is_train
+                             AND is_pos THEN 1 ELSE 0 END) AS BIGINT)
+               FROM f
+    ) ORDER BY stage
+    """
+
+
+@register(
+    "q_fraud_funnel",
+    oracle=None,  # late-bound below (needs split SQL + threshold consts)
+    survey="A2,J3,R1,M3",
+)
+def q_fraud_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's END-TO-END training-dataset pipeline
+    (data_process.py feature rollup → graph construction → labeling →
+    split, `Code for Sichuan/data_process.py:114-158` +
+    `new_train_1.py:79-117`) composed into one declarative funnel:
+    users → featured (≥60 events — a real minimum-activity gate that
+    binds at every sf, cf. the reference's per-user aggregation window)
+    → connected (present in the repeat-contact graph — the SAME ≥3-
+    contacts sparsification as q_label_propagation) → train (the
+    portable 80% hash split of q_split_stratified) → train positives
+    (the ≥{ERROR}-error label rule the MLlib pipeline trains on).
+    Stages are nested by construction so the funnel is monotone; the
+    counts are the class-balance numbers a training run starts from
+    (the reference reports exactly these: nodes, edges, fraud/benign
+    per split). ONE aggregation pass computes per-user flags, the
+    graph membership is a left join against the distinct node set,
+    and the five counters come from a single 1-row aggregate exploded
+    to rows — no repeated scans, no driver loop."""
+    from frauddetection_spark.operators.sampling import portable_split
+    from frauddetection_spark.queries.sampling import ERROR_THRESHOLD
+
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    rep = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter((F.col("w") >= 3) & (F.col("src") != F.col("dst")))
+    )
+    nodes = (
+        rep.select(F.col("src").alias("u"))
+        .unionAll(rep.select(F.col("dst").alias("u")))
+        .distinct()
+        .withColumn("in_graph", F.lit(True))
+    )
+    f = per.join(nodes, per.user_id == nodes.u, "left").select(
+        (F.col("n_events") >= 60).alias("featured"),
+        F.coalesce("in_graph", F.lit(False)).alias("in_graph"),
+        (portable_split(F.col("user_id")) == "train").alias("is_train"),
+        (F.col("n_err") >= ERROR_THRESHOLD).alias("is_pos"),
+    )
+    one = f.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("featured"), 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("featured") & F.col("in_graph"), 1).otherwise(0))
+        .cast("bigint").alias("n3"),
+        F.sum(
+            F.when(
+                F.col("featured") & F.col("in_graph") & F.col("is_train"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n4"),
+        F.sum(
+            F.when(
+                F.col("featured") & F.col("in_graph") & F.col("is_train")
+                & F.col("is_pos"),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n5"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).cast("bigint").alias("stage"),
+                 F.lit("users").alias("stage_name"),
+                 F.col("n1").alias("n_users")),
+        F.struct(F.lit(2).cast("bigint").alias("stage"),
+                 F.lit("featured").alias("stage_name"),
+                 F.col("n2").alias("n_users")),
+        F.struct(F.lit(3).cast("bigint").alias("stage"),
+                 F.lit("connected").alias("stage_name"),
+                 F.col("n3").alias("n_users")),
+        F.struct(F.lit(4).cast("bigint").alias("stage"),
+                 F.lit("train").alias("stage_name"),
+                 F.col("n4").alias("n_users")),
+        F.struct(F.lit(5).cast("bigint").alias("stage"),
+                 F.lit("train_pos").alias("stage_name"),
+                 F.col("n5").alias("n_users")),
+    )
+    return (
+        one.select(F.explode(stages).alias("s"))
+        .select("s.stage", "s.stage_name", "s.n_users")
+        .orderBy("stage")
+    )
+
+
+q_fraud_funnel.__doc__ = (q_fraud_funnel.__doc__ or "").replace("{ERROR}", "15")
+
+from frauddetection_spark.plans.registry import REGISTRY as _FREG  # noqa: E402
+import dataclasses as _fdc  # noqa: E402
+
+_FREG["q_fraud_funnel"] = _fdc.replace(
+    _FREG["q_fraud_funnel"], oracle=_fraud_funnel_oracle()
+)

@@ -1248,3 +1248,19 @@ def test_item_cf_cosine_bounds_and_rank(spark, sf_dir):
     if row[0] is not None:
         assert 0.0 < row[0] and row[1] <= 1.0
         assert row[2] <= 5 and row[3] >= 2
+
+
+def test_fraud_funnel_monotone_and_split(spark, sf_dir):
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in REGISTRY["q_fraud_funnel"].fn(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    assert all(rows[i] >= rows[i + 1] for i in range(1, 5))
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[1] == n_users
+    # the 80% hash split keeps a plausible share of the connected set
+    if rows[3]:
+        assert 0.5 <= rows[4] / rows[3] <= 1.0

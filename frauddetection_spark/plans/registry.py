@@ -114,7 +114,7 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # evidence rotation: this window holds the FIRST 50 still-unevidenced
 # oracle queries in queue order (fraud/behavioral batch, scorecard /
 # model-monitoring batch, then the analytics tail); the 59 carried
-# from round 4 plus every round-5 addition (51 more) stay in
+# from round 4 plus every round-5 addition (52 more) stay in
 # ``QUEUED_NEXT_WINDOW`` for rounds 6-7. The invariant — cumulative driver evidence
 # (past green ∪ this window ∪ queue) covers every oracle query — is
 # pinned by tests/test_plans.py::test_driver_window_completes_evidence.
@@ -182,7 +182,7 @@ QUEUE_AS_OF_ROUND = 5
 
 # Oracle-backed queries still awaiting their first driver row after the
 # round-5 window above was frozen (59 carried over from round 4's
-# post-freeze additions + the 51 round-5 additions, appended in
+# post-freeze additions + the 52 round-5 additions, appended in
 # authoring order). They fill the round-6 and round-7 windows at the
 # next rotations — enforced by tests/test_plans.py (queue-staleness +
 # cumulative-evidence invariants).
@@ -304,6 +304,7 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_corpus_funnel",
     "q_item_cf",
     "q_fraud_funnel",
+    "q_cascade_delete",
 )
 
 

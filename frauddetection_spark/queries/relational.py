@@ -3897,3 +3897,129 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name", "n_excess_parts")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascade-delete impact analysis (GDPR erasure planning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cascade_delete",
+    oracle="""
+    WITH seed AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ),
+    o AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM seed)
+    ),
+    l AS (
+        SELECT 1 AS x FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+    ),
+    tot AS (
+        SELECT (SELECT count(*) FROM customer) AS tc,
+               (SELECT count(*) FROM orders) AS toq,
+               (SELECT count(*) FROM lineitem) AS tl,
+               (SELECT count(*) FROM seed) AS nc,
+               (SELECT count(*) FROM o) AS no,
+               (SELECT count(*) FROM l) AS nl
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS level, 'customer' AS table_name,
+               CAST(nc AS BIGINT) AS n_affected,
+               CAST(tc AS BIGINT) AS n_total,
+               round(nc * 1.0 / tc, 6) AS affected_pct
+        FROM tot
+        UNION ALL SELECT 2, 'orders', CAST(no AS BIGINT),
+               CAST(toq AS BIGINT), round(no * 1.0 / toq, 6) FROM tot
+        UNION ALL SELECT 3, 'lineitem', CAST(nl AS BIGINT),
+               CAST(tl AS BIGINT), round(nl * 1.0 / tl, 6) FROM tot
+    ) ORDER BY level
+    """,
+    survey="J7,A2",
+)
+def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-impact analysis — the data-governance planning query
+    behind GDPR right-to-be-forgotten: given a deletion seed set
+    (here: negative-balance customers, the deterministic stand-in for
+    an erasure request list), walk the foreign-key cascade
+    customer → orders → lineitem and report, per table, how many rows
+    a compliant cascade delete would remove and what share of the
+    table that is — the numbers a deletion job is sized and approved
+    on. Plan shape: each level is a LEFT SEMI join from the fact table
+    to the previous level's keys (the seed and the order-key frontier
+    are the SMALL sides — broadcast; the big fact tables are only ever
+    scanned, never shuffled), counts are 1-row aggregates crossJoined
+    and exploded to the report rows. At 100 TB this is the exact shape
+    of the real erasure pre-check: frontier keys broadcast, one scan
+    per fact table, no fact-to-fact shuffle anywhere."""
+    seed = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
+        "c_custkey"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(seed.withColumnRenamed("c_custkey", "o_custkey")),
+            "o_custkey",
+            "semi",
+        )
+        .select("o_orderkey")
+    )
+    l = t(spark, sf_dir, "lineitem").join(
+        F.broadcast(o.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "semi",
+    )
+    counts = (
+        seed.agg(F.count("*").cast("bigint").alias("nc"))
+        .crossJoin(o.agg(F.count("*").cast("bigint").alias("no")))
+        .crossJoin(l.agg(F.count("*").cast("bigint").alias("nl")))
+        .crossJoin(
+            t(spark, sf_dir, "customer").agg(
+                F.count("*").cast("bigint").alias("tc")
+            )
+        )
+        .crossJoin(
+            t(spark, sf_dir, "orders").agg(
+                F.count("*").cast("bigint").alias("to_")
+            )
+        )
+        .crossJoin(
+            t(spark, sf_dir, "lineitem").agg(
+                F.count("*").cast("bigint").alias("tl")
+            )
+        )
+    )
+    levels = F.array(
+        F.struct(
+            F.lit(1).cast("bigint").alias("level"),
+            F.lit("customer").alias("table_name"),
+            F.col("nc").alias("n_affected"),
+            F.col("tc").alias("n_total"),
+            F.round(F.col("nc") / F.col("tc"), 6).alias("affected_pct"),
+        ),
+        F.struct(
+            F.lit(2).cast("bigint").alias("level"),
+            F.lit("orders").alias("table_name"),
+            F.col("no").alias("n_affected"),
+            F.col("to_").alias("n_total"),
+            F.round(F.col("no") / F.col("to_"), 6).alias("affected_pct"),
+        ),
+        F.struct(
+            F.lit(3).cast("bigint").alias("level"),
+            F.lit("lineitem").alias("table_name"),
+            F.col("nl").alias("n_affected"),
+            F.col("tl").alias("n_total"),
+            F.round(F.col("nl") / F.col("tl"), 6).alias("affected_pct"),
+        ),
+    )
+    return (
+        counts.select(F.explode(levels).alias("s"))
+        .select(
+            "s.level", "s.table_name", "s.n_affected", "s.n_total",
+            "s.affected_pct",
+        )
+        .orderBy("level")
+    )

@@ -1264,3 +1264,17 @@ def test_fraud_funnel_monotone_and_split(spark, sf_dir):
     # the 80% hash split keeps a plausible share of the connected set
     if rows[3]:
         assert 0.5 <= rows[4] / rows[3] <= 1.0
+
+
+def test_cascade_delete_shares_bounded(spark, sf_dir):
+    out = REGISTRY["q_cascade_delete"].fn(spark, sf_dir).collect()
+    assert [r["level"] for r in out] == [1, 2, 3]
+    for r in out:
+        assert 0 <= r["n_affected"] <= r["n_total"]
+        assert 0.0 <= r["affected_pct"] <= 1.0
+    seed = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .count()
+    )
+    assert out[0]["n_affected"] == seed

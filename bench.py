@@ -78,7 +78,32 @@ HEADLINE = [
     # step (pair stats O(|vocab|), corpus touched once)
     "q_date_spread",
     "q_bpe_merge",
+    # round-6 additions (VERDICT r05 item 4): the largest TPC-H join
+    # tree (Q9: part×supplier×lineitem×orders×nation with per-year
+    # profit), and the item-item collaborative-filtering join — the
+    # slowest data-sized query in SCALE_AUDIT_r05 (5.5s) — so their
+    # wall-times are tracked round-over-round.
+    "q_tpch_q9",
+    "q_item_cf",
 ]
+
+
+
+def _quiet_cache_warnings(spark) -> None:
+    """Min-of-N re-runs the same query without releasing its tracked
+    caches (deliberate: the warm run is the steady-state number), so
+    the second run's plan-matched persist triggers CacheManager's
+    "Asked to cache already cached data" WARN on every such query.
+    It is noise here by construction — drop that one logger to ERROR so
+    real cache bugs elsewhere stay visible (VERDICT r05 item 6)."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.CacheManager",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — logging tweak must never kill a run
+        pass
 
 
 def scale_audit() -> None:
@@ -96,8 +121,9 @@ def scale_audit() -> None:
     names = sys.argv[2:] or None
     registry = load_all()
     spark = get_spark(app_name="frauddetection-scale-audit")
+    _quiet_cache_warnings(spark)
     registry["q_scan_parquet"].fn(spark, lo_dir).collect()
-    from frauddetection_spark.operators.graph import release_caches
+    from frauddetection_spark.operators.caching import release_caches
 
     rows = []
     for name, spec in registry.items():
@@ -145,6 +171,7 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     registry = load_all()
     spark = get_spark(app_name="frauddetection-bench")
+    _quiet_cache_warnings(spark)
 
     # Warm the JVM + parquet footers + Arrow Python workers once so
     # per-query numbers measure the plan, not first-touch costs.
@@ -160,7 +187,7 @@ def main() -> None:
     # often run 2) pay compilation cost (q_dedup_minhash measured
     # 7.0/3.9/2.7/1.1s over four runs), and the steady-state plan cost
     # is what the benchmark is meant to measure.
-    from frauddetection_spark.operators.graph import release_caches
+    from frauddetection_spark.operators.caching import release_caches
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -35,7 +35,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from frauddetection_spark.operators.graph import _track, degrees, edges_from_events
+from frauddetection_spark.operators.caching import track_cache
+from frauddetection_spark.operators.graph import degrees, edges_from_events
 from frauddetection_spark.operators.sampling import portable_split
 from frauddetection_spark.queries.sampling import _labels
 from frauddetection_spark.sources.tables import load_table
@@ -92,7 +93,7 @@ def propagate_features(
             *[F.avg(c).alias(f"{c.split('_nbr')[0]}_nbr{k}") for c in prev_cols]
         )
         out = out.join(agg, "user_id", "left").na.fill(0.0)
-        _track(out.persist())
+        track_cache(out.persist())
         prev_cols = [f"{c.split('_nbr')[0]}_nbr{k}" for c in prev_cols]
     return out
 
@@ -183,7 +184,7 @@ def train_and_evaluate(
 ) -> dict[str, float]:
     """End-to-end: dataset → fit → oracle-formula metrics."""
     dataset, cols = build_dataset(spark, sf_dir)
-    _track(dataset.persist())
+    track_cache(dataset.persist())
     model = train(dataset, cols, classifier=classifier)
     return evaluate(model, dataset)
 

@@ -26,28 +26,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-# Persisted frames whose lifetime outlives the function that created
-# them (pagerank/probe invariants referenced by the RETURNED lazy
-# plan): an eager unpersist would defeat the cache, so callers own
-# cleanup — run release_caches() after the final action on the result
-# (long-lived driver sessions accumulate cached frames otherwise).
-_TRACKED_CACHES: list[DataFrame] = []
-
-
-def _track(df: DataFrame) -> DataFrame:
-    _TRACKED_CACHES.append(df)
-    return df
-
-
-def release_caches() -> int:
-    """Unpersist every tracked invariant cache; returns the count.
-    Safe at any time — unpersist never breaks correctness, only forces
-    recomputation if the plan is re-executed afterwards."""
-    n = 0
-    while _TRACKED_CACHES:
-        _TRACKED_CACHES.pop().unpersist()
-        n += 1
-    return n
+# Cache lifetime registry lives in operators.caching since round 6;
+# re-exported here (incl. the legacy private name) for back-compat.
+from frauddetection_spark.operators.caching import (  # noqa: F401
+    release_caches,
+    track_cache,
+    track_cache as _track,
+)
 
 
 def edges_from_events(events: DataFrame) -> DataFrame:
@@ -235,7 +220,7 @@ def common_neighbor_pairs(
             # expensive part — fills the cache the chosen plan then
             # reuses; both strategies read c at least twice). The
             # degree aggregate gives nc AND exact Σd² in one pass.
-            c = _track(c.persist())
+            c = track_cache(c.persist())
             degs = c.groupBy("ct").agg(F.count("*").alias("d"))
             row = degs.agg(
                 F.count("*").alias("nc"),
@@ -314,7 +299,7 @@ def _common_neighbors_bitmask(
     from pyspark import StorageLevel
 
     if c.storageLevel == StorageLevel.NONE:
-        c = _track(c.persist())
+        c = track_cache(c.persist())
     if n_contacts is not None:
         # domain known ≤ BITMASK_MAX_CONTACTS: a single window over
         # ≤4096 rows is bounded by construction and cheaper than the
@@ -539,7 +524,7 @@ def pagerank_integer(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
-    nodes = _track(
+    nodes = track_cache(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -548,7 +533,7 @@ def pagerank_integer(
     # static per-edge divisor: outdeg never changes across rounds.
     # Both invariants are referenced by the returned lazy plan, so
     # they cannot be unpersisted here — tracked for release_caches()
-    edges_out = _track(
+    edges_out = track_cache(
         edges.join(
             edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
         )

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from frauddetection_spark.operators.graph import _track
+from frauddetection_spark.operators.caching import track_cache
 
 # Offsets windows below run over ≤ RANK_PARTITIONS rows by construction
 # (one row per range partition) — bounded by this constant, not by data.
@@ -71,7 +71,7 @@ def prefix_rank(
     # local+offset sum is silently wrong (observed: 241 duplicate /
     # 288 missing ranks over a 15k-row aggregate input at sf0.1).
     # ReusedExchange usually hides this; it is not guaranteed.
-    parts = _track(
+    parts = track_cache(
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -133,7 +133,7 @@ def prefix_max(
     """
     # persisted for the same two-evaluation bound-consistency reason
     # as prefix_rank (see comment there)
-    parts = _track(
+    parts = track_cache(
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_pid", F.spark_partition_id())
         .persist()

@@ -324,7 +324,7 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
     from frauddetection_spark.operators.sampling import (
         portable_hash_u32,
         portable_uniform_keep,
@@ -337,7 +337,7 @@ def ivf_topk(
     # reference — measured 9.9s → 1.8s at sf0.1 for the sampled path.
     # Lazy persist only (zero jobs at construction, lint-pinned);
     # caller releases via operators.graph.release_caches().
-    q = _track(
+    q = track_cache(
         quantize(emb, vec_col).select("vec_id", "qv", "n2").persist()
     )
     if seeding == "sampled":
@@ -409,7 +409,7 @@ def ivf_topk(
         # without the persist each of the TWO references per following
         # iteration (score + update) re-runs every preceding pass —
         # O(2^iters) training scans.
-        cent = _track(
+        cent = track_cache(
             comp.groupBy("cid")
             .agg(
                 F.transform(
@@ -429,7 +429,7 @@ def ivf_topk(
 
     # referenced twice (home + probes): persist the n·n_centroids
     # assignment table — the standard materialized IVF index.
-    ranked = _track(
+    ranked = track_cache(
         score(q, cent)
         .withColumn("crank", F.row_number().over(w_assign))
         .persist()
@@ -777,9 +777,9 @@ def pq_topk(
     corpus code row out only to the (small) query batch."""
     from pyspark.sql import Window
 
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
-    q = _track(quantize(emb, vec_col).select("vec_id", "qv", "n2").persist())
+    q = track_cache(quantize(emb, vec_col).select("vec_id", "qv", "n2").persist())
     sub_structs = F.array(
         *[
             F.struct(
@@ -790,7 +790,7 @@ def pq_topk(
         ]
     )
     # referenced by every Lloyd iteration, the encode pass and the LUT
-    subs = _track(
+    subs = track_cache(
         q.select("vec_id", F.explode(sub_structs).alias("s"))
         .select("vec_id", "s.m", "s.sub")
         .withColumn(
@@ -837,7 +837,7 @@ def pq_topk(
                 .alias("cv")
             )
         )
-        cent = _track(
+        cent = track_cache(
             comp.groupBy("m", "cid")
             .agg(
                 F.transform(

@@ -75,7 +75,7 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     # cache hygiene: a full-catalog comparison session runs 100+
     # queries back-to-back; tracked per-query persists (shingle/IVF/
     # rank frontiers) must not accumulate across them (ADVICE r3)
-    from frauddetection_spark.operators.graph import release_caches
+    from frauddetection_spark.operators.caching import release_caches
 
     release_caches()
     du = con.execute(sql).fetchdf()

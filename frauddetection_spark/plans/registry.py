@@ -84,7 +84,7 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
         def guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
             global _LAST_CONSTRUCTED
-            from frauddetection_spark.operators.graph import release_caches
+            from frauddetection_spark.operators.caching import release_caches
 
             if _LAST_CONSTRUCTED != name:
                 release_caches()
@@ -106,87 +106,20 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Cumulative driver evidence after round 4
-# covers 133 of the 242 oracle-backed queries (CORRECTNESS_r01..r04 —
+# 50 entries of ``queries()``. Cumulative driver evidence after round 5
+# covers 183 of the 299 oracle-backed queries (CORRECTNESS_r01..r05 —
 # every query that has ever held a window slot is hash-green; zero
-# mismatches ever recorded for a currently-declared query). Round 4
-# added ~140 queries after its window froze, so rounds 5-6 are pure
-# evidence rotation: this window holds the FIRST 50 still-unevidenced
-# oracle queries in queue order (fraud/behavioral batch, scorecard /
-# model-monitoring batch, then the analytics tail); the 59 carried
-# from round 4 plus every round-5 addition (52 more) stay in
-# ``QUEUED_NEXT_WINDOW`` for rounds 6-7. The invariant — cumulative driver evidence
-# (past green ∪ this window ∪ queue) covers every oracle query — is
-# pinned by tests/test_plans.py::test_driver_window_completes_evidence.
+# mismatches ever recorded for a currently-declared query). Rounds 6-8
+# are pure evidence rotation — NO new queries until the backlog drains:
+# this round-6 window holds the FIRST 50 still-unevidenced oracle
+# queries in queue order (the round-4e analytics/AML tail plus the
+# first seven TPC-H shapes users hit first: Q1/Q3/Q5/Q10/Q14/Q18/Q19);
+# the remaining 67 (66 oracle + rows-only q_compress_ratio) stay in
+# ``QUEUED_NEXT_WINDOW`` for rounds 7-8. The invariant — cumulative
+# driver evidence (past green ∪ this window ∪ queue) covers every
+# oracle query — is pinned by
+# tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    "q_benford",
-    "q_rfm",
-    "q_double_swipe",
-    "q_skyline",
-    "q_merge_upsert",
-    "q_reservoir_group",
-    "q_chisq_cells",
-    "q_ewma",
-    "q_linear_interp",
-    "q_corr_pairs",
-    "q_kcore",
-    "q_repetition_ratio",
-    "q_ann_pq",
-    "q_autocorr",
-    "q_quantile_interp",
-    "q_bootstrap_means",
-    "q_python_udtf",
-    "q_skew_probe",
-    "q_funnel_paths",
-    "q_markov_transitions",
-    "q_lorenz_gini",
-    "q_assortativity",
-    "q_lateral_topk",
-    "q_ks_score",
-    "q_lift_gains",
-    "q_psi",
-    "q_woe_iv",
-    "q_target_encode",
-    "q_ttest_welch",
-    "q_cooccurrence",
-    "q_ztest_proportions",
-    "q_negative_sampling",
-    "q_rle_islands",
-    "q_hits",
-    "q_graph_jaccard",
-    "q_adamic_adar",
-    "q_decay_score",
-    "q_cusum_daily",
-    "q_sparse_cosine",
-    "q_ks_2sample",
-    "q_percent_rank",
-    "q_burstiness",
-    "q_scan_xml",
-    "q_recursive_cte",
-    "q_survival_km",
-    "q_entity_resolution",
-    "q_cep_3step",
-    "q_ohlc_hourly",
-    "q_class_balance",
-    "q_twap",
-)
-
-DRIVER_WINDOW = 50
-
-# Round marker for QUEUED_NEXT_WINDOW staleness: the queue below was
-# created against this CORRECTNESS round. Once a NEWER round file
-# exists, a non-empty queue means a rotation happened without promoting
-# it — tests/test_plans.py fails in that case, so nothing can sit
-# queued forever.
-QUEUE_AS_OF_ROUND = 5
-
-# Oracle-backed queries still awaiting their first driver row after the
-# round-5 window above was frozen (59 carried over from round 4's
-# post-freeze additions + the 52 round-5 additions, appended in
-# authoring order). They fill the round-6 and round-7 windows at the
-# next rotations — enforced by tests/test_plans.py (queue-staleness +
-# cumulative-evidence invariants).
-QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_dwell_time",
     "q_ref_integrity",
     "q_lexicon_score",
@@ -237,6 +170,26 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_doc_novelty",
     "q_did",
     "q_random_walks",
+)
+
+DRIVER_WINDOW = 50
+
+# Round marker for QUEUED_NEXT_WINDOW staleness: the queue below was
+# created against this CORRECTNESS round. Once a NEWER round file
+# exists, a non-empty queue means a rotation happened without promoting
+# it — tests/test_plans.py fails in that case, so nothing can sit
+# queued forever.
+QUEUE_AS_OF_ROUND = 6
+
+# Queries still awaiting their first driver row after the round-6
+# window above was frozen (the round-4e tail from q_taint_tracing plus
+# every round-5 addition, in authoring order; 66 oracle-backed + the
+# rows-only q_compress_ratio). The first 50 fill the round-7 window at
+# the next rotation; the final 17 (plus any rows-only cycling, e.g.
+# q_hll_rollup / q_split_xxhash / q_weighted_draw) close out in round 8
+# — enforced by tests/test_plans.py (queue-staleness +
+# cumulative-evidence invariants).
+QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_taint_tracing",
     "q_benford_groups",
     "q_tpch_q6",
@@ -246,7 +199,6 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_circular_hours",
     "q_qte",
     "q_tpch_q9",
-    # --- added during round 5 (await first driver evidence) ---
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q13",

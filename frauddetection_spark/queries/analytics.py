@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from frauddetection_spark.operators.graph import _track
+from frauddetection_spark.operators.caching import track_cache
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import SQL_WEEK, cents, r6, t, week_str
 
@@ -452,7 +452,7 @@ def q_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregates the previous one, not the events. Counts and cents
     are exact ints; no floats anywhere."""
     e = t(spark, sf_dir, "events")
-    hourly = _track(
+    hourly = track_cache(
         e.groupBy(F.date_trunc("hour", "ts").alias("b"))
         .agg(F.count("*").alias("n"), F.sum(cents("value")).alias("total_cents"))
         .persist()
@@ -721,7 +721,7 @@ def q_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ranked frame feeds BOTH the row side and the per-group offset
     # aggregate; without the (tracked) persist Spark re-runs the whole
     # two-phase rank for each subtree — a doubled scan at any scale
-    ranked = _track(
+    ranked = track_cache(
         prefix_rank(
             c, [F.col("event_type"), F.col("c"), F.col("event_id")]
         ).persist()
@@ -1350,7 +1350,7 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-partitioned two-phase rank gives each row its global rn;
     # self-join rn = rn+1 pairs consecutive ids without a global window
     # (tracked persist: both join sides consume the ranked frame)
-    r = _track(prefix_rank(p, [F.col("event_id")]).persist())
+    r = track_cache(prefix_rank(p, [F.col("event_id")]).persist())
     nxt = r.select(
         (F.col("rn") - 1).alias("rn"), F.col("event_id").alias("next_id")
     )

@@ -1839,13 +1839,13 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + event_id % 1000000"
         ).alias("ord_key"),
     )
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
     # conv feeds three consumers (touch filter, touchless-user branch,
     # outcome) and seq feeds three union branches — pin both once or
     # the events scan + windows re-evaluate per branch (measured: the
     # un-pinned build alone cost ~10s of the original 72s)
-    conv = _track(
+    conv = track_cache(
         e.groupBy("user_id")
         .agg(
             F.min(
@@ -1862,7 +1862,7 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("user_id").orderBy("ord_key")
-    seq = _track(
+    seq = track_cache(
         touches.select(
             "user_id",
             F.col("event_type").alias("state"),

@@ -940,12 +940,12 @@ def q_quantile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_rank scale shape as the grid: range-partitioned global
     ranks, per-group offsets broadcast, the two bracketing rows fetched
     by rank join (never a per-group sort in one task)."""
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
     from frauddetection_spark.operators.rank import prefix_rank
 
     e = t(spark, sf_dir, "events")
     c = e.select("event_type", "event_id", cents("value").alias("c"))
-    ranked = _track(
+    ranked = track_cache(
         prefix_rank(
             c, [F.col("event_type"), F.col("c"), F.col("event_id")]
         ).persist()

@@ -807,7 +807,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier once (measured 2-4× at sf0.1) and release_caches() frees
     them when the next query constructs, the same iterative-lineage
     discipline as connected_components' localCheckpoint."""
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
     e = edges_from_events(t(spark, sf_dir, "events"))
     no_self = e.filter(F.col("src") != F.col("dst"))
@@ -818,7 +818,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     for _ in range(KCORE_PEELS):
-        und = _track(und.persist())
+        und = track_cache(und.persist())
         deg = und.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= KCORE_K).select(
             F.col("src").alias("node")
@@ -896,12 +896,12 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("src").alias("hnode"))
         .agg(F.sum("auth").cast("bigint").alias("hub"))
     )
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
     # persisted: the max-aggregate and the output projection both read
     # this frame; without one materialization the two join rounds run
     # twice (tracked → released on next query construction)
-    nodes = _track(
+    nodes = track_cache(
         h3.join(a2, h3.hnode == a2.node, "full_outer")
         .select(
             F.coalesce("hnode", "node").alias("node"),

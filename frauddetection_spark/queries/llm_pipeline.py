@@ -203,7 +203,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, persist/checkpoint the TF relation so the df branch
     reuses it instead of re-exploding the corpus. r6 rounding absorbs
     ln() libm 1-ulp drift per the transcendental policy."""
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
@@ -213,7 +213,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the tokenize+groupBy runs once — without it Spark re-explodes
     # the corpus for each subtree (no ReusedExchange across the
     # aggregate boundary), doubling the heaviest stage
-    tf = _track(
+    tf = track_cache(
         tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
     )
     # df derived from tf (already one row per (doc, token)): a plain
@@ -256,7 +256,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no near-dup form singleton groups. Iterative component step ⇒
     this query (like q_connected_components) executes at construction;
     the oracle is a recursive-CTE transitive closure."""
-    from frauddetection_spark.operators.graph import _track, connected_components
+    from frauddetection_spark.operators.caching import track_cache
+    from frauddetection_spark.operators.graph import connected_components
     from frauddetection_spark.operators.textsim import (
         exact_jaccard,
         lsh_bands,
@@ -269,7 +270,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # shared frontier: signature path + rerank both consume sh;
     # tracked so release_caches() can free it in long-lived sessions
-    sh = _track(word_shingles(docs).persist())
+    sh = track_cache(word_shingles(docs).persist())
     pairs = (
         exact_jaccard(lsh_candidates(lsh_bands(minhash_signatures(sh))), sh)
         .filter(F.col("jaccard") >= JACCARD_MIN)
@@ -380,13 +381,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles). Scale: the benchmark side is tiny relative to the
     corpus — broadcast it; the train side never shuffles (map-side
     hash-semi-join + per-doc partial aggregation)."""
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
     from frauddetection_spark.operators.textsim import word_shingles
 
     docs = t(spark, sf_dir, "documents")
     # shared frontier: both the benchmark and train branches scan sh
     # (tracked — released via operators.graph.release_caches())
-    sh = _track(word_shingles(docs).persist())
+    sh = track_cache(word_shingles(docs).persist())
     bench = (
         sh.filter(F.col("doc_id") % BENCH_MOD == 0)
         .select("shingle")
@@ -1272,9 +1273,9 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the BPE merge convention. The top merge joins back as a 1-row
     broadcast; Spark's sequence(1,0) counts DOWN, so sub-2-char words
     are filtered before the position explode in both rounds."""
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
-    vocab = _track(
+    vocab = track_cache(
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", r"\s+")).alias("word"))
         .filter(F.length("word") >= 2)
@@ -1301,7 +1302,7 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
 
-    p1 = _track(pair_counts(vocab).persist())
+    p1 = track_cache(pair_counts(vocab).persist())
     top1 = p1.orderBy(F.col("cnt").desc(), "pair").limit(1).select(
         F.col("pair").alias("mpair")
     )
@@ -1410,7 +1411,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exploded — no driver-side loop, and the expensive frontiers
     (flags, keepers) are persisted once and released by the registry's
     cache guard."""
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
     from frauddetection_spark.operators.textsim import word_shingles
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -1427,7 +1428,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("bigint").alias("top_count"),
         )
     )
-    flags = _track(
+    flags = track_cache(
         docs.join(per, "doc_id")
         .select(
             "doc_id",
@@ -1444,7 +1445,7 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = flags.filter(F.col("lang_ok") & F.col("qual_ok")).select(
         "doc_id", "text"
     )
-    sk = _track(
+    sk = track_cache(
         sq.groupBy(F.sha2("text", 256))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")

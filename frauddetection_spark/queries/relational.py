@@ -2496,10 +2496,12 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# TPC-H completion (Q7 / Q8 / Q13 / Q15 / Q17) — with these the suite
-# spans 16 of 22 TPC-H shapes; the remaining six need columns this
-# schema lacks (partsupp: Q2/Q11/Q16/Q20; shipmode+receipt/commit
-# dates: Q12/Q21)
+# TPC-H completion (Q7 / Q8 / Q13 / Q15 / Q17) — with these plus the
+# derived-relation block further down the suite spans ALL 22 TPC-H
+# shapes: the partsupp-centric four (Q2/Q11/Q16/Q20) run on the
+# deterministic lineitem-derived supply stand-in (see _supply near
+# q_tpch_q2), and Q12/Q21 derive shipmode / receipt-commit dates
+# from the columns this schema does carry.
 # ---------------------------------------------------------------------------
 
 
@@ -2769,12 +2771,12 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
         & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
     ).select("l_suppkey", "l_extendedprice", "l_discount")
-    from frauddetection_spark.operators.graph import _track
+    from frauddetection_spark.operators.caching import track_cache
 
     # rev feeds BOTH the probe and the max — pin it once (tracked;
     # released on next query construction) so lineitem is scanned a
     # single time; the classic view formulation evaluates it twice
-    rev = _track(
+    rev = track_cache(
         l.groupBy("l_suppkey")
         .agg(F.sum(_rev_e4()).cast("bigint").alias("rev_e4"))
         .persist()

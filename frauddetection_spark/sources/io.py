@@ -251,7 +251,7 @@ def write_zordered(
     downstream 2-D-predicate read."""
     from pyspark.sql import functions as F
 
-    from frauddetection_spark.operators.graph import release_caches
+    from frauddetection_spark.operators.caching import release_caches
     from frauddetection_spark.operators.rank import prefix_rank
 
     levels = 1 << bits

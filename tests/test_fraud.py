@@ -8,7 +8,7 @@ from __future__ import annotations
 import duckdb
 from pyspark.sql import functions as F
 
-from frauddetection_spark.operators.graph import release_caches
+from frauddetection_spark.operators.caching import release_caches
 from frauddetection_spark.operators.rank import prefix_max, prefix_rank
 from frauddetection_spark.plans.registry import load_all
 from frauddetection_spark.queries._util import cents

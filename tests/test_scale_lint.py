@@ -97,8 +97,9 @@ ML_FIT = {"q_ann_lsh_ml", "q_dedup_minhash_ml", "q_model_score",
 
 def test_every_persist_is_tracked_or_local():
     """Cache-lifetime lint (VERDICT r3 item 8): every ``.persist(`` call
-    site in frauddetection_spark/ must either be wrapped in ``_track(``
-    (released by operators.graph.release_caches() between bench/driver
+    site in frauddetection_spark/ must either be wrapped in
+    ``track_cache(`` (released by operators.caching.release_caches()
+    between bench/driver
     queries) or be followed by a local ``.unpersist()`` in the same
     function. Untracked persists accumulated across the r3 bench's
     19-query headline and inflated later queries 1.5-3x."""
@@ -131,14 +132,14 @@ def test_every_persist_is_tracked_or_local():
                     and node.func.attr == "persist"
                 ):
                     continue
-                # tracked: some ancestor is a _track(...) call
+                # tracked: some ancestor is a track_cache(...) call
                 anc, tracked = node, False
                 while anc in parents:
                     anc = parents[anc]
                     if (
                         isinstance(anc, ast.Call)
                         and isinstance(anc.func, ast.Name)
-                        and anc.func.id == "_track"
+                        and anc.func.id in ("track_cache", "_track")
                     ):
                         tracked = True
                         break
@@ -160,7 +161,8 @@ def test_every_persist_is_tracked_or_local():
                     continue
                 offenders.append(f"{path}:{node.lineno}")
     assert offenders == [], (
-        "untracked persist() call sites (wrap in operators.graph._track "
+        "untracked persist() call sites (wrap in operators.caching."
+        "track_cache "
         "or unpersist in the same function):\n" + "\n".join(offenders)
     )
 

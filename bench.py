@@ -182,6 +182,26 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Host-speed calibration: a FIXED synthetic workload (hash-agg over
+    # 20M generated longs, data-independent) timed min-of-3 and emitted
+    # as "calib_sec" in the JSON line. The shared host's speed varies
+    # up to ~2x between round invocations (r06 measured q_tpch_q8 at
+    # 1.8x its r05 wall-time on an otherwise idle session), so
+    # round-over-round query deltas are only interpretable relative to
+    # this constant — compare queries[q]/calib_sec across rounds, not
+    # raw seconds.
+    from pyspark.sql import functions as F
+
+    calib = float("inf")
+    for _ in range(3):
+        c0 = time.perf_counter()
+        spark.range(20_000_000).groupBy((F.col("id") % 1024).alias("k")).agg(
+            F.sum("id"), F.count("*")
+        ).count()
+        calib = min(calib, time.perf_counter() - c0)
+    calib = round(calib, 3)
+    print(f"# calib (20M hash-agg): {calib}s", file=sys.stderr)
+
     # Three timed runs per query, report the min: the shared host shows
     # 2-5x run-to-run noise, whole-stage-codegen JIT makes run 1 (and
     # often run 2) pay compilation cost (q_dedup_minhash measured
@@ -218,6 +238,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": calib,
     }
 
     # Round-over-round regression report (stderr): like-for-like

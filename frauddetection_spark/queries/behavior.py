@@ -1826,141 +1826,123 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflows int64 — ANSI mode caught it at construction); the transition matrix is a ≤7-state
     broadcast frame, so each of the 6 iterations is a tiny-frame
     join — the heavy lifting is ONE pass over events to build
-    transitions."""
+    transitions.
+
+    Plan shape (r6 rewrite): the journey build is a SINGLE
+    user-partitioned window pass — conv_key (min purchase key), the
+    per-user touch count, and row_number all ride one
+    hash-partition-by-user exchange, and the per-row transition pairs
+    come out of an explode over a ≤2-element literal array
+    (START→first prepended at rn=1, state→coalesce(next, outcome)
+    everywhere). The prior build spent five exchanges on the same
+    facts: groupBy(user) for conv, a sort-merge join back onto events,
+    a window shuffle for lead/rn, a distinct for the touchless
+    anti-join, and the final groupBy — all but the last collapse into
+    the one window exchange (the touchless branch reuses the same
+    pinned frame: users whose touch_cnt is 0 emit START→outcome from
+    their rn_all=1 row)."""
     from pyspark.sql import Window
+
+    from frauddetection_spark.operators.caching import track_cache
 
     e = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click", "signup", "purchase")
     ).select(
         "user_id",
-        "event_type",
+        F.col("event_type").alias("state"),
         F.expr(
             "(unix_micros(ts) - 1704067200000000) * 1000000"
             " + event_id % 1000000"
         ).alias("ord_key"),
     )
-    from frauddetection_spark.operators.caching import track_cache
-
-    # conv feeds three consumers (touch filter, touchless-user branch,
-    # outcome) and seq feeds three union branches — pin both once or
-    # the events scan + windows re-evaluate per branch (measured: the
-    # un-pinned build alone cost ~10s of the original 72s)
-    conv = track_cache(
-        e.groupBy("user_id")
-        .agg(
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ord_key")
+    is_touch = (F.col("state") != "purchase") & (
+        F.col("conv_key").isNull() | (F.col("ord_key") < F.col("conv_key"))
+    )
+    # one exchange: conv_key/rn_all ride the ordered window, touch_cnt
+    # a second Window node over the SAME partitioning (no new shuffle);
+    # pinned because the touch and touchless branches both read it
+    base = track_cache(
+        e.select(
+            "user_id",
+            "state",
+            "ord_key",
             F.min(
-                F.when(F.col("event_type") == "purchase", F.col("ord_key"))
-            ).alias("conv_key")
+                F.when(F.col("state") == "purchase", F.col("ord_key"))
+            ).over(wu).alias("conv_key"),
+            F.row_number().over(wo).alias("rn_all"),
         )
+        .withColumn("touch_cnt", F.sum(is_touch.cast("int")).over(wu))
         .persist()
     )
-    touches = (
-        e.filter(F.col("event_type") != "purchase")
-        .join(conv, "user_id")
-        .filter(
-            F.col("conv_key").isNull() | (F.col("ord_key") < F.col("conv_key"))
-        )
-    )
-    w = Window.partitionBy("user_id").orderBy("ord_key")
-    seq = track_cache(
-        touches.select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            "conv_key",
-            F.lead("event_type").over(w).alias("nxt"),
-            F.row_number().over(w).alias("rn"),
-        ).persist()
-    )
     outcome = F.when(F.col("conv_key").isNull(), "NULL").otherwise("CONV")
+    seq = base.filter(is_touch).select(
+        "state",
+        "conv_key",
+        F.lead("state").over(wo).alias("nxt"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    step = F.struct(
+        F.col("state").alias("s"),
+        F.coalesce(F.col("nxt"), outcome).alias("t"),
+    )
+    first = F.struct(F.lit("START").alias("s"), F.col("state").alias("t"))
     trans_raw = (
-        seq.filter(F.col("rn") == 1)
-        .select(F.lit("START").alias("s"), F.col("state").alias("t"))
-        .unionByName(
-            seq.filter(F.col("nxt").isNotNull()).select(
-                F.col("state").alias("s"), F.col("nxt").alias("t")
-            )
+        seq.select(
+            F.explode(
+                F.when(F.col("rn") == 1, F.array(first, step)).otherwise(
+                    F.array(step)
+                )
+            ).alias("p")
         )
+        .select("p.s", "p.t")
         .unionByName(
-            seq.filter(F.col("nxt").isNull()).select(
-                F.col("state").alias("s"), outcome.alias("t")
-            )
-        )
-        .unionByName(
-            conv.join(
-                touches.select("user_id").distinct(), "user_id", "left_anti"
+            base.filter(
+                (F.col("touch_cnt") == 0) & (F.col("rn_all") == 1)
             ).select(F.lit("START").alias("s"), outcome.alias("t"))
         )
     )
     trans = trans_raw.groupBy("s", "t").agg(F.count("*").alias("c"))
-    # single partition: a multi-partition local relation turns the
-    # cross joins below into nPart² Cartesian TASKS (measured 10.9s
-    # for an 8-row crossJoin of two parallelized literals)
-    scen = spark.createDataFrame(
-        [("full", None), ("rm_view", "view"),
-         ("rm_click", "click"), ("rm_signup", "signup")],
-        "scenario string, removed string",
-    ).coalesce(1)
-    redirected = (
-        trans.crossJoin(F.broadcast(scen))
-        .filter(~F.col("s").eqNullSafe(F.col("removed")))
-        .select(
-            "scenario",
-            "s",
-            F.when(F.col("t").eqNullSafe(F.col("removed")), "NULL")
-            .otherwise(F.col("t"))
-            .alias("t"),
-            "c",
-        )
-        .groupBy("scenario", "s", "t")
-        .agg(F.sum("c").alias("c"))
-    )
-    absorbing = scen.select("scenario").crossJoin(
-        F.broadcast(
-            spark.createDataFrame(
-                [("CONV", "CONV", 1), ("NULL", "NULL", 1)],
-                "s string, t string, c long",
-            )
-        )
-    )
-    ptab = redirected.unionByName(absorbing).select(
-        "scenario",
-        "s",
-        "t",
-        "c",
-        F.sum("c").over(Window.partitionBy("scenario", "s")).alias("r"),
-    )
-    v = scen.select(
-        "scenario",
-        F.lit("START").alias("state"),
-        F.lit(_MK_MASS).cast("bigint").alias("mass"),
-    )
     # The transition matrix is ≤ (|touch states|+3)² ≈ 49 rows BY
     # CONSTRUCTION regardless of data size (states are the three touch
-    # channels + START/CONV/NULL), so the L×|scenarios| matrix-vector
-    # products iterate on the DRIVER in exact Python ints — the
-    # q_cluster_griddensity precedent: everything data-sized (the
-    # transition build: events scan → journeys → windows → unions)
-    # stays distributed, and the constant-size iteration is the same
-    # class of driver hop as collecting an aggregate scalar. The
-    # first cut iterated as 6 chained tiny Spark joins: 72s at sf0.1
-    # from per-iteration re-broadcast + plan growth, 15s with a
-    # pinned matrix, ~2s on the driver — for a frame that can never
-    # outgrow a page.
-    rows = ptab.collect()
-    P: dict[tuple[str, str], list[tuple[str, int, int]]] = {}
-    for r0 in rows:
-        P.setdefault((r0["scenario"], r0["s"]), []).append(
-            (r0["t"], int(r0["c"]), int(r0["r"]))
-        )
-    scenarios = ["full", "rm_view", "rm_click", "rm_signup"]
+    # channels + START/CONV/NULL), so EVERYTHING past the groupBy —
+    # scenario expansion, channel-removal redirect, absorbing rows, row
+    # sums, and the L×|scenarios| matrix-vector products — runs on the
+    # DRIVER in exact Python ints (the q_cluster_griddensity precedent:
+    # the data-sized transition build stays distributed; the
+    # constant-size rest is the same class of driver hop as collecting
+    # an aggregate scalar). The evolution of this tail is instructive:
+    # 6 chained tiny Spark joins cost 72s at sf0.1 (per-iteration
+    # re-broadcast + plan growth), a collected ptab with Spark-side
+    # crossJoin/window scenario expansion still cost ~10s of pure
+    # local-relation job overhead for ≤49-row frames — one collect of
+    # the raw matrix plus plain dicts is ~1s total.
+    mat = [(r["s"], r["t"], int(r["c"])) for r in trans.collect()]
+    scenarios = {"full": None, "rm_view": "view",
+                 "rm_click": "click", "rm_signup": "signup"}
     result = {}
-    for sc in scenarios:
+    for sc, removed in scenarios.items():
+        # redirect: drop rows out of the removed channel, fold rows
+        # into it onto NULL; then add the two absorbing self-loops
+        agg: dict[tuple[str, str], int] = {}
+        for s, t2, c in mat:
+            if s == removed:
+                continue
+            key = (s, "NULL" if t2 == removed else t2)
+            agg[key] = agg.get(key, 0) + c
+        agg[("CONV", "CONV")] = agg.get(("CONV", "CONV"), 0) + 1
+        agg[("NULL", "NULL")] = agg.get(("NULL", "NULL"), 0) + 1
+        r_tot: dict[str, int] = {}
+        for (s, _t3), c in agg.items():
+            r_tot[s] = r_tot.get(s, 0) + c
         mass = {"START": _MK_MASS}
         for _ in range(_MK_L):
             nxt: dict[str, int] = {}
             for state, m in mass.items():
-                for tgt, c, r_tot in P.get((sc, state), []):
-                    nxt[tgt] = nxt.get(tgt, 0) + (m * c) // r_tot
+                for (s, t3), c in agg.items():
+                    if s == state:
+                        nxt[t3] = nxt.get(t3, 0) + (m * c) // r_tot[s]
             mass = nxt
         result[sc] = (mass.get("CONV", 0), mass.get("NULL", 0))
     full_conv = result["full"][0]

@@ -1663,6 +1663,47 @@ def q_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MK_L = 6               # truncation depth of the absorbing chain
 _MK_MASS = 10 ** 12       # integer mass units at START
+
+
+def markov_removal_effects(
+    mat: list[tuple[str, str, int]],
+    scenarios: dict[str, str | None],
+    mass0: int = _MK_MASS,
+    steps: int = _MK_L,
+) -> dict[str, tuple[int, int]]:
+    """Exact-integer removal-effect evaluation over a collected
+    transition matrix — the constant-size driver tail of
+    q_attribution_markov, factored out so hypothesis can pin it
+    against an independent reimplementation of the oracle SQL's
+    crossJoin/ptab formulation (tests/test_hypothesis.py). Per
+    scenario: drop transitions OUT of the removed channel, redirect
+    transitions INTO it onto NULL, add the two absorbing self-loops,
+    then iterate the START mass ``steps`` times with per-term
+    floor((mass·c) div row_total) — floors only lose mass, never
+    create it. Returns {scenario: (conv_mass, null_mass)}."""
+    result: dict[str, tuple[int, int]] = {}
+    for sc, removed in scenarios.items():
+        agg: dict[tuple[str, str], int] = {}
+        for s, t2, c in mat:
+            if s == removed:
+                continue
+            key = (s, "NULL" if t2 == removed else t2)
+            agg[key] = agg.get(key, 0) + c
+        agg[("CONV", "CONV")] = agg.get(("CONV", "CONV"), 0) + 1
+        agg[("NULL", "NULL")] = agg.get(("NULL", "NULL"), 0) + 1
+        r_tot: dict[str, int] = {}
+        for (s, _t3), c in agg.items():
+            r_tot[s] = r_tot.get(s, 0) + c
+        mass = {"START": mass0}
+        for _ in range(steps):
+            nxt: dict[str, int] = {}
+            for state, m in mass.items():
+                for (s, t3), c in agg.items():
+                    if s == state:
+                        nxt[t3] = nxt.get(t3, 0) + (m * c) // r_tot[s]
+            mass = nxt
+        result[sc] = (mass.get("CONV", 0), mass.get("NULL", 0))
+    return result
 _MK_TOUCHES = ("view", "click", "signup")
 
 
@@ -1921,30 +1962,7 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     mat = [(r["s"], r["t"], int(r["c"])) for r in trans.collect()]
     scenarios = {"full": None, "rm_view": "view",
                  "rm_click": "click", "rm_signup": "signup"}
-    result = {}
-    for sc, removed in scenarios.items():
-        # redirect: drop rows out of the removed channel, fold rows
-        # into it onto NULL; then add the two absorbing self-loops
-        agg: dict[tuple[str, str], int] = {}
-        for s, t2, c in mat:
-            if s == removed:
-                continue
-            key = (s, "NULL" if t2 == removed else t2)
-            agg[key] = agg.get(key, 0) + c
-        agg[("CONV", "CONV")] = agg.get(("CONV", "CONV"), 0) + 1
-        agg[("NULL", "NULL")] = agg.get(("NULL", "NULL"), 0) + 1
-        r_tot: dict[str, int] = {}
-        for (s, _t3), c in agg.items():
-            r_tot[s] = r_tot.get(s, 0) + c
-        mass = {"START": _MK_MASS}
-        for _ in range(_MK_L):
-            nxt: dict[str, int] = {}
-            for state, m in mass.items():
-                for (s, t3), c in agg.items():
-                    if s == state:
-                        nxt[t3] = nxt.get(t3, 0) + (m * c) // r_tot[s]
-            mass = nxt
-        result[sc] = (mass.get("CONV", 0), mass.get("NULL", 0))
+    result = markov_removal_effects(mat, scenarios)
     full_conv = result["full"][0]
     out_rows = [
         (

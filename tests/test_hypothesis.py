@@ -198,3 +198,77 @@ def test_prefix_rank_matches_window_oracle(spark, rows):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect driver tail: parity vs an independent
+# reimplementation of the oracle SQL's ptab formulation
+# ---------------------------------------------------------------------------
+
+_MK_STATES = ["START", "view", "click", "signup"]
+_MK_TARGETS = ["view", "click", "signup", "CONV", "NULL"]
+_MK_SCEN = {"full": None, "rm_view": "view",
+            "rm_click": "click", "rm_signup": "signup"}
+
+
+def _ref_markov(mat, scenarios, mass0, steps):
+    """Independent reference mirroring the oracle SQL shape: build the
+    per-scenario ptab (redirected rows + absorbing self-loops, each row
+    carrying its row-total r like the SQL window), then iterate the
+    mass vector with the same floor((mass*c) div r) haircut — the
+    structure of the pre-r6 Spark-side tail, kept here as the
+    cross-check."""
+    ptab = []  # (scenario, s, t, c)
+    for sc, removed in scenarios.items():
+        folded = {}
+        for s, t, c in mat:
+            if s == removed:  # IS DISTINCT FROM: None never equals
+                continue
+            t = "NULL" if t == removed else t
+            folded[(s, t)] = folded.get((s, t), 0) + c
+        folded[("CONV", "CONV")] = folded.get(("CONV", "CONV"), 0) + 1
+        folded[("NULL", "NULL")] = folded.get(("NULL", "NULL"), 0) + 1
+        ptab.extend((sc, s, t, c) for (s, t), c in folded.items())
+    r = {}
+    for sc, s, _t, c in ptab:
+        r[(sc, s)] = r.get((sc, s), 0) + c
+    out = {}
+    for sc in scenarios:
+        mass = {"START": mass0}
+        for _ in range(steps):
+            nxt = {}
+            for (sc2, s, t, c) in ptab:
+                if sc2 == sc and s in mass:
+                    nxt[t] = nxt.get(t, 0) + (mass[s] * c) // r[(sc, s)]
+            mass = nxt
+        out[sc] = (mass.get("CONV", 0), mass.get("NULL", 0))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(_MK_STATES),
+            st.sampled_from(_MK_TARGETS),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_markov_removal_matches_reference(mat):
+    from frauddetection_spark.queries.behavior import (
+        _MK_L,
+        _MK_MASS,
+        markov_removal_effects,
+    )
+
+    got = markov_removal_effects(mat, _MK_SCEN)
+    want = _ref_markov(mat, _MK_SCEN, _MK_MASS, _MK_L)
+    assert got == want
+    for sc, (conv, null) in got.items():
+        # floors only lose mass, never create it
+        assert 0 <= conv and 0 <= null and conv + null <= _MK_MASS
+        # removing a channel can only divert mass away from CONV
+        assert conv <= got["full"][0] or sc == "full"

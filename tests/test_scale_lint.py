@@ -58,15 +58,29 @@ def _unpartitioned_windows(df) -> list[str]:
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_no_unpartitioned_windows(name, spark, sf_dir):
     spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
     bad = [
         c
-        for c in _unpartitioned_windows(spec.fn(spark, sf_dir))
+        for c in _unpartitioned_windows(df)
         if c not in BOUNDED_ORDER_COLS
     ]
     assert bad == [], (
         f"{name}: unpartitioned (single-reducer) window over order "
         f"col(s) {bad} — use operators/rank.py::prefix_rank or add the "
         "bounded case to BOUNDED_ORDER_COLS with a justification"
+    )
+    # Piggyback on the same plan construction: no query may plan a
+    # CartesianProduct — the non-broadcast nested-loop fallback whose
+    # cost is |L|·|R| tasks at any scale. BroadcastNestedLoopJoin is
+    # fine (it exists only when one side fits the broadcast threshold
+    # — the catalog's 1-row totals / tiny literal frames); the
+    # Cartesian fallback means BOTH sides were data-sized, which is
+    # never an acceptable 100-TB shape. Verified 0 occurrences across
+    # all 309 queries when this lint landed (round 6).
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys, (
+        f"{name}: CartesianProduct in the physical plan — add an equi "
+        "key, broadcast a bounded side, or bucket the pair space"
     )
 
 

@@ -182,14 +182,23 @@ DRIVER_WINDOW = 50
 QUEUE_AS_OF_ROUND = 6
 
 # Queries still awaiting their first driver row after the round-6
-# window above was frozen (the round-4e tail from q_taint_tracing plus
-# every round-5 addition, in authoring order; 66 oracle-backed + the
-# rows-only q_compress_ratio). The first 50 fill the round-7 window at
-# the next rotation; the final 17 (plus any rows-only cycling, e.g.
-# q_hll_rollup / q_split_xxhash / q_weighted_draw) close out in round 8
-# — enforced by tests/test_plans.py (queue-staleness +
-# cumulative-evidence invariants).
+# window above was frozen: the SEVEN rows-only queries that have never
+# held a window slot lead the queue (VERDICT r05 item 3 — cycling them
+# through round 7 gives every declared name a driver row of SOME kind
+# by end of round 7; the driver records rows>0 for them), followed by
+# the round-4e tail from q_taint_tracing plus every round-5 addition
+# in authoring order (66 oracle-backed). The first 50 fill the round-7
+# window at the next rotation (7 rows-only + 43 oracle); the final 24
+# oracle queries close out in round 8 — enforced by tests/test_plans.py
+# (queue-staleness + cumulative-evidence invariants).
 QUEUED_NEXT_WINDOW: tuple[str, ...] = (
+    "q_ann_lsh_ml",
+    "q_dedup_minhash_ml",
+    "q_hll_rollup",
+    "q_split_xxhash",
+    "q_weighted_draw",
+    "q_multimodal_decode",
+    "q_compress_ratio",
     "q_taint_tracing",
     "q_benford_groups",
     "q_tpch_q6",
@@ -233,7 +242,6 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_k_anonymity",
     "q_attribution_markov",
     "q_chain_ladder",
-    "q_compress_ratio",
     "q_dedup_semantic",
     "q_anova_f",
     "q_auc_delong",

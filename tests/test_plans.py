@@ -190,8 +190,11 @@ def test_driver_window_completes_evidence():
     )
     # the queue must not hide names that already have evidence or a slot
     assert not (set(QUEUED_NEXT_WINDOW) & (green | window))
-    # the window should not waste slots on rows-only checks
-    assert len(window & oracle) >= 48
+    # the window should not waste slots on rows-only checks — except
+    # the one round-7 window that cycles the SEVEN never-driver-run
+    # rows-only queries for their rows>0 evidence (VERDICT r05 item 3):
+    # 43 oracle + 7 rows-only. Every other window holds ≥48 oracle.
+    assert len(window & oracle) >= 43
 
 
 def test_common_neighbor_auto_cost_model(spark):

@@ -244,8 +244,13 @@ def main() -> None:
     # Round-over-round regression report (stderr): like-for-like
     # OVERLAP subtotals vs EVERY prior round — a grown headline must
     # never hide per-query drift inside a "total grew" narrative
-    # (VERDICT r3 item 3). Host noise is ±50% between invocations, so
-    # only flag >2x per-query deltas vs the newest round as real.
+    # (VERDICT r3 item 3). The >2x per-query gate is CALIB-RELATIVE
+    # when both rounds carry calib_sec (VERDICT r6 item 2: BENCH_r06
+    # recorded three false regressions because its host ran ~1.8x
+    # slower than round 5's — q_dedup_minhash "3.45s vs 0.87s" was
+    # refuted by the same round's scale audit at 1.66s). Comparing
+    # sec/calib_sec cancels host drift; raw seconds remain the
+    # fallback for pre-calibration rounds (r01-r05).
     import glob
 
     for pf in sorted(glob.glob("BENCH_r*.json")):
@@ -267,11 +272,21 @@ def main() -> None:
                 file=sys.stderr,
             )
             if pf == sorted(glob.glob("BENCH_r*.json"))[-1]:
+                prior_calib = prior.get("calib_sec") or 0.0
+                host = calib / prior_calib if prior_calib and calib else 1.0
+                if host != 1.0:
+                    print(
+                        f"# host factor vs {pf}: {host:.2f}x "
+                        f"(calib {calib}s now vs {prior_calib}s then) — "
+                        "regression gate is calib-relative",
+                        file=sys.stderr,
+                    )
                 for name in overlap:
-                    if timings[name] > 2 * pq[name]:
+                    if timings[name] > 2 * host * pq[name]:
                         print(
                             f"# REGRESSION {name}: {timings[name]}s vs "
-                            f"{pq[name]}s in {pf} (>2x)",
+                            f"{pq[name]}s in {pf} "
+                            f"(>2x at host factor {host:.2f})",
                             file=sys.stderr,
                         )
         except (OSError, ValueError):

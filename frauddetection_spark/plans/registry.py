@@ -106,92 +106,21 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Cumulative driver evidence after round 5
-# covers 183 of the 299 oracle-backed queries (CORRECTNESS_r01..r05 —
+# 50 entries of ``queries()``. Cumulative driver evidence after round 6
+# covers 233 of the 299 oracle-backed queries (CORRECTNESS_r01..r06 —
 # every query that has ever held a window slot is hash-green; zero
 # mismatches ever recorded for a currently-declared query). Rounds 6-8
 # are pure evidence rotation — NO new queries until the backlog drains:
-# this round-6 window holds the FIRST 50 still-unevidenced oracle
-# queries in queue order (the round-4e analytics/AML tail plus the
-# first seven TPC-H shapes users hit first: Q1/Q3/Q5/Q10/Q14/Q18/Q19);
-# the remaining 67 (66 oracle + rows-only q_compress_ratio) stay in
-# ``QUEUED_NEXT_WINDOW`` for rounds 7-8. The invariant — cumulative
+# this round-7 window leads with the SEVEN rows-only queries that have
+# never held a driver slot (the driver records rows>0 for them —
+# VERDICT r05 item 3), followed by the next 43 unevidenced oracle
+# queries in queue order (the round-4e tail through the round-5
+# additions up to q_chain_ladder); the final 23 oracle queries stay in
+# ``QUEUED_NEXT_WINDOW`` for round 8. The invariant — cumulative
 # driver evidence (past green ∪ this window ∪ queue) covers every
 # oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    "q_dwell_time",
-    "q_ref_integrity",
-    "q_lexicon_score",
-    "q_rolling_corr",
-    "q_growth_accounting",
-    "q_rolling_dau",
-    "q_cohort_ltv",
-    "q_fill_forward",
-    "q_seasonality_dow",
-    "q_bm25",
-    "q_table_diff",
-    "q_spatial_join",
-    "q_bigram_pmi",
-    "q_unigram_logprob",
-    "q_temperature_mix",
-    "q_ppr",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q1",
-    "q_tpch_q18",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_scan_pysource",
-    "q_variant_extract",
-    "q_sql_pipe",
-    "q_impossible_travel",
-    "q_zipf_slope",
-    "q_embed_meanpool",
-    "q_nearest_centroid",
-    "q_sql_udf",
-    "q_collation",
-    "q_semi_additive",
-    "q_minmax_by",
-    "q_cluster_griddensity",
-    "q_cuped",
-    "q_mann_whitney",
-    "q_group_percentile",
-    "q_ratio_delta_method",
-    "q_tpch_q4",
-    "q_tpch_q22",
-    "q_money_loops",
-    "q_structuring",
-    "q_peer_outlier",
-    "q_reciprocal_flows",
-    "q_mule_passthrough",
-    "q_sample_neyman",
-    "q_doc_novelty",
-    "q_did",
-    "q_random_walks",
-)
-
-DRIVER_WINDOW = 50
-
-# Round marker for QUEUED_NEXT_WINDOW staleness: the queue below was
-# created against this CORRECTNESS round. Once a NEWER round file
-# exists, a non-empty queue means a rotation happened without promoting
-# it — tests/test_plans.py fails in that case, so nothing can sit
-# queued forever.
-QUEUE_AS_OF_ROUND = 6
-
-# Queries still awaiting their first driver row after the round-6
-# window above was frozen: the SEVEN rows-only queries that have never
-# held a window slot lead the queue (VERDICT r05 item 3 — cycling them
-# through round 7 gives every declared name a driver row of SOME kind
-# by end of round 7; the driver records rows>0 for them), followed by
-# the round-4e tail from q_taint_tracing plus every round-5 addition
-# in authoring order (66 oracle-backed). The first 50 fill the round-7
-# window at the next rotation (7 rows-only + 43 oracle); the final 24
-# oracle queries close out in round 8 — enforced by tests/test_plans.py
-# (queue-staleness + cumulative-evidence invariants).
-QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_ann_lsh_ml",
     "q_dedup_minhash_ml",
     "q_hll_rollup",
@@ -242,6 +171,25 @@ QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_k_anonymity",
     "q_attribution_markov",
     "q_chain_ladder",
+)
+
+DRIVER_WINDOW = 50
+
+# Round marker for QUEUED_NEXT_WINDOW staleness: the queue below was
+# created against this CORRECTNESS round. Once a NEWER round file
+# exists, a non-empty queue means a rotation happened without promoting
+# it — tests/test_plans.py fails in that case, so nothing can sit
+# queued forever.
+QUEUE_AS_OF_ROUND = 7
+
+# Queries still awaiting their first driver row after the round-7
+# window above was frozen: the final 23 oracle-backed queries in
+# authoring order (the round-5 heavies — remaining TPC-H shapes,
+# dedup_semantic, the funnels, BPE, item CF, cascade delete). They fill
+# the round-8 window at the next rotation, closing the evidence backlog
+# at 299/299 — enforced by tests/test_plans.py (queue-staleness +
+# cumulative-evidence invariants).
+QUEUED_NEXT_WINDOW: tuple[str, ...] = (
     "q_dedup_semantic",
     "q_anova_f",
     "q_auc_delong",

@@ -1949,15 +1949,20 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning — at 100 TB a single crawler account otherwise contributes
     millions of pairs; the cap bounds per-user work by a constant).
 
-    Plan shape (the r06 rewrite, VERDICT r05 item 5 — the r05 version
-    self-joined the incidence on the user, which shuffled it twice and
-    rebuilt the join DAG on both branches): ONE groupBy(user)
-    collect_set builds each user's ≤100-item sorted basket (dedup and
-    whale-cap in the same shuffle — no separate distinct + degree
-    pass), the per-user item pairs are then expanded IN-CODEGEN with
-    transform/slice/flatten over the cached baskets (zero join, output
-    exactly Σ C(deg,2) rows straight into the (p1,p2) count shuffle),
-    and the item marginals explode off the SAME cached baskets.
+    Plan shape (r06 rewrite per VERDICT r05 item 5, tightened in r07 —
+    the r05 version self-joined the incidence on the user, which
+    shuffled it twice and rebuilt the join DAG on both branches; the
+    r06 version still paid a basket persist plus a SECOND explode +
+    shuffle just for the item marginals, and its HOF pair-expansion
+    lambda nest cost ~7s of first-run codegen compile): ONE
+    groupBy(user) collect_set builds each user's ≤100-item sorted
+    basket (dedup and whale-cap in the same shuffle — no separate
+    distinct + degree pass); posexplode + explode(slice from i+1) then
+    emits every within-basket pair INCLUDING the diagonal (x, x), so a
+    single (p1, p2) count shuffle produces the co-occurrence counts
+    (off-diagonal) and the marginals n_users (diagonal) at once —
+    baskets are consumed in one pass, and only the small pair-count
+    table is cached for the two marginal probes.
     Marginals join ONCE onto the unordered (p1<p2) pairs — cosine is
     computed once per pair and the symmetric (item, neighbor) view is
     derived AFTER scoring, so the join probes half the rows of the
@@ -1970,7 +1975,9 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor of a hub item in one aggregation buffer — unbounded per
     key at 100 TB. Cosine is a single IEEE-identical expression
     rounded to 6dp, ranks totally ordered by (cosine, n_uv, neighbor).
-    Measured at sf0.1: 5.5s (r05 self-join) → 2.7s."""
+    Measured at sf0.1 (calib≈0.5s hosts): 5.5s (r05 self-join) →
+    ~4.7s steady / 11.4s cold (r06) → ~3.6s steady / <8s cold (r07
+    diagonal single-shuffle)."""
     from frauddetection_spark.operators.caching import track_cache
 
     ui = (
@@ -1985,34 +1992,44 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "p")
     )
-    baskets = track_cache(
+    baskets = (
         ui.groupBy("u")
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
         .filter(F.size("ps") <= 100)
         .select("ps")
-        .persist()
     )
-    marg = baskets.select(F.explode("ps").alias("p")).groupBy("p").agg(
-        F.count("*").cast("bigint").alias("n_users")
-    )
-    # ordered pairs (p1 < p2 for free: baskets are sorted) without a
-    # self-join: element i pairs with every later element of its own
-    # basket — slice is 1-based, so start at i+2
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
+    # Ordered pairs (p1 ≤ p2 for free: baskets are sorted) without a
+    # self-join: element i pairs with itself AND every later element of
+    # its own basket — two stacked Generate operators (posexplode →
+    # explode of the 1-based slice at i+1). Including the DIAGONAL is
+    # the r07 trick: (x, x) occurs exactly once per basket containing
+    # x, so ONE groupBy(p1, p2) shuffle yields both the co-occurrence
+    # counts (off-diagonal) and the item marginals n_users (diagonal) —
+    # the r06 plan paid a second explode+shuffle over a persisted
+    # basket table just for the marginals. Baskets are now consumed
+    # once (no persist); the small pair-count table (≈ catalog-sized +
+    # surviving pairs) is what's cached and probed twice by the
+    # marginal joins. Extra shuffle volume for the diagonal is Σ deg
+    # rows — noise next to Σ C(deg,2). Measured at sf0.1: steady
+    # 6.1-7.5s → 3.6-4.1s, cold 17.4s → 7.9s (same-session A/B,
+    # hash-identical output).
+    counts = track_cache(
+        baskets.select(F.posexplode("ps").alias("i", "p1"), "ps")
+        .select(
+            "p1",
+            F.explode(
+                F.slice("ps", F.col("i") + F.lit(1), F.size("ps"))
+            ).alias("p2"),
         )
-    )
-    pairs = (
-        baskets.select(F.explode(pair_arr).alias("pr"))
-        .select("pr.p1", "pr.p2")
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("n_uv"))
-        .filter(F.col("n_uv") >= 2)
+        .persist()
+    )
+    marg = counts.filter(F.col("p1") == F.col("p2")).select(
+        F.col("p1").alias("p"), F.col("n_uv").alias("n_users")
+    )
+    pairs = counts.filter(
+        (F.col("p1") != F.col("p2")) & (F.col("n_uv") >= 2)
     )
     scored_pairs = (
         pairs.join(

@@ -59,11 +59,21 @@ def test_every_declared_query_named_in_survey():
     """SURVEY.md §2 is THE CONTRACT the judge reconciles line by line:
     every name in queries() must appear somewhere in SURVEY.md (primary
     rows or the §2.9 name-reconciliation table), or coverage claims and
-    the registry drift apart silently."""
+    the registry drift apart silently.
+
+    Matching is EXACT-TOKEN (VERDICT r06 item 3): substring matching let
+    q_ann_ivf / q_simhash / q_funnel pass for three rounds because they
+    are substrings of q_ann_ivf_sampled / q_simhash_pairs /
+    q_funnel_paths."""
+    import os
+    import re
+
     from frauddetection_spark.plans.registry import load_all
 
-    survey = open("/root/repo/SURVEY.md").read()
-    missing = [n for n in load_all() if n not in survey]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SURVEY.md")) as fh:
+        survey_names = set(re.findall(r"q_\w+", fh.read()))
+    missing = [n for n in load_all() if n not in survey_names]
     assert missing == [], (
         "declared queries not named in SURVEY.md — add them to the §2 "
         f"row they extend or to §2.9: {missing}"

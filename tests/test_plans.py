@@ -193,8 +193,21 @@ def test_driver_window_completes_evidence():
     # the window should not waste slots on rows-only checks — except
     # the one round-7 window that cycles the SEVEN never-driver-run
     # rows-only queries for their rows>0 evidence (VERDICT r05 item 3):
-    # 43 oracle + 7 rows-only. Every other window holds ≥48 oracle.
-    assert len(window & oracle) >= 43
+    # 43 oracle + 7 rows-only. The relaxed floor applies ONLY while
+    # that cycle holds slots; every other window must hold ≥48 oracle
+    # (ADVICE r06: don't let future windows silently carry 7 rows-only
+    # slots on the round-7 exemption).
+    rows_only_cycle = {
+        "q_ann_lsh_ml",
+        "q_dedup_minhash_ml",
+        "q_hll_rollup",
+        "q_split_xxhash",
+        "q_weighted_draw",
+        "q_multimodal_decode",
+        "q_compress_ratio",
+    }
+    floor = 43 if window & rows_only_cycle else 48
+    assert len(window & oracle) >= floor
 
 
 def test_common_neighbor_auto_cost_model(spark):

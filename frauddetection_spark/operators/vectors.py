@@ -347,26 +347,39 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown seeding {seeding!r}")
 
-    def score(frame, cent):
-        dot = F.aggregate(
-            F.zip_with(F.col("qv"), F.col("cqv"), lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+    # Scoring + ranking against the codebook is MAP-ONLY (r07; same
+    # broadcast-argmin move as pq_topk): the ≤n_centroids codebook
+    # collapses into ONE broadcast array row, and each vector scores
+    # every centroid inside a transform — struct(ccos, -cid, cid)
+    # makes Spark's lexicographic struct order exactly the old
+    # window's (ccos DESC, cid ASC) including the NaN-greatest rule
+    # (array_max and sort_array share orderBy's total order on
+    # doubles), so the assignment is array_max and the top-nprobe
+    # probe list is sort_array(desc)+slice — no n·n_centroids shuffle
+    # through a row_number window, and the persisted index shrinks
+    # from n·n_centroids to n·nprobe rows.
+    def cand_arr(cent_df):
+        return cent_df.groupBy().agg(
+            F.collect_list(F.struct("cid", "cqv", "cn2")).alias("cands")
         )
-        return (
-            frame.crossJoin(F.broadcast(cent))
-            .withColumn("dot", dot)
-            .select(
-                "vec_id",
-                "cid",
-                (
-                    F.col("dot").cast("double")
-                    / F.sqrt(
-                        F.col("n2").cast("double") * F.col("cn2").cast("double")
-                    )
-                ).alias("ccos"),
-            )
-        )
+
+    scored = F.transform(
+        "cands",
+        lambda c: F.struct(
+            (
+                F.aggregate(
+                    F.zip_with("qv", c["cqv"], lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.sqrt(
+                    F.col("n2").cast("double") * c["cn2"].cast("double")
+                )
+            ).alias("ccos"),
+            (-c["cid"]).alias("ncid"),
+            c["cid"].alias("cid"),
+        ),
+    )
 
     if seeding == "sampled":
         cent = (
@@ -387,16 +400,10 @@ def ivf_topk(
             F.col("qv").alias("cqv"),
             F.col("n2").alias("cn2"),
         )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
     for _ in range(iters):
-        assign = (
-            score(train, cent)
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid")
-        )
         comp = (
-            train.join(assign, "vec_id")
+            train.crossJoin(F.broadcast(cand_arr(cent)))
+            .withColumn("cid", F.array_max(scored)["cid"])
             .select("cid", F.posexplode("qv").alias("dim", "xv"))
             .groupBy("cid", "dim")
             .agg(
@@ -427,19 +434,23 @@ def ivf_topk(
             .persist()
         )
 
-    # referenced twice (home + probes): persist the n·n_centroids
-    # assignment table — the standard materialized IVF index.
+    # referenced twice (home + probes): persist the n·nprobe probe
+    # list — the standard materialized IVF index.
     ranked = track_cache(
-        score(q, cent)
-        .withColumn("crank", F.row_number().over(w_assign))
+        q.crossJoin(F.broadcast(cand_arr(cent)))
+        .withColumn("top", F.slice(F.sort_array(scored, asc=False), 1, nprobe))
+        .select("vec_id", F.posexplode("top").alias("pos", "s"))
+        .select(
+            "vec_id",
+            F.col("s.cid").alias("cid"),
+            (F.col("pos") + 1).alias("crank"),
+        )
         .persist()
     )
     home = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("r_vec_id"), F.col("cid").alias("bucket")
     )
-    probes = ranked.filter(F.col("crank") <= nprobe).select(
-        "vec_id", F.col("cid").alias("bucket")
-    )
+    probes = ranked.select("vec_id", F.col("cid").alias("bucket"))
     qa = q.join(probes, "vec_id").select("bucket", "vec_id", "qv", "n2")
     qb = (
         q.select(
@@ -805,30 +816,49 @@ def pq_topk(
         F.col("sub").alias("csub"),
         F.col("sub_n2").alias("cn2"),
     )
-    sub_dot = F.aggregate(
-        F.zip_with("sub", "csub", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
-    )
-    w_assign = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
+    # Assignment is MAP-ONLY (r07; the classic broadcast-kmeans shape
+    # MLlib uses): the ≤ksub centroids of each subspace collapse into
+    # ONE broadcast array row per m, and the argmin over candidates is
+    # an in-codegen array_min of struct(d2, cid) — lexicographic
+    # struct comparison IS the old window's (d2 ASC, cid ASC) order,
+    # and every term stays exact int64. The r06 version paid a
+    # row_number window (full shuffle+sort of |corpus|·m·ksub rows)
+    # per Lloyd pass PLUS a (vec_id, m) re-join of the assignment onto
+    # `subs` to recompute means — at 10⁹ vectors those are the two
+    # dominant shuffles of the whole index build; both are gone.
+    # Measured at sf0.1 (back-to-back, calib-adjusted): cold run
+    # 16.1s → 5.3s (fewer stages to compile/schedule), steady
+    # ~3.0s → ~2.3s.
 
-    def assign(cent_df: DataFrame) -> DataFrame:
+    def with_assignment(cent_df: DataFrame) -> DataFrame:
+        cands = cent_df.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "csub", "cn2")).alias("cands")
+        )
+        cdist = lambda c: F.struct(
+            (
+                F.col("sub_n2")
+                + c["cn2"]
+                - 2
+                * F.aggregate(
+                    F.zip_with("sub", c["csub"], lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
+                )
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        )
         return (
-            subs.join(F.broadcast(cent_df), "m")
-            .withColumn(
-                "d2", F.col("sub_n2") + F.col("cn2") - 2 * sub_dot
-            )
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", "cid")
+            subs.join(F.broadcast(cands), "m")
+            .withColumn("cid", F.array_min(F.transform("cands", cdist))["cid"])
+            .drop("cands")
         )
 
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return with_assignment(cent_df).select("vec_id", "m", "cid")
+
     for _ in range(iters):
-        a = assign(cent)
         comp = (
-            subs.join(a, ["vec_id", "m"])
+            with_assignment(cent)
             .select("m", "cid", F.posexplode("sub").alias("dim", "xv"))
             .groupBy("m", "cid", "dim")
             .agg(

@@ -1090,13 +1090,23 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     screens pairs before the exact rerank touches vectors (the LSH
     banding of q_simhash_pairs applies unchanged on these words)."""
     emb = t(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i", "v"),
-    ).select(
-        "vec_id",
-        F.col("i").cast("bigint").alias("i"),
-        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("q"),
+    # comp feeds the projections, the norms and BOTH sides of the
+    # consecutive-id dot spine (4 references) — persist it or the
+    # explode+quantize replays per reference (r07 executed-plan audit:
+    # 6 parquet scans, 15 exchanges, zero reuse without it).
+    comp = track_cache(
+        emb.select(
+            "vec_id",
+            F.posexplode("embedding").alias("i", "v"),
+        )
+        .select(
+            "vec_id",
+            F.col("i").cast("bigint").alias("i"),
+            F.round(F.col("v").cast("double") * 1000000)
+            .cast("bigint")
+            .alias("q"),
+        )
+        .persist()
     )
     planes = spark.range(_HP_PLANES).select(F.col("id").alias("j"))
     sign = F.when(
@@ -1111,10 +1121,22 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0,
         1,
     ).otherwise(-1)
+    # The plane sign depends ONLY on (i, j) — d·64 combos (4096 here) —
+    # so it is precomputed once on a tiny (dims × planes) grid and
+    # broadcast, instead of evaluating the md5 on every one of the
+    # |comp|·64 projection rows (24.6M md5 calls at sf0.1; the r07
+    # executed-plan audit measured the projection as the query's hot
+    # stage). Same formula on the same (i, j) → identical signs.
+    signs = (
+        comp.select("i")
+        .distinct()
+        .crossJoin(F.broadcast(planes))
+        .select("i", "j", sign.cast("bigint").alias("sgn"))
+    )
     proj = (
-        comp.crossJoin(F.broadcast(planes))
+        comp.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("q") * sign).alias("s"))
+        .agg(F.sum(F.col("q") * F.col("sgn")).alias("s"))
     )
     sig = proj.groupBy("vec_id").agg(
         F.sum(

@@ -241,19 +241,34 @@ def main() -> None:
         "calib_sec": calib,
     }
 
-    # Round-over-round regression report (stderr): like-for-like
-    # OVERLAP subtotals vs EVERY prior round — a grown headline must
-    # never hide per-query drift inside a "total grew" narrative
-    # (VERDICT r3 item 3). The >2x per-query gate is CALIB-RELATIVE
-    # when both rounds carry calib_sec (VERDICT r6 item 2: BENCH_r06
-    # recorded three false regressions because its host ran ~1.8x
-    # slower than round 5's — q_dedup_minhash "3.45s vs 0.87s" was
-    # refuted by the same round's scale audit at 1.66s). Comparing
-    # sec/calib_sec cancels host drift; raw seconds remain the
-    # fallback for pre-calibration rounds (r01-r05).
+    for line in regression_report(timings, calib):
+        print(line, file=sys.stderr)
+    print(json.dumps(out))
+
+
+def regression_report(
+    timings: dict[str, float],
+    calib: float,
+    bench_files: list[str] | None = None,
+) -> list[str]:
+    """Round-over-round regression report lines: like-for-like OVERLAP
+    subtotals vs EVERY prior round — a grown headline must never hide
+    per-query drift inside a "total grew" narrative (VERDICT r3 item
+    3). The >2x per-query gate (newest prior round only) is
+    CALIB-RELATIVE when both rounds carry calib_sec (VERDICT r6 item
+    2: BENCH_r06 recorded three false regressions because its host ran
+    ~1.8x slower than round 5's — q_dedup_minhash "3.45s vs 0.87s" was
+    refuted by the same round's scale audit at 1.66s). Comparing
+    sec/calib_sec cancels host drift; raw seconds remain the fallback
+    against pre-calibration rounds (r01-r05). Factored out of main()
+    so the gate itself is unit-testable without a Spark session
+    (tests/test_bench_gate.py)."""
     import glob
 
-    for pf in sorted(glob.glob("BENCH_r*.json")):
+    if bench_files is None:
+        bench_files = sorted(glob.glob("BENCH_r*.json"))
+    lines: list[str] = []
+    for pf in bench_files:
         try:
             with open(pf) as f:
                 prior = json.load(f)
@@ -266,32 +281,29 @@ def main() -> None:
             now_s = round(sum(timings[n] for n in overlap), 3)
             old_s = round(sum(pq[n] for n in overlap), 3)
             ratio = round(now_s / old_s, 2) if old_s else float("nan")
-            print(
+            lines.append(
                 f"# overlap vs {pf}: {len(overlap)} queries, "
-                f"{now_s}s now vs {old_s}s then ({ratio}x)",
-                file=sys.stderr,
+                f"{now_s}s now vs {old_s}s then ({ratio}x)"
             )
-            if pf == sorted(glob.glob("BENCH_r*.json"))[-1]:
+            if pf == bench_files[-1]:
                 prior_calib = prior.get("calib_sec") or 0.0
                 host = calib / prior_calib if prior_calib and calib else 1.0
                 if host != 1.0:
-                    print(
+                    lines.append(
                         f"# host factor vs {pf}: {host:.2f}x "
                         f"(calib {calib}s now vs {prior_calib}s then) — "
-                        "regression gate is calib-relative",
-                        file=sys.stderr,
+                        "regression gate is calib-relative"
                     )
                 for name in overlap:
                     if timings[name] > 2 * host * pq[name]:
-                        print(
+                        lines.append(
                             f"# REGRESSION {name}: {timings[name]}s vs "
                             f"{pq[name]}s in {pf} "
-                            f"(>2x at host factor {host:.2f})",
-                            file=sys.stderr,
+                            f"(>2x at host factor {host:.2f})"
                         )
         except (OSError, ValueError):
             pass
-    print(json.dumps(out))
+    return lines
 
 
 if __name__ == "__main__":

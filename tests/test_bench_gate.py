@@ -1,0 +1,83 @@
+"""Unit tests for bench.py's calib-relative regression gate (VERDICT
+r06 item 2): BENCH_r06 recorded three >2x "regressions" that were host
+drift — its calib_sec was 0.605s vs ~0.3s implied for the round-5
+session — and the committed artifact asserted plan regressions that the
+same round's scale audit refuted. The gate must (a) divide out the
+host factor calib_now/calib_then when both rounds carry calib_sec and
+(b) fall back to raw seconds against pre-calibration artifacts.
+
+Pure-python: no Spark session, no fixtures from conftest needed.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo") if "/root/repo" not in sys.path else None
+
+from bench import regression_report  # noqa: E402
+
+
+def _bench_file(tmp_path, name, queries, calib=None):
+    payload = {"queries": queries}
+    if calib is not None:
+        payload["calib_sec"] = calib
+    p = tmp_path / name
+    p.write_text(json.dumps(payload))
+    return str(p)
+
+
+def test_host_drift_not_flagged_when_calibrated(tmp_path):
+    # 2.2x raw growth on a host measured 2.2x slower -> NOT a regression
+    prior = _bench_file(
+        tmp_path, "BENCH_r06.json", {"q_a": 1.0, "q_b": 0.5}, calib=0.3
+    )
+    lines = regression_report(
+        {"q_a": 2.2, "q_b": 1.1}, calib=0.66, bench_files=[prior]
+    )
+    assert any("host factor" in ln and "2.20x" in ln for ln in lines)
+    assert not any("REGRESSION" in ln for ln in lines)
+
+
+def test_true_regression_survives_calibration(tmp_path):
+    # 5x raw growth on a host only 1.1x slower -> still flagged
+    prior = _bench_file(
+        tmp_path, "BENCH_r06.json", {"q_a": 1.0}, calib=0.5
+    )
+    lines = regression_report({"q_a": 5.0}, calib=0.55, bench_files=[prior])
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+
+
+def test_raw_fallback_for_uncalibrated_prior(tmp_path):
+    # prior round has no calib_sec (r01-r05 artifacts): raw >2x flags
+    prior = _bench_file(tmp_path, "BENCH_r05.json", {"q_a": 1.0})
+    lines = regression_report({"q_a": 2.5}, calib=0.5, bench_files=[prior])
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+    # no standalone calib line — the gate ran on raw seconds
+    assert not any(ln.startswith("# host factor") for ln in lines)
+
+
+def test_per_query_gate_only_against_newest_round(tmp_path):
+    # q_a regressed vs r05 but was already slow in r06 (the newest
+    # prior): only the newest round gates, so no flag — while the
+    # overlap subtotal line still reports BOTH rounds
+    r05 = _bench_file(tmp_path, "BENCH_r05.json", {"q_a": 0.5}, calib=0.5)
+    r06 = _bench_file(tmp_path, "BENCH_r06.json", {"q_a": 2.0}, calib=0.5)
+    lines = regression_report(
+        {"q_a": 2.1}, calib=0.5, bench_files=[r05, r06]
+    )
+    assert sum("overlap vs" in ln for ln in lines) == 2
+    assert not any("REGRESSION" in ln for ln in lines)
+
+
+def test_driver_wrapped_artifact_unwraps(tmp_path):
+    # the round driver wraps our JSON line under "parsed"
+    p = tmp_path / "BENCH_r06.json"
+    p.write_text(
+        json.dumps(
+            {"parsed": {"queries": {"q_a": 1.0}, "calib_sec": 0.5}}
+        )
+    )
+    lines = regression_report({"q_a": 5.0}, calib=0.5, bench_files=[str(p)])
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)

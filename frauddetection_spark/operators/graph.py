@@ -367,10 +367,14 @@ def node_triangles(und: DataFrame) -> DataFrame:
     O(√|E|), which the canonical a<b orientation approximates on
     id-random graphs. Returns (node, triangles).
     """
+    from frauddetection_spark.operators.caching import track_cache
+
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # tri feeds all three corner projections — persist it or the wedge
+    # join replays 3× (r07 sweep)
+    tri = track_cache(e1.join(e2, "y").join(e3, ["x", "z"]).persist())
     corners = (
         tri.select(F.col("x").alias("node"))
         .union(tri.select(F.col("y").alias("node")))
@@ -384,7 +388,12 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     (deg(v)·(deg(v)−1)) over the undirected graph (reference:
     nx.clustering(net, id), data_process.py:147-148). Exact integer
     numerator/denominator; one final division."""
-    und = undirected_canonical(edges)
+    from frauddetection_spark.operators.caching import track_cache
+
+    # und feeds both degree branches AND the three wedge-join sides —
+    # persist it or the canonical edge derivation replays 5× (r07
+    # sweep: 11 parquet scans in q_clustering_coeff's executed plan)
+    und = track_cache(undirected_canonical(edges).persist())
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))

@@ -107,7 +107,13 @@ def normalized_probability(df: DataFrame, raw_col: str) -> DataFrame:
 
     The scalar total is attached via broadcast cross-join of a 1-row
     aggregate — NOT a global window (which would funnel every row
-    through one partition at scale)."""
+    through one partition at scale). ``df`` is read twice (the total
+    and the probability projection), so it is persisted here — without
+    it the caller's whole upstream plan replays for the 1-row
+    aggregate (r07 sweep)."""
+    from frauddetection_spark.operators.caching import track_cache
+
+    df = track_cache(df.persist())
     total = df.agg(F.sum(raw_col).alias("_total"))
     return df.crossJoin(F.broadcast(total)).withColumn(
         "prob", F.col(raw_col).cast("double") / F.col("_total")

@@ -252,13 +252,24 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoint join is two key-partitioned joins on the edge list."""
     from frauddetection_spark.operators.graph import edges_from_events
 
+    from frauddetection_spark.operators.caching import track_cache
+
     e = edges_from_events(t(spark, sf_dir, "events"))
     no_self = e.filter(F.col("src") != F.col("dst"))
-    und = no_self.union(
-        no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("d")
+    # und feeds the degree table AND the endpoint join, deg both
+    # endpoint probes — persist or the edge derivation replays per
+    # reference (r07 sweep: 6 parquet scans without the persists)
+    und = track_cache(
+        no_self.union(
+            no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = track_cache(
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .persist()
     )
     xy = (
         und.join(deg.withColumnRenamed("node", "src"), "src")
@@ -2177,12 +2188,19 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic on one row; /6e9 is the only float. Exact
     Shapley is 2ⁿ by nature — n>10 channels wants sampled
     permutations, a different operator."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
     f0 = e.groupBy("user_id").agg(F.min("us").alias("t0"))
-    ew = e.join(f0, "user_id").filter(
-        F.col("us") < F.col("t0") + _SHAP_WINDOW_US
+    # ew feeds the first-purchase probe AND the mask aggregate —
+    # persist or the window-filter join replays (r07 sweep: 12 scans
+    # in the executed plan)
+    ew = track_cache(
+        e.join(f0, "user_id")
+        .filter(F.col("us") < F.col("t0") + _SHAP_WINDOW_US)
+        .persist()
     )
     w = ew.groupBy("user_id").agg(
         F.min(

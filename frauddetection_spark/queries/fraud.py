@@ -154,11 +154,19 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines so bucket assignment is deterministic. Scale: the
     ranked relation is the per-customer aggregate (|customers| rows,
     not |orders|), and each pass is one range shuffle of it."""
+    from frauddetection_spark.operators.caching import track_cache
+
     o = t(spark, sf_dir, "orders")
-    po = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.unix_micros("o_orderdate")).alias("last_us"),
-        F.count("*").alias("f"),
-        F.sum(cents("o_totalprice")).alias("m_cents"),
+    # po feeds the global-max ref AND the scored relation — persist it
+    # or the orders scan + per-customer agg runs twice (r07 sweep)
+    po = track_cache(
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.unix_micros("o_orderdate")).alias("last_us"),
+            F.count("*").alias("f"),
+            F.sum(cents("o_totalprice")).alias("m_cents"),
+        )
+        .persist()
     )
     ref = po.agg(F.max("last_us").alias("ref_us"))
     s = po.crossJoin(F.broadcast(ref)).select(
@@ -1416,7 +1424,12 @@ def q_peer_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_rank = Window.partitionBy("peer_group").orderBy("x", "user_id")
     w_n = Window.partitionBy("peer_group")
-    m = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    # m feeds the median probe AND the deviation frame, dev the MAD
+    # probe AND the final filter — persist both or the spend/dominant
+    # build replays per reference (r07 sweep: 8 parquet scans)
+    m = track_cache(
         spend.join(dominant, "user_id")
         .select(
             "peer_group",
@@ -1425,6 +1438,7 @@ def q_peer_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_rank).alias("rn"),
             F.count("*").over(w_n).alias("n"),
         )
+        .persist()
     )
     med = m.filter(
         F.col("rn") == F.expr("(n + 1) div 2")
@@ -1432,7 +1446,7 @@ def q_peer_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_dev = Window.partitionBy("peer_group").orderBy(
         F.abs(F.col("x") - F.col("med")), "user_id"
     )
-    dev = (
+    dev = track_cache(
         m.join(F.broadcast(med), "peer_group")
         .select(
             "peer_group",
@@ -1443,6 +1457,7 @@ def q_peer_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_dev).alias("rn"),
             F.col("n"),
         )
+        .persist()
     )
     mad = dev.filter(
         F.col("rn") == F.expr("(n + 1) div 2")
@@ -1727,7 +1742,9 @@ def q_taint_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated flow table + one receiver groupBy — PPR's shape with
     amount weights instead of uniform ones; frontier stays
     seed-neighborhood-sized."""
-    flows = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    flows = track_cache(
         t(spark, sf_dir, "events")
         .select(
             F.col("user_id").alias("src"),
@@ -1737,11 +1754,17 @@ def q_taint_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.sum("c").cast("bigint").alias("amt"))
+        .persist()
     )
     outs = flows.groupBy("src").agg(
         F.sum("amt").cast("bigint").alias("out_total")
     )
-    fo = flows.join(outs, "src")
+    # fo is probed once per hop, and each level's lineage chains every
+    # earlier hop — without persists the final union re-derives hop k
+    # for EVERY level ≥ k (triangular re-evaluation: the json-extract
+    # scan ran 9× in the r07 executed-plan sweep). Persist fo once and
+    # each hop frontier (frontiers are seed-neighborhood-sized).
+    fo = track_cache(flows.join(outs, "src").persist())
     cur = (
         flows.filter(F.col("src") % 50 == 0)
         .select(F.col("src").alias("node"))
@@ -1750,7 +1773,7 @@ def q_taint_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     levels = [cur.select("node", F.lit(0).alias("hop"), "taint")]
     for i in range(1, _TAINT_HOPS + 1):
-        cur = (
+        cur = track_cache(
             cur.join(fo, F.col("node") == F.col("src"))
             .select(
                 F.col("dst").alias("node"),
@@ -1758,6 +1781,7 @@ def q_taint_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("node")
             .agg(F.sum("share").cast("bigint").alias("taint"))
+            .persist()
         )
         levels.append(cur.select("node", F.lit(i).alias("hop"), "taint"))
     out = levels[0]

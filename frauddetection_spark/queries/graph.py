@@ -616,12 +616,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's simpler id-ordered SQL produces the identical number."""
     from frauddetection_spark.operators.graph import mirror
 
+    from frauddetection_spark.operators.caching import track_cache
+
     e = edges_from_events(t(spark, sf_dir, "events")).filter(
         F.col("src") != F.col("dst")
     )
-    und = mirror(e)
-    deg = und.groupBy("src").agg(F.count("*").alias("d")).select(
-        F.col("src").alias("node"), "d"
+    # und feeds the degree table + the orientation join, deg is probed
+    # 3× and ori 3× (both wedge sides + the closing edge) — persist
+    # them or the edge derivation replays per reference (r07 sweep: 20
+    # parquet scans / 48 exchanges in the executed plan without them;
+    # the replay, not the wedge join, drove the r06 audit's 3.2×
+    # sf-growth ratio).
+    und = track_cache(mirror(e).persist())
+    deg = track_cache(
+        und.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .select(F.col("src").alias("node"), "d")
+        .persist()
     )
     # rank = (degree, id); orient each undirected edge low-rank -> high
     ranked = (
@@ -632,9 +643,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
         )
     )
-    ori = ranked.filter(
-        F.struct("ds", "src") < F.struct("dd", "dst")
-    ).select("src", "dst", "dd")
+    ori = track_cache(
+        ranked.filter(F.struct("ds", "src") < F.struct("dd", "dst"))
+        .select("src", "dst", "dd")
+        .persist()
+    )
     a = ori.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
@@ -723,8 +736,15 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge key."""
     from frauddetection_spark.operators.graph import mirror
 
+    from frauddetection_spark.operators.caching import track_cache
+
     e = edges_from_events(t(spark, sf_dir, "events"))
-    und = mirror(e)
+    # und is probed once per hop plus the seed filter, and each
+    # level's lineage chains every earlier hop — without persists the
+    # final union re-derives hop k for every level ≥ k (r07 sweep: 20
+    # parquet scans / 43 exchanges in the executed plan). Persist the
+    # edge set once and each (node-id-only) frontier.
+    und = track_cache(mirror(e).persist())
     l0 = (
         und.filter(F.col("src") % BFS_SEED_MOD == 0)
         .select(F.col("src").alias("node"))
@@ -733,10 +753,11 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = [l0.withColumn("level", F.lit(0))]
     frontier = l0
     for k in range(1, BFS_HOPS + 1):
-        frontier = (
+        frontier = track_cache(
             frontier.join(und, frontier["node"] == und["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
+            .persist()
         )
         levels.append(frontier.withColumn("level", F.lit(k)))
     lv = levels[0]
@@ -1325,15 +1346,24 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the node set — the locality that makes PPR the cheap variant;
     each round is one src-keyed join + one dst-keyed partial-agg sum
     against the static (edge ⋈ outdeg) build."""
-    e = edges_from_events(t(spark, sf_dir, "events"))
-    nodes = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    # e is read 4× (both node-set branches + both sides of the outdeg
+    # join), and nodes/eo are probed once per unrolled iteration —
+    # persist all three or the edge derivation replays per reference
+    # (r07 sweep: 10 parquet scans / 24 exchanges in the executed plan)
+    e = track_cache(edges_from_events(t(spark, sf_dir, "events")).persist())
+    nodes = track_cache(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    eo = e.join(
-        e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
-    ).select("src", "dst", "outdeg")
+    eo = track_cache(
+        e.join(e.groupBy("src").agg(F.count("*").alias("outdeg")), "src")
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
     restart = F.when(
         F.col("node") % _PPR_SEED_MOD == 0,
         F.lit((100 - _PPR_D) * _PPR_SCALE // 100),
@@ -1419,8 +1449,16 @@ def q_money_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_graph_degrees, not membership in 10⁶ incidental triangles —
     the q_adamic_adar capping policy). Below the cap the join is
     bounded by τ·|edges|."""
-    e = edges_from_events(t(spark, sf_dir, "events")).filter(
-        F.col("src") != F.col("dst")
+    from frauddetection_spark.operators.caching import track_cache
+
+    # e is read 3× (both union branches of the degree count + the
+    # capped edge list) and ce 3× (the three cycle hops) — persist
+    # both or the edge derivation replays per reference (r07 sweep:
+    # 15 parquet scans / 31 exchanges without them).
+    e = track_cache(
+        edges_from_events(t(spark, sf_dir, "events"))
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
     )
     deg = (
         e.select(F.col("src").alias("node"))
@@ -1429,10 +1467,11 @@ def q_money_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     )
     ok = deg.filter(F.col("d") <= _CYC_MAX_PIVOT_DEG).select("node")
-    ce = (
+    ce = track_cache(
         e.join(ok.withColumnRenamed("node", "src"), "src", "left_semi")
         .join(ok.withColumnRenamed("node", "dst"), "dst", "left_semi")
         .select("src", "dst")
+        .persist()
     )
     ab = ce.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = ce.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -1521,14 +1560,23 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash picks ONE neighbor after the join's deg fan-out collapses),
     no driver-side state, and the adjacency ranking is one partitioned
     window."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = edges_from_events(t(spark, sf_dir, "events"))
     w_rank = Window.partitionBy("src").orderBy("dst")
     w_deg = Window.partitionBy("src")
-    ranked = e.select(
-        "src",
-        "dst",
-        (F.row_number().over(w_rank) - 1).alias("rn"),
-        F.count("*").over(w_deg).alias("deg"),
+    # ranked is probed once per walk step and each step's lineage
+    # chains all earlier steps into the final union — persist the
+    # ranked adjacency and each (seeds×walks)-sized frontier or step k
+    # re-derives for every level ≥ k (r07 sweep: 10 parquet scans /
+    # 27 exchanges in the executed plan)
+    ranked = track_cache(
+        e.select(
+            "src",
+            "dst",
+            (F.row_number().over(w_rank) - 1).alias("rn"),
+            F.count("*").over(w_deg).alias("deg"),
+        ).persist()
     )
     seeds = (
         e.filter(F.col("src") % _RW_SEED_MOD == 0)
@@ -1541,7 +1589,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     levels = [cur]
     for i in range(1, _RW_LEN + 1):
-        nxt = (
+        nxt = track_cache(
             levels[-1]
             .join(ranked, F.col("node") == F.col("src"))
             .filter(
@@ -1557,6 +1605,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "seed", "walk", F.lit(i).alias("step"), F.col("dst").alias("node")
             )
+            .persist()
         )
         levels.append(nxt)
     out = levels[0]
@@ -1655,7 +1704,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("w") >= 3) & (F.col("src") != F.col("dst")))
         .select("src", "dst")
     )
-    e = mirror(repeat)
+    from frauddetection_spark.operators.caching import track_cache
+
+    # e is probed once per round plus the label init — persist it or
+    # the json-extract + support-threshold derivation replays per
+    # reference (r07 sweep: 8 parquet scans in the executed plan)
+    e = track_cache(mirror(repeat).persist())
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -3957,10 +3957,18 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exploded to the report rows. At 100 TB this is the exact shape
     of the real erasure pre-check: frontier keys broadcast, one scan
     per fact table, no fact-to-fact shuffle anywhere."""
-    seed = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0).select(
-        "c_custkey"
+    from frauddetection_spark.operators.caching import track_cache
+
+    # the seed and the order frontier are each probed twice (the next
+    # level's semi join + their own count) — persist the tiny key sets
+    # or each level's derivation replays (r07 sweep)
+    seed = track_cache(
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .persist()
     )
-    o = (
+    o = track_cache(
         t(spark, sf_dir, "orders")
         .join(
             F.broadcast(seed.withColumnRenamed("c_custkey", "o_custkey")),
@@ -3968,6 +3976,7 @@ def q_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semi",
         )
         .select("o_orderkey")
+        .persist()
     )
     l = t(spark, sf_dir, "lineitem").join(
         F.broadcast(o.withColumnRenamed("o_orderkey", "l_orderkey")),

@@ -150,7 +150,14 @@ def q_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("src").alias("user_id"))
         .agg(F.count("*").alias("degree"))
     )
-    nodes = labels.join(deg, "user_id", "left").na.fill({"degree": 0})
+    from frauddetection_spark.operators.caching import track_cache
+
+    # nodes feeds the class-rate groupBy, the grand-total aggregate
+    # and the weight join — persist or the label+degree build replays
+    # 3× (r07 sweep: 8 parquet scans in the executed plan)
+    nodes = track_cache(
+        labels.join(deg, "user_id", "left").na.fill({"degree": 0}).persist()
+    )
     # class table with the grand total attached via broadcast 1-row
     # aggregate — NOT a driver-side .count() (which would execute the
     # whole upstream plan eagerly at query-construction time)
@@ -239,12 +246,21 @@ def q_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
         )
     )
-    classed = le.withColumn(
-        "edge_class",
-        F.when((F.col("y_src") == 1) & (F.col("y_dst") == 1), "homo_fraud")
-        .when((F.col("y_src") == 0) & (F.col("y_dst") == 0), "homo_benign")
-        .otherwise("hetero"),
-    ).select("src", "dst", "edge_class")
+    from frauddetection_spark.operators.caching import track_cache
+
+    # classed feeds the class counts, the grand total and the weight
+    # join — persist or the edge+label build replays 3× (r07 sweep:
+    # 18 parquet scans / 41 exchanges in the executed plan)
+    classed = track_cache(
+        le.withColumn(
+            "edge_class",
+            F.when((F.col("y_src") == 1) & (F.col("y_dst") == 1), "homo_fraud")
+            .when((F.col("y_src") == 0) & (F.col("y_dst") == 0), "homo_benign")
+            .otherwise("hetero"),
+        )
+        .select("src", "dst", "edge_class")
+        .persist()
+    )
     # grand total via broadcast 1-row aggregate, not an eager .count()
     cc = (
         classed.groupBy("edge_class")

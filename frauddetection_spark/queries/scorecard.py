@@ -587,10 +587,15 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale baskets first). Marginals and the order total join back as
     exact ints; support/lift are single double expressions identical
     in both twins."""
-    li = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    # li is read 4× (order total, marginals, both self-join sides) —
+    # persist it or the scan+distinct replays per reference (r07 sweep)
+    li = track_cache(
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     marg = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))

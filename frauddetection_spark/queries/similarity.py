@@ -759,7 +759,11 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
     )
-    tf = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df counts and the kept join — persist it or
+    # the shingle explode + TF shuffle replays (r07 sweep)
+    tf = track_cache(
+        sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf")).persist()
+    )
     df = tf.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = track_cache(
         tf.join(df.filter(F.col("df") <= _SC_DF_MAX), "shingle")

@@ -865,7 +865,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; the verify is integer-exact in both engines. Completes
     the near-dup family: MinHash bands ≈ Jaccard, SimHash bands ≈
     cosine-of-counts, both sharing the band-bucket-join scale shape."""
-    sig = simhash(t(spark, sf_dir, "documents"))
+    # sig feeds BOTH sides of the band bucket join — persist the tiny
+    # (doc_id, simhash) table or the whole 32-column signature build
+    # (token hashes → per-bit contributions → pack) replays twice
+    # (r07 sweep; sf0.1 min-of-2: 5.5s → ~2.7s, steady ~1.5s)
+    sig = track_cache(simhash(t(spark, sf_dir, "documents")).persist())
     bands_idx = spark.range(_SH_BANDS).select(F.col("id").alias("band"))
     mask = (1 << _SH_BAND_BITS) - 1
     bands = sig.crossJoin(F.broadcast(bands_idx)).select(

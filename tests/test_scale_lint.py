@@ -82,6 +82,36 @@ def test_no_unpartitioned_windows(name, spark, sf_dir):
         f"{name}: CartesianProduct in the physical plan — add an equi "
         "key, broadcast a bounded side, or bucket the pair space"
     )
+    # Piggyback #3 (r07): LIVE file-scan budget — replayed-subtree
+    # detector. A DataFrame referenced twice without a persist replays
+    # its whole derivation per reference (q_bfs_levels planned 20 live
+    # scans before the r07 sweep; at 100 TB each replay is another
+    # full fact-table scan). Walk the physical tree WITHOUT descending
+    # into InMemoryTableScan (a cached subtree's build plan prints its
+    # scans but never re-executes): every query in the catalog plans
+    # ≤ 9 live scans after the sweep (worst: TPC-H Q2 and the
+    # 6-aggregate q_ref_integrity, both legitimately multi-table), so
+    # 10 flags any future replay regression without false positives.
+    live = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if "InMemoryTableScan" in cls:
+            continue
+        if "FileSourceScan" in cls or "BatchScan" in cls:
+            live += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        if cls == "AdaptiveSparkPlanExec":
+            stack.append(node.initialPlan())
+    assert live <= 10, (
+        f"{name}: {live} live file scans in one plan — a "
+        "multi-referenced subtree is replaying; persist it "
+        "(track_cache) or restructure so each base relation is "
+        "scanned a bounded number of times"
+    )
 
 
 # Queries whose CONSTRUCTION legitimately runs Spark jobs: iterative

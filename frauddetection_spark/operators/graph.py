@@ -420,16 +420,33 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame,
+    max_iterations: int = 50,
+    local_finish_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     component(v) = min node id reachable from v. Returns
     (node, component).
 
-    Each round: label'(v) = min(label(v), min over neighbors of
-    label(u)) — one join + groupBy-min per round over the undirected
-    edge list; rounds = graph diameter (typically ≪ 20 on real
-    graphs). Convergence is checked with a changed-row count; frames
+    Two-phase, size-gated (the GraphX/GraphFrames "local finish"
+    pattern): once the edge set is materialized (the localCheckpoint
+    below — a job either way), if it holds ≤ ``local_finish_edges``
+    directed edges (≤ ~200k × 16 bytes ≈ 3 MB — constant-bounded
+    driver memory, same discipline as the whitelisted grid union-find
+    in operators/sampling.py) the components come from one driver-side
+    min-id union-find instead of diameter-many distributed rounds:
+    each distributed round costs 2+ jobs (checkpoint + convergence
+    count), so a 500-node dup graph paid ~8 scheduler round-trips to
+    label 477 nodes (profiled 3.4s → 0.2s at sf0.1). Above the gate —
+    the only regime a 100-TB run sees — the iterative path below runs
+    unchanged; both paths compute the identical min-reachable-id
+    fixpoint (pinned by tests/test_plans.py::
+    test_cc_local_finish_matches_distributed).
+
+    Distributed path: each round label'(v) = min(label(v), min over
+    neighbors of label(u)) — one join + groupBy-min per round over the
+    undirected edge list; rounds = graph diameter (typically ≪ 20 on
+    real graphs). Convergence is checked with a changed-row count; frames
     are persisted per round to cut lineage (same discipline as M2
     propagation). Deterministic fixpoint ⇒ oracle-verifiable even
     though the algorithm is iterative driver-side control flow.
@@ -451,7 +468,48 @@ def connected_components(
     # (profiled: 8.5s vs 3.1s on the MinHash pair feed). The union
     # itself stays lazy: re-deriving it from the checkpointed leaf per
     # round is two cached-block scans, nothing more.
-    und = mirror(edges.localCheckpoint())
+    ck = edges.localCheckpoint()
+    # The checkpoint above already ran the upstream pipeline; counting
+    # its cached blocks is one cheap job, and gates the local finish.
+    if ck.count() <= local_finish_edges:
+        spark = ck.sparkSession
+        # Min-id union-find over the (constant-bounded) collected edge
+        # list: union by smaller root, so every root IS the set's
+        # minimum id and find(v) = min reachable id — exactly the
+        # distributed fixpoint's labels. Construction-time jobs are
+        # sanctioned for CC callers via ITERATIVE_FIXPOINT in
+        # tests/test_scale_lint.py; the collect is bounded by the gate.
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes = set()
+        for row in ck.collect():
+            a, b = row[0], row[1]
+            if a is not None:
+                nodes.add(a)
+            if b is not None:
+                nodes.add(b)
+            if a is None or b is None:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)],
+            "node bigint, component bigint",
+        )
+
+    und = mirror(ck)
     labels = (
         und.select(F.col("src").alias("node"))
         .union(und.select(F.col("dst").alias("node")))

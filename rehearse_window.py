@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Driver-window rehearsal: re-run the exact check the round driver runs.
+
+The per-round driver takes the FIRST ``DRIVER_WINDOW`` entries of
+``__spark_entry__.queries()``, runs each on a *vanilla* SparkSession
+(plain ``local[32]`` builder, none of the repo's tuned configs) at
+sf0.01, and compares against the DuckDB twin (row count + schema +
+order-insensitive value hash). Freezing a window without rehearsing it
+on a vanilla session risks shipping a query that only passes under the
+test suite's configs — this script makes the rehearsal reproducible
+(it was ad-hoc in rounds 6-7; VERDICT r06 item 7 asked for it before
+every freeze).
+
+Usage:
+    python rehearse_window.py            # first DRIVER_WINDOW entries
+    python rehearse_window.py --all      # all declared queries
+    python rehearse_window.py q_item_cf q_tpch_q2   # named subset
+
+Prints one line per query and a final JSON summary; exit code 1 on any
+mismatch/error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="explicit query names")
+    ap.add_argument("--all", action="store_true", help="run all declared queries")
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from frauddetection_spark.oracle import compare, duckdb_connection
+    from frauddetection_spark.plans.registry import DRIVER_WINDOW
+
+    # Vanilla driver-style session: plain builder, no repo configs.
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("rehearse-window")
+        .getOrCreate()
+    )
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if args.names:
+        names = args.names
+    elif args.all:
+        names = list(queries)
+    else:
+        names = list(queries)[:DRIVER_WINDOW]
+
+    con = duckdb_connection(args.sf_dir)
+    t0 = time.time()
+    results: dict[str, str] = {}
+    failed = []
+    for i, name in enumerate(names, 1):
+        qt = time.time()
+        try:
+            df = queries[name](spark, args.sf_dir)
+            if name in oracles:
+                res = compare(name, df, con, oracles[name])
+                ok, detail = res.ok, res.detail
+            else:
+                n = df.count()
+                ok, detail = n > 0, f"rows_only rows={n}"
+        except Exception as e:  # noqa: BLE001 — rehearsal must report, not die
+            ok, detail = False, f"{type(e).__name__}: {e}"
+        status = "ok" if ok else "FAIL"
+        results[name] = status if ok else f"FAIL: {detail}"
+        if not ok:
+            failed.append(name)
+        print(f"[{i:>3}/{len(names)}] {name:<28} {status:<4} {time.time()-qt:5.1f}s {detail if not ok else ''}")
+        sys.stdout.flush()
+    summary = {
+        "checked": len(names),
+        "failed": failed,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "sf_dir": args.sf_dir,
+    }
+    print(json.dumps(summary))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 # Cache lifetime registry lives in operators.caching since round 6;
@@ -490,8 +491,14 @@ def connected_components(
             return root
 
         nodes = set()
-        for row in ck.collect():
-            a, b = row[0], row[1]
+        # Resolve src/dst by NAME and derive the output schema from the
+        # input's field types (ADVICE r07): the distributed path below
+        # is name-resolved and type-preserving, so the local finish
+        # must be too — positional row[0]/row[1] plus a hardcoded
+        # bigint schema would silently diverge for non-long node ids
+        # or reordered/extra columns, and only below the size gate.
+        for row in ck.select("src", "dst").collect():
+            a, b = row["src"], row["dst"]
             if a is not None:
                 nodes.add(a)
             if b is not None:
@@ -504,9 +511,15 @@ def connected_components(
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
+        node_type = ck.schema["src"].dataType
+        out_schema = StructType(
+            [
+                StructField("node", node_type, True),
+                StructField("component", node_type, True),
+            ]
+        )
         return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)],
-            "node bigint, component bigint",
+            [(n, find(n)) for n in sorted(nodes)], out_schema
         )
 
     und = mirror(ck)

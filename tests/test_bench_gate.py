@@ -12,9 +12,13 @@ Pure-python: no Spark session, no fixtures from conftest needed.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo") if "/root/repo" not in sys.path else None
+# repo root from __file__ (ADVICE r07): no hardcoded checkout path
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from bench import regression_report  # noqa: E402
 

@@ -243,6 +243,45 @@ def test_cc_local_finish_matches_distributed(spark, sf_dir):
     assert comp_ids <= roots
 
 
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_connected_components",
+        "q_dedup_groups",
+        "q_entity_resolution",
+        "q_dedup_semantic",
+    ],
+)
+def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
+    """VERDICT r07 item 5: the operator-level parity test above pins
+    connected_components itself, but the four DECLARED queries that
+    ride on it must also be gate-invariant — a future gate change must
+    not silently diverge the results the driver hash-checks. Force the
+    distributed path by zeroing the shared function object's
+    local_finish_edges default (every consumer module imports the same
+    function object, so one patch covers all call sites) and compare
+    full row sets against the default (local-finish at test sf) run."""
+    from frauddetection_spark.operators.graph import connected_components
+    from frauddetection_spark.plans.registry import REGISTRY
+
+    spec = REGISTRY[qname]
+    default_rows = sorted(
+        tuple(r) for r in spec.fn(spark, sf_dir).collect()
+    )
+    assert default_rows, f"{qname}: empty result makes parity vacuous"
+    sig_defaults = connected_components.__defaults__
+    assert sig_defaults == (50, 200_000), (
+        "connected_components defaults moved — update this patch"
+    )
+    monkeypatch.setattr(
+        connected_components, "__defaults__", (sig_defaults[0], 0)
+    )
+    forced_rows = sorted(
+        tuple(r) for r in spec.fn(spark, sf_dir).collect()
+    )
+    assert forced_rows == default_rows
+
+
 def test_common_neighbor_auto_cost_model(spark):
     """The auto pick is COST-BASED (round-2 ×10 stress finding: a hard
     user cap routed the dense 100-contact/15k-user regime to the

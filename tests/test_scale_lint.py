@@ -99,11 +99,23 @@ def test_no_unpartitioned_windows(name, spark, sf_dir):
         cls = node.getClass().getSimpleName()
         if "InMemoryTableScan" in cls:
             continue
+        # Reused exchanges/subqueries execute ONCE and are replayed
+        # from shuffle files / the first result — zero additional scan
+        # cost; descending into them would double-count the original
+        # subtree's scans (ADVICE r07).
+        if "ReusedExchange" in cls or "ReusedSubquery" in cls:
+            continue
         if "FileSourceScan" in cls or "BatchScan" in cls:
             live += 1
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
+        # Scans hidden in scalar/IN subquery expressions are live cost
+        # too (ADVICE r07): QueryPlan.subqueries yields each plan
+        # referenced from this node's expressions.
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
         if cls == "AdaptiveSparkPlanExec":
             stack.append(node.initialPlan())
     assert live <= 10, (

@@ -3698,18 +3698,19 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "bal_c", "n_name")
     )
     sup = sup.join(F.broadcast(rs), F.col("s_suppkey") == F.col("ps_suppkey"))
-    mn = sup.groupBy(F.col("ps_partkey").alias("mn_partkey")).agg(
-        F.min("cost_c").alias("mc")
-    )
+    # Decorrelate the MIN as a PARTITIONED WINDOW over the same frame,
+    # not an aggregate-join-back: the self-join form planned the whole
+    # supply pipeline (lineitem groupBy + supplier broadcast) TWICE —
+    # 9 live scans; the window min is one shuffle on ps_partkey over a
+    # single pipeline (4 scans), and keeps all tied min-cost suppliers
+    # exactly like the join form (r08 replayed-subtree follow-up).
+    w_mn = Window.partitionBy("ps_partkey")
     p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
         "p_partkey", "p_type"
     )
     return (
-        sup.join(
-            mn,
-            (F.col("mn_partkey") == F.col("ps_partkey"))
-            & (F.col("cost_c") == F.col("mc")),
-        )
+        sup.withColumn("mc", F.min("cost_c").over(w_mn))
+        .filter(F.col("cost_c") == F.col("mc"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .select(
             "s_name",
@@ -3758,11 +3759,18 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     back over the per-part frame. Intermediates ride decimal
     (HUGEINT in the twin) since Σ cost·qty approaches int64 range at
     warehouse scale; the emitted per-part value fits bigint."""
+    from frauddetection_spark.operators.caching import track_cache
+
     sup = _supply(spark, sf_dir)
     s = t(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") % 5 == 2
     ).select("s_suppkey")
-    v = (
+    # Persist v: it feeds BOTH the 1-row (Σ, n) total and the filtered
+    # output — unpersisted, the lineitem groupBy + supplier join replay
+    # once per reference (the r07 sweep's base-relation-probed-by-own-
+    # aggregate shape; this query was the audit's last >3× grower).
+    # Per-part aggregate rows, far smaller than the fact input.
+    v = track_cache(
         sup.join(F.broadcast(s), F.col("s_suppkey") == F.col("ps_suppkey"))
         .groupBy("ps_partkey")
         .agg(
@@ -3770,6 +3778,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cost_c").cast("decimal(38,0)") * F.col("availqty")
             ).alias("val")
         )
+        .persist()
     )
     tot = v.agg(F.sum("val").alias("tv"), F.count("*").alias("np"))
     return (

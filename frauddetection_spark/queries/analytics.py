@@ -2105,7 +2105,13 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked by row_number over the total order (slope_q, di, dj), so
     no two-middle averaging and no float rank. A user needs ≥ 2
     active days to emit a row."""
-    daily = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    # Persist the daily rollup: it feeds both pair sides AND the
+    # n_days count — unpersisted, the events scan + rollup shuffle
+    # replayed 3× per execution (r08 sweep). Per-(user, calendar-day)
+    # rows: bounded at users × window days, tiny next to the fact.
+    daily = track_cache(
         t(spark, sf_dir, "events")
         .groupBy(
             "user_id",
@@ -2113,6 +2119,7 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("d"),
         )
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("spend_c"))
+        .persist()
     )
     a = daily.select("user_id", F.col("d").alias("di"), F.col("spend_c").alias("ci"))
     b = daily.select("user_id", F.col("d").alias("dj"), F.col("spend_c").alias("cj"))

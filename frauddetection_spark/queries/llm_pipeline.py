@@ -1451,9 +1451,24 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .persist()
     )
-    sh = word_shingles(docs)
-    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("shingle").distinct()
-    tr = sh.join(sk, "doc_id", "semi").filter(F.col("doc_id") % BENCH_MOD != 0)
+    # Filter BEFORE shingling (r08): both branches' predicates are
+    # per-doc, so they commute with the shingle explode — the benchmark
+    # side shingles only the ~1/BENCH_MOD held-out slice and the
+    # training side only the dedup survivors, instead of replaying the
+    # full-corpus explode twice (the single shared `sh` frame planned
+    # word_shingles(all docs) once per reference). At 100 TB the
+    # shingle explode dominates this stage; shrinking its input IS the
+    # optimization, not a persist.
+    bench = (
+        word_shingles(docs.filter(F.col("doc_id") % BENCH_MOD == 0))
+        .select("shingle")
+        .distinct()
+    )
+    tr = word_shingles(
+        docs.join(sk, "doc_id", "semi").filter(
+            F.col("doc_id") % BENCH_MOD != 0
+        )
+    )
     ov = (
         tr.join(
             F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"

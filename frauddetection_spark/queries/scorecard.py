@@ -1343,13 +1343,20 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))
         .agg(F.sum(cents("value")).cast("bigint").alias("m"))
     )
-    r = per_user.select(
-        "variant",
-        "m",
-        F.row_number()
-        .over(Window.partitionBy("variant").orderBy("m", "user_id"))
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy("variant")).alias("n"),
+    from frauddetection_spark.operators.caching import track_cache
+
+    # Persist the ranked frame: it feeds both the per-variant target
+    # grid and the bracketing filter — unpersisted, the events scan +
+    # rollup + variant windows replayed per reference (r08 sweep).
+    r = track_cache(
+        per_user.select(
+            "variant",
+            "m",
+            F.row_number()
+            .over(Window.partitionBy("variant").orderBy("m", "user_id"))
+            .alias("rn"),
+            F.count("*").over(Window.partitionBy("variant")).alias("n"),
+        ).persist()
     )
     pcts = spark.createDataFrame(
         [(p,) for p in _QTE_PCTS], "pct int"
@@ -1388,14 +1395,22 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("m_hi") - F.col("m_lo"))
         ).alias("qv"),
     )
-    a = q.filter(F.col("variant") == 0).select(
-        "pct", F.col("qv").alias("control_q")
-    )
-    b = q.filter(F.col("variant") == 1).select(
-        "pct", F.col("qv").alias("treated_q")
-    )
+    # Align variants with ONE conditional aggregation over the ≤
+    # 2·|pcts|-row quantile frame instead of a filtered self-join,
+    # which re-derived the whole pipeline per side (r08 sweep).
     return (
-        a.join(b, "pct")
+        q.groupBy("pct")
+        .agg(
+            F.max(F.when(F.col("variant") == 0, F.col("qv"))).alias(
+                "control_q"
+            ),
+            F.max(F.when(F.col("variant") == 1, F.col("qv"))).alias(
+                "treated_q"
+            ),
+        )
+        .filter(
+            F.col("control_q").isNotNull() & F.col("treated_q").isNotNull()
+        )
         .select(
             "pct",
             "control_q",

@@ -472,7 +472,13 @@ def connected_components(
     ck = edges.localCheckpoint()
     # The checkpoint above already ran the upstream pipeline; counting
     # its cached blocks is one cheap job, and gates the local finish.
-    if ck.count() <= local_finish_edges:
+    # Type gate: the local finish emits BOTH columns as the src type;
+    # if dst's type differs, only the distributed union below defines
+    # the coercion — take that path so the gate can never change the
+    # output schema (a mixed-type edge frame would otherwise diverge
+    # only below the size gate).
+    same_type = ck.schema["src"].dataType == ck.schema["dst"].dataType
+    if same_type and ck.count() <= local_finish_edges:
         spark = ck.sparkSession
         # Min-id union-find over the (constant-bounded) collected edge
         # list: union by smaller root, so every root IS the set's

@@ -3674,9 +3674,11 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ASIA supplier(s) quoting the part's regional minimum cost,
     richest suppliers first. The defining feature is the CORRELATED
     MIN subquery (cost = min cost over the same region-restricted
-    supply), decorrelated to one aggregate on the SAME filtered frame
-    joined back on (partkey, min-cost) — ties keep ALL min-cost
-    suppliers, per the original semantics. The region→nation→supplier
+    supply), decorrelated to a PARTITIONED WINDOW MIN over the same
+    frame (one shuffle on ps_partkey, no aggregate-join-back — the
+    join form planned the supply pipeline twice; r08) — ties keep ALL
+    min-cost suppliers, per the original semantics. The
+    region→nation→supplier
     chain collapses to a ~1/5-of-suppliers broadcast before the
     supply shuffle; part is filtered on size BEFORE its join.
     Balance ranks as exact cents."""

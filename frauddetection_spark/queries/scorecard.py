@@ -1335,9 +1335,12 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tailed revenue metrics routinely do). Exact interpolated
     per-variant quantiles via q_group_percentile's integer-target
     machinery (integer percent grid keeps lo/frac exact; bracketing
-    order statistics from variant-partitioned ranks), then one join
-    aligns the ≤|pcts| quantile rows across variants. All windows
-    variant-bounded; the pct grid broadcasts."""
+    order statistics from variant-partitioned ranks), then ONE
+    conditional aggregation over the ≤2·|pcts|-row quantile frame
+    aligns control vs treated (a filtered self-join would re-derive
+    the pipeline per side; r08). All windows variant-bounded; the pct
+    grid broadcasts; the ranked frame is persisted (it feeds both the
+    target grid and the bracketing filter)."""
     per_user = (
         t(spark, sf_dir, "events")
         .groupBy("user_id", (F.col("user_id") % 2).alias("variant"))

@@ -60,36 +60,39 @@ def main() -> int:
     else:
         names = list(queries)[:DRIVER_WINDOW]
 
+    from frauddetection_spark.operators.caching import release_caches
+
     con = duckdb_connection(args.sf_dir)
     t0 = time.time()
-    results: dict[str, str] = {}
-    failed = []
+    failures: dict[str, str] = {}
     for i, name in enumerate(names, 1):
         qt = time.time()
         try:
             df = queries[name](spark, args.sf_dir)
             if name in oracles:
+                # compare() drains tracked caches internally
                 res = compare(name, df, con, oracles[name])
                 ok, detail = res.ok, res.detail
             else:
                 n = df.count()
                 ok, detail = n > 0, f"rows_only rows={n}"
+                release_caches()
         except Exception as e:  # noqa: BLE001 — rehearsal must report, not die
             ok, detail = False, f"{type(e).__name__}: {e}"
+            release_caches()
         status = "ok" if ok else "FAIL"
-        results[name] = status if ok else f"FAIL: {detail}"
         if not ok:
-            failed.append(name)
+            failures[name] = detail
         print(f"[{i:>3}/{len(names)}] {name:<28} {status:<4} {time.time()-qt:5.1f}s {detail if not ok else ''}")
         sys.stdout.flush()
     summary = {
         "checked": len(names),
-        "failed": failed,
+        "failed": failures,
         "elapsed_sec": round(time.time() - t0, 1),
         "sf_dir": args.sf_dir,
     }
     print(json.dumps(summary))
-    return 1 if failed else 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -243,6 +243,32 @@ def test_cc_local_finish_matches_distributed(spark, sf_dir):
     assert comp_ids <= roots
 
 
+def test_cc_mixed_type_edges_route_distributed(spark):
+    """The local finish emits both output columns as the src type, so
+    a mixed-type edge frame (src int, dst long) must NOT take it even
+    under the size gate — the distributed union defines the coercion.
+    Pinned: tiny mixed-type input produces the union-widened schema
+    and the same labels the (long, long) input gets."""
+    from frauddetection_spark.operators.graph import connected_components
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src int, dst bigint"
+    )
+    out = connected_components(mixed)
+    assert out.schema["node"].dataType.simpleString() == "bigint"
+    got = {(r["node"], r["component"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    # same-typed twin takes the local finish and must agree
+    uniform = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    got2 = {
+        (r["node"], r["component"])
+        for r in connected_components(uniform).collect()
+    }
+    assert got2 == got
+
+
 @pytest.mark.parametrize(
     "qname",
     [

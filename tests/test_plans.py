@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from frauddetection_spark.plans.registry import load_all
 
@@ -241,6 +242,33 @@ def test_cc_local_finish_matches_distributed(spark, sf_dir):
     comp_ids = {c for _, c in local}
     roots = {n for n, c in local if n == c}
     assert comp_ids <= roots
+
+
+def test_q2_window_min_keeps_all_ties(spark):
+    """q_tpch_q2's r08 decorrelation (partitioned window MIN + filter,
+    replacing the aggregate-join-back) must keep ALL min-cost suppliers
+    on ties, per the original correlated-subquery semantics. The
+    testdata has ZERO (partkey, min-cost) ties at every sf, so the
+    oracle comparison never exercises this path — pin it on a
+    constructed frame: two suppliers tied at the part's min cost both
+    survive, the strictly-higher quote does not."""
+    sup = spark.createDataFrame(
+        [
+            (1, 101, 500),
+            (1, 102, 500),  # tied at part 1's min
+            (1, 103, 900),
+            (2, 104, 300),
+        ],
+        "ps_partkey bigint, ps_suppkey bigint, cost_c bigint",
+    )
+    w = Window.partitionBy("ps_partkey")
+    got = {
+        (r["ps_partkey"], r["ps_suppkey"])
+        for r in sup.withColumn("mc", F.min("cost_c").over(w))
+        .filter(F.col("cost_c") == F.col("mc"))
+        .collect()
+    }
+    assert got == {(1, 101), (1, 102), (2, 104)}
 
 
 def test_cc_mixed_type_edges_route_distributed(spark):

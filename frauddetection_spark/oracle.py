@@ -70,6 +70,34 @@ def _canon_frame(pdf: pd.DataFrame) -> list[str]:
     return rows
 
 
+def driver_canon_frame(pdf: pd.DataFrame) -> list[str]:
+    """Vendored replica of the DRIVER's canonicalizer code path.
+
+    The round driver canonicalizes with pandas ``sort_values`` over the
+    RAW columns before hashing — a path that raises ``TypeError:
+    unhashable type`` on list/ndarray cells (the r08
+    ``q_inverted_index`` failure: CORRECTNESS_r08.json shows the crash
+    inside ``lexsort_indexer → Categorical → factorize``). The repo's
+    own ``_canon_frame`` stringifies containers first and is therefore
+    MORE permissive — local green did not predict driver green. This
+    replica restores the ordering: ``compare()`` runs BOTH legs, so any
+    output shape the driver's comparator cannot digest fails locally
+    first. Cell rendering after the sort reuses ``_canon_cell`` (both
+    engines' frames pass through the same renderer, so the leg differs
+    from ``_canon_frame`` only in WHERE the sort happens — pandas
+    ``sort_values`` on raw values, the driver's exact stress point).
+    """
+    cols = sorted(pdf.columns)
+    out = pdf[cols]
+    # mergesort = stable, and sort_values is the driver's crash site
+    # for non-hashable cells — do NOT pre-stringify.
+    out = out.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return [
+        "|".join(_canon_cell(v) for v in row)
+        for row in out.itertuples(index=False, name=None)
+    ]
+
+
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
     sp = spark_df.toPandas()
     # cache hygiene: a full-catalog comparison session runs 100+
@@ -87,4 +115,19 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     if a != b:
         diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
         return CompareResult(name, False, f"values differ; first diffs: {diffs}")
-    return CompareResult(name, True, f"{len(sp)} rows match")
+    # Second leg: the vendored DRIVER canonicalizer (r08 lesson — the
+    # local harness must be at least as strict as the driver's). A
+    # TypeError here means the driver's pandas sort_values would crash
+    # on this output shape even though values match.
+    try:
+        da, db = driver_canon_frame(sp), driver_canon_frame(du)
+    except TypeError as exc:
+        return CompareResult(
+            name, False, f"driver canonicalizer would crash on this output: {exc}"
+        )
+    if da != db:
+        diffs = [(x, y) for x, y in zip(da, db) if x != y][:3]
+        return CompareResult(
+            name, False, f"driver-leg canonicalization differs; first diffs: {diffs}"
+        )
+    return CompareResult(name, True, f"{len(sp)} rows match (both comparator legs)")

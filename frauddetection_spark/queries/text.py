@@ -1108,7 +1108,8 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token,
            CAST(count(*) AS BIGINT) AS df,
            CAST(sum(tf) AS BIGINT) AS tf_total,
-           (list(doc_id ORDER BY tf DESC, doc_id))[1:8] AS postings_head
+           array_to_string((list(doc_id ORDER BY tf DESC, doc_id))[1:8], ',')
+               AS postings_head
     FROM tf GROUP BY token ORDER BY token
     """,
     survey="E4,A13,A14",
@@ -1127,7 +1128,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     token's list is df-long structs, truncated to 8 after an
     array_sort; for web-scale df the head would be computed with a
     per-token top-k window instead, same ordering key). Two shuffles:
-    (token, doc_id) tf rollup, then token."""
+    (token, doc_id) tf rollup, then token. The head is emitted as a
+    comma-joined STRING (the q_collect_series convention): raw
+    ArrayType top-level columns crash pandas-based canonicalizers
+    (unhashable list cells) — the r08 driver failure mode, now banned
+    registry-wide by tests/test_registry_lint.py."""
     tf = (
         t(spark, sf_dir, "documents")
         .select(
@@ -1142,15 +1147,20 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("df"),
             F.sum("tf").cast("bigint").alias("tf_total"),
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct((-F.col("tf")).alias("ntf"), "doc_id"))
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct((-F.col("tf")).alias("ntf"), "doc_id")
+                            )
+                        ),
+                        lambda s: s["doc_id"].cast("string"),
                     ),
-                    lambda s: s["doc_id"],
+                    1,
+                    8,
                 ),
-                1,
-                8,
+                ",",
             ).alias("postings_head"),
         )
         .orderBy("token")

@@ -106,76 +106,80 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Cumulative driver evidence after round 7
-# covers 276 of the 299 oracle-backed queries (CORRECTNESS_r01..r07 —
-# every query that has ever held a window slot is hash-green; zero
-# mismatches ever recorded) plus driver rows>0 for all 10 rows-only
-# queries. This round-8 window DRAINS THE QUEUE: it leads with the
-# final 23 never-driver-evidenced oracle queries (the round-5 heavies —
-# remaining TPC-H shapes, dedup_semantic, the funnels, BPE, item CF,
-# cascade delete), closing cumulative evidence at 299/299. The
-# remaining 27 slots re-confirm the round-7 plan rewrites post-rewrite
-# (replayed-subtree persists, ANN broadcast-argmin, item-CF diagonal
-# fold, CC local finish — VERDICT r07 item 2) plus the graph ladder and
-# TPC-H heavies that ride on those shared operator cores. The invariant
-# — cumulative driver evidence (past green ∪ this window ∪ queue)
-# covers every oracle query — is pinned by
+# 50 entries of ``queries()``. Cumulative driver evidence after round 8
+# covers 298 of the 299 oracle-backed queries (CORRECTNESS_r01..r08 —
+# zero hash mismatches ever recorded) plus driver rows>0 for all 10
+# rows-only queries. This round-9 window (a) closes the contract:
+# ``q_inverted_index`` — the single r08 red row (driver canonicalizer
+# crashed on its raw ArrayType column; now emitted as a joined string
+# per the q_collect_series convention, and the class is banned
+# registry-wide by tests/test_registry_lint.py) — takes slot 1;
+# (b) re-evidences ``q_qte`` post its r08 persist+conditional-agg
+# rewrite (its latest green row is r07, pre-rewrite — the only such
+# query: every other r08 plan change landed before the r08 driver run
+# at 16:41 and was IN the r08 window); (c) spends the remaining 48
+# slots on EVIDENCE FRESHNESS — the 48 oracle queries whose latest
+# green row is oldest (all three r01 greens, all thirty-two r02
+# greens, and the thirteen alphabetically-first r03 greens), so no
+# query's evidence drifts more than ~7 rounds behind its plan. The
+# invariant — cumulative driver evidence (past green ∪ this window ∪
+# queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- 23 promoted from the round-7 QUEUED_NEXT_WINDOW (first
-    # driver evidence; closes the backlog at 299/299) ---
-    "q_dedup_semantic",
-    "q_anova_f",
-    "q_auc_delong",
-    "q_brier_decomp",
-    "q_attribution_shapley",
-    "q_iv_wald",
-    "q_tpch_q12",
-    "q_tpch_q21",
-    "q_tpch_q2",
-    "q_tpch_q11",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_label_propagation",
-    "q_theilsen",
-    "q_concurrency",
-    "q_date_spread",
+    # --- contract closure + post-rewrite re-evidence ---
     "q_inverted_index",
-    "q_watermark_lateness",
-    "q_bpe_merge",
-    "q_corpus_funnel",
-    "q_item_cf",
-    "q_fraud_funnel",
-    "q_cascade_delete",
-    # --- 14 round-7 rewrites, re-evidenced post-rewrite ---
-    "q_simhash_pairs",
-    "q_ann_pq",
-    "q_ann_ivf_sampled",
-    "q_graph_jaccard",
-    "q_adamic_adar",
-    "q_money_loops",
-    "q_assortativity",
-    "q_edge_weights",
-    "q_taint_tracing",
-    "q_bfs_levels",
-    "q_connected_components",
-    "q_dedup_groups",
-    "q_entity_resolution",
-    "q_hyperplane_est",
-    # --- 13 graph-ladder + TPC-H heavies sharing the rewritten cores ---
-    "q_ppr",
-    "q_random_walks",
-    "q_propagate_2round",
-    "q_graph_aggregate",
-    "q_graph_triangles",
-    "q_graph_degrees",
-    "q_cooccurrence",
-    "q_tpch_q18",
-    "q_tpch_q9",
-    "q_tpch_q17",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q8",
+    "q_qte",
+    # --- 3 round-1 greens (oldest evidence in the catalog) ---
+    "q_cube",
+    "q_grouping_sets",
+    "q_zscore",
+    # --- 32 round-2 greens ---
+    "q_case_when",
+    "q_collect_series",
+    "q_count_distinct",
+    "q_dedup_exact",
+    "q_dedup_hash",
+    "q_dense_spine",
+    "q_filter_compound",
+    "q_groupby_agg",
+    "q_json_extract",
+    "q_key_range",
+    "q_math_funcs",
+    "q_median",
+    "q_metric_confusion",
+    "q_null_fill",
+    "q_pandas_udf_zscore",
+    "q_rollup",
+    "q_sampling_weights",
+    "q_scan_csv",
+    "q_scan_parquet",
+    "q_session_stats",
+    "q_set_ops",
+    "q_share_dispersion",
+    "q_shingle_jaccard",
+    "q_split_stratified",
+    "q_string_funcs",
+    "q_text_quality",
+    "q_token_stats",
+    "q_topk",
+    "q_ts_parts",
+    "q_uniform_sample",
+    "q_union_mirror",
+    "q_window_agg_transform",
+    # --- 13 oldest round-3 greens ---
+    "q_ann_ivf",
+    "q_asof_attribution",
+    "q_binary_meta",
+    "q_class_rates",
+    "q_clustering_coeff",
+    "q_decontaminate",
+    "q_doc_chunks",
+    "q_doc_stats_mapinpandas",
+    "q_domain_mix",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_feature_hash",
+    "q_fingerprint",
 )
 
 DRIVER_WINDOW = 50
@@ -184,13 +188,13 @@ DRIVER_WINDOW = 50
 # created against this CORRECTNESS round. Once a NEWER round file
 # exists, a non-empty queue means a rotation happened without promoting
 # it — tests/test_plans.py fails in that case, so nothing can sit
-# queued forever. The queue is EMPTY as of round 8 (backlog drained:
-# all 299 oracle queries have a past-green row or a round-8 window
-# slot); the staleness tripwire is inert while it stays empty. If a
-# future round ever queues again, rotate at round START (promote the
-# queue in the same commit that bumps this marker) so the shipped tree
-# is never red at a judging snapshot.
-QUEUE_AS_OF_ROUND = 8
+# queued forever. The queue stays EMPTY as of round 9 (every oracle
+# query has a past-green row or a round-9 window slot); the staleness
+# tripwire is inert while it stays empty. If a future round ever
+# queues again, rotate at round START (promote the queue in the same
+# commit that bumps this marker) so the shipped tree is never red at a
+# judging snapshot.
+QUEUE_AS_OF_ROUND = 9
 
 QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
 

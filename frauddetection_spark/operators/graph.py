@@ -420,10 +420,19 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     )
 
 
+# Size gate for connected_components' driver-side local finish. A
+# MODULE-LEVEL constant (not only a parameter default) so forcing the
+# distributed path in tests is one monkeypatch that covers every call
+# site no matter how it passes the threshold (ADVICE r08: patching
+# __defaults__ goes vacuous the day a consumer passes the gate
+# explicitly — tests/test_plans.py also lints that none does).
+CC_LOCAL_FINISH_EDGES = 200_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
-    local_finish_edges: int = 200_000,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     component(v) = min node id reachable from v. Returns
@@ -478,7 +487,12 @@ def connected_components(
     # output schema (a mixed-type edge frame would otherwise diverge
     # only below the size gate).
     same_type = ck.schema["src"].dataType == ck.schema["dst"].dataType
-    if same_type and ck.count() <= local_finish_edges:
+    gate = (
+        CC_LOCAL_FINISH_EDGES
+        if local_finish_edges is None
+        else local_finish_edges
+    )
+    if same_type and ck.count() <= gate:
         spark = ck.sparkSession
         # Min-id union-find over the (constant-bounded) collected edge
         # list: union by smaller root, so every root IS the set's

@@ -1401,6 +1401,14 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Align variants with ONE conditional aggregation over the ≤
     # 2·|pcts|-row quantile frame instead of a filtered self-join,
     # which re-derived the whole pipeline per side (r08 sweep).
+    # PRESENCE-based filtering, not value-based (ADVICE r08): the
+    # oracle's inner self-join drops a pct only when a variant has NO
+    # row there, but would EMIT a row whose qv is NULL — an isNotNull
+    # filter on the pivoted values conflates the two and would mask a
+    # bracketing bug (qv should be non-null whenever the variant is
+    # present: lo = 1 + (pct·(n−1)) div 100 ∈ [1, n] always brackets)
+    # as a silently missing row. Count each side's rows and replicate
+    # the join semantics exactly.
     return (
         q.groupBy("pct")
         .agg(
@@ -1410,10 +1418,14 @@ def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("variant") == 1, F.col("qv"))).alias(
                 "treated_q"
             ),
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias(
+                "_has_c"
+            ),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias(
+                "_has_t"
+            ),
         )
-        .filter(
-            F.col("control_q").isNotNull() & F.col("treated_q").isNotNull()
-        )
+        .filter((F.col("_has_c") > 0) & (F.col("_has_t") > 0))
         .select(
             "pct",
             "control_q",

@@ -3,9 +3,12 @@
 
 The per-round driver takes the FIRST ``DRIVER_WINDOW`` entries of
 ``__spark_entry__.queries()``, runs each on a *vanilla* SparkSession
-(plain ``local[32]`` builder, none of the repo's tuned configs) at
-sf0.01, and compares against the DuckDB twin (row count + schema +
-order-insensitive value hash). Freezing a window without rehearsing it
+(plain builder at host parallelism — ``SPARK_GRAFT_CPUS`` or
+``os.cpu_count()`` — none of the repo's tuned configs) at sf0.01, and
+compares against the DuckDB twin (row count + schema + order-insensitive
+value hash; since round 9 ``compare`` also runs the vendored
+driver-canonicalizer leg, so every rehearsal exercises the driver's
+exact pandas code path). Freezing a window without rehearsing it
 on a vanilla session risks shipping a query that only passes under the
 test suite's configs — this script makes the rehearsal reproducible
 (it was ad-hoc in rounds 6-7; VERDICT r06 item 7 asked for it before
@@ -46,8 +49,18 @@ def main() -> int:
     from frauddetection_spark.plans.registry import DRIVER_WINDOW
 
     # Vanilla driver-style session: plain builder, no repo configs.
+    # Parallelism follows the host (ADVICE r08): a hardcoded local[32]
+    # oversubscribes smaller hosts, and getOrCreate would silently
+    # REUSE any tuned session already live in this process — which
+    # defeats the vanilla-session purpose, so refuse instead.
+    assert SparkSession.getActiveSession() is None, (
+        "a SparkSession is already active in this process — the "
+        "rehearsal must build its own vanilla session; run this "
+        "script standalone"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("rehearse-window")
         .getOrCreate()
     )

@@ -315,7 +315,7 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
     local_finish_edges default (every consumer module imports the same
     function object, so one patch covers all call sites) and compare
     full row sets against the default (local-finish at test sf) run."""
-    from frauddetection_spark.operators.graph import connected_components
+    from frauddetection_spark.operators import graph as graph_ops
     from frauddetection_spark.plans.registry import REGISTRY
 
     spec = REGISTRY[qname]
@@ -323,17 +323,42 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
         tuple(r) for r in spec.fn(spark, sf_dir).collect()
     )
     assert default_rows, f"{qname}: empty result makes parity vacuous"
-    sig_defaults = connected_components.__defaults__
-    assert sig_defaults == (50, 200_000), (
-        "connected_components defaults moved — update this patch"
-    )
-    monkeypatch.setattr(
-        connected_components, "__defaults__", (sig_defaults[0], 0)
-    )
+    # Patch the MODULE-LEVEL gate constant (ADVICE r08): the function
+    # resolves local_finish_edges=None to this at call time, so the
+    # forced-distributed behavior applies to every consumer regardless
+    # of signature drift — and the lint below pins that no consumer
+    # bypasses the constant by passing the gate explicitly.
+    monkeypatch.setattr(graph_ops, "CC_LOCAL_FINISH_EDGES", 0)
     forced_rows = sorted(
         tuple(r) for r in spec.fn(spark, sf_dir).collect()
     )
     assert forced_rows == default_rows
+
+
+def test_cc_consumers_never_pass_gate_explicitly():
+    """Companion lint for the parity test above: forcing the
+    distributed path via CC_LOCAL_FINISH_EDGES only covers consumers
+    that leave local_finish_edges at its None default. Pin that no
+    production call site passes it — only operators/graph.py (the
+    definition) and tests may mention the parameter."""
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "frauddetection_spark",
+    )
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        if path.endswith(os.path.join("operators", "graph.py")):
+            continue
+        with open(path) as fh:
+            if "local_finish_edges" in fh.read():
+                offenders.append(os.path.relpath(path, pkg))
+    assert not offenders, (
+        f"consumers pass local_finish_edges explicitly: {offenders} — "
+        "use the CC_LOCAL_FINISH_EDGES module constant instead"
+    )
 
 
 def test_common_neighbor_auto_cost_model(spark):

@@ -152,13 +152,50 @@ def scale_audit() -> None:
         print(f"# {name}: {per_sf[0]:.2f}s -> {per_sf[1]:.2f}s "
               f"({ratio:.1f}x){mark}", file=sys.stderr)
     flagged = [r[0] for r in rows if r[4]]
+    # Standalone recheck (VERDICT r08 item 6): a mid-sweep flag can be
+    # sweep pollution (JVM/JIT state, cache churn from 298 neighbors),
+    # not a plan property — r08's only flag, q_python_udtf at 6.3×, was
+    # refuted at 2.4× standalone but the artifact still carried it.
+    # Adjudicate INSIDE the artifact: re-measure each flagged query in
+    # a clean-cache state; flags that re-measure under the threshold
+    # move to `refuted` with their recheck ratio, so the shipped JSON
+    # reflects adjudicated reality and no out-of-band commit-message
+    # refutation is needed.
+    queries_out = {r[0]: {"lo_s": r[1], "hi_s": r[2], "ratio": r[3]}
+                   for r in rows}
+    refuted = {}
+    for name in list(flagged):
+        release_caches()
+        per_sf = []
+        try:
+            for d in (lo_dir, hi_dir):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry[name].fn(spark, d).count()
+                    best = min(best, time.perf_counter() - t0)
+                release_caches()
+                per_sf.append(best)
+        except Exception as e:  # noqa: BLE001 — recheck must not die
+            print(f"# recheck {name}: ERR {str(e)[:120]}", file=sys.stderr)
+            continue
+        ratio = per_sf[1] / per_sf[0] if per_sf[0] > 0 else float("inf")
+        queries_out[name]["recheck_ratio"] = round(ratio, 1)
+        if ratio <= flag_ratio:
+            flagged.remove(name)
+            refuted[name] = round(ratio, 1)
+            print(f"# recheck {name}: {ratio:.1f}x standalone — flag "
+                  f"REFUTED", file=sys.stderr)
+        else:
+            print(f"# recheck {name}: {ratio:.1f}x standalone — flag "
+                  f"CONFIRMED", file=sys.stderr)
     print(json.dumps({
         "metric": "scale_audit",
         "lo": lo_dir, "hi": hi_dir,
         "n_queries": len(rows),
         "flagged": flagged,
-        "queries": {r[0]: {"lo_s": r[1], "hi_s": r[2], "ratio": r[3]}
-                    for r in rows},
+        "refuted": refuted,
+        "queries": queries_out,
     }))
 
 
@@ -241,7 +278,7 @@ def main() -> None:
         "calib_sec": calib,
     }
 
-    for line in regression_report(timings, calib):
+    for line in regression_report(timings, calib, sf=sf):
         print(line, file=sys.stderr)
     print(json.dumps(out))
 
@@ -250,6 +287,7 @@ def regression_report(
     timings: dict[str, float],
     calib: float,
     bench_files: list[str] | None = None,
+    sf: float | None = None,
 ) -> list[str]:
     """Round-over-round regression report lines: like-for-like OVERLAP
     subtotals vs EVERY prior round — a grown headline must never hide
@@ -274,6 +312,15 @@ def regression_report(
                 prior = json.load(f)
             # driver wraps our JSON line under "parsed"
             prior = prior.get("parsed", prior)
+            # scale-factor guard (r09): a sf0.001 smoke run must not be
+            # gated against sf0.1 artifacts — raw seconds across scale
+            # factors are incomparable (fixed overheads dominate small
+            # sf; q_interval_join "regressed" 0.49s-vs-0.23s exactly
+            # this way). Compare only same-sf rounds when both record
+            # an sf; pre-sf artifacts keep the old behavior.
+            prior_sf = prior.get("sf")
+            if sf is not None and prior_sf is not None and prior_sf != sf:
+                continue
             pq = prior.get("queries", {})
             overlap = [n for n in timings if n in pq]
             if not overlap:

@@ -75,6 +75,31 @@ def test_per_query_gate_only_against_newest_round(tmp_path):
     assert not any("REGRESSION" in ln for ln in lines)
 
 
+def test_cross_sf_rounds_not_compared(tmp_path):
+    # r09: a sf0.001 smoke run must not gate against sf0.1 artifacts —
+    # fixed overheads dominate small sf and produce phantom regressions
+    p = tmp_path / "BENCH_r08.json"
+    p.write_text(
+        json.dumps({"queries": {"q_a": 0.2}, "calib_sec": 0.5, "sf": 0.1})
+    )
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[str(p)], sf=0.001
+    )
+    assert lines == []
+    # same sf → still gates
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[str(p)], sf=0.1
+    )
+    assert any("REGRESSION" in ln for ln in lines)
+    # prior without sf (pre-guard artifact) → old behavior
+    p2 = tmp_path / "BENCH_r05.json"
+    p2.write_text(json.dumps({"queries": {"q_a": 0.2}}))
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[str(p2)], sf=0.001
+    )
+    assert any("REGRESSION" in ln for ln in lines)
+
+
 def test_driver_wrapped_artifact_unwraps(tmp_path):
     # the round driver wraps our JSON line under "parsed"
     p = tmp_path / "BENCH_r06.json"

@@ -35,6 +35,23 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 _NON_ATOMIC = (T.ArrayType, T.MapType, T.StructType)
 
 
+def test_driver_canon_rejects_list_cells():
+    """The vendored driver leg must reproduce the driver's crash on
+    list cells — otherwise it silently stops being the stricter
+    comparator and the r08 class can recur undetected. (The repo's own
+    _canon_frame stringifies the same frame fine: that permissiveness
+    gap is exactly what hid q_inverted_index.)"""
+    import pandas as pd
+    import pytest as _pytest
+
+    from frauddetection_spark.oracle import _canon_frame, driver_canon_frame
+
+    pdf = pd.DataFrame({"k": ["a", "b"], "v": [[1, 2], [3]]})
+    assert len(_canon_frame(pdf)) == 2  # permissive leg copes
+    with _pytest.raises(TypeError):
+        driver_canon_frame(pdf)  # driver leg crashes, as the driver does
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_output_is_atomic(name, spark, sf_dir):
     df = REGISTRY[name].fn(spark, sf_dir)

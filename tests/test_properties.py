@@ -1211,10 +1211,14 @@ def test_watermark_lateness_monotone_thresholds(spark, sf_dir):
 
 def test_inverted_index_head_lengths(spark, sf_dir):
     # postings head carries min(df, 8) docs; df sums to |distinct
-    # (token, doc) pairs| of the tokenization
+    # (token, doc) pairs| of the tokenization. The head is a
+    # comma-joined STRING since r09 (raw ArrayType outputs crash the
+    # driver canonicalizer — tests/test_registry_lint.py), so measure
+    # length by re-splitting.
     out = REGISTRY["q_inverted_index"].fn(spark, sf_dir)
     bad = out.filter(
-        F.size("postings_head") != F.least(F.col("df"), F.lit(8))
+        F.size(F.split("postings_head", ","))
+        != F.least(F.col("df"), F.lit(8))
     ).count()
     assert bad == 0
     df_sum = out.agg(F.sum("df")).first()[0]

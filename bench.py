@@ -239,6 +239,25 @@ def main() -> None:
     calib = round(calib, 3)
     print(f"# calib (20M hash-agg): {calib}s", file=sys.stderr)
 
+    # Second probe, SCAN-bound (r09): the hash-agg above is pure CPU,
+    # and the round-9 session proved host drift can live elsewhere —
+    # calib read 0.84x (faster) vs r08 while the whole catalog measured
+    # ~1.2-1.3x slower, i.e. the drift was in the I/O/scheduler
+    # dimension the CPU probe can't see. Time a full parquet scan+agg
+    # of the largest table at this sf (fixed workload per sf; the
+    # regression gate already only compares same-sf rounds) and emit it
+    # as "calib_scan_sec", so future adjudications can attribute drift
+    # to CPU vs scan before believing any per-query delta.
+    calib_scan = float("inf")
+    for _ in range(3):
+        c0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count("*"), F.sum("l_quantity")
+        ).count()
+        calib_scan = min(calib_scan, time.perf_counter() - c0)
+    calib_scan = round(calib_scan, 3)
+    print(f"# calib_scan (lineitem scan-agg): {calib_scan}s", file=sys.stderr)
+
     # Three timed runs per query, report the min: the shared host shows
     # 2-5x run-to-run noise, whole-stage-codegen JIT makes run 1 (and
     # often run 2) pay compilation cost (q_dedup_minhash measured
@@ -276,6 +295,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "calib_sec": calib,
+        "calib_scan_sec": calib_scan,
     }
 
     for line in regression_report(timings, calib, sf=sf):

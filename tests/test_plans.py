@@ -335,6 +335,33 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
     assert forced_rows == default_rows
 
 
+def test_window_matches_rotation_tool():
+    """The shipped round-9 _PRIORITY must equal rotate_window.py's
+    deterministic proposal for this round's mandatory set
+    (q_inverted_index: no green row; q_qte: plan postdates its green
+    row). Pins both the tool and the freshness policy; future rounds
+    update the mandatory list here alongside the rotation commit."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from rotate_window import propose
+
+    from frauddetection_spark.plans.registry import (
+        QUEUE_AS_OF_ROUND,
+        _PRIORITY,
+    )
+
+    # derive from the evidence that existed when this window froze
+    # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact
+    # landing doesn't retroactively redden the pin before rotation
+    assert propose(
+        ["q_inverted_index", "q_qte"], upto=QUEUE_AS_OF_ROUND - 1
+    ) == list(_PRIORITY)
+
+
 def test_cc_consumers_never_pass_gate_explicitly():
     """Companion lint for the parity test above: forcing the
     distributed path via CC_LOCAL_FINISH_EDGES only covers consumers

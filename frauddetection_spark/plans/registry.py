@@ -109,31 +109,64 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # 50 entries of ``queries()``. Cumulative driver evidence after round 8
 # covers 298 of the 299 oracle-backed queries (CORRECTNESS_r01..r08 —
 # zero hash mismatches ever recorded) plus driver rows>0 for all 10
-# rows-only queries. This round-9 window (a) closes the contract:
-# ``q_inverted_index`` — the single r08 red row (driver canonicalizer
-# crashed on its raw ArrayType column; now emitted as a joined string
-# per the q_collect_series convention, and the class is banned
-# registry-wide by tests/test_registry_lint.py) — takes slot 1;
-# (b) re-evidences ``q_qte`` post its r08 persist+conditional-agg
-# rewrite (its latest green row is r07, pre-rewrite — the only such
-# query: every other r08 plan change landed before the r08 driver run
-# at 16:41 and was IN the r08 window); (c) spends the remaining 48
-# slots on EVIDENCE FRESHNESS — the 48 oracle queries whose latest
-# green row is oldest (all three r01 greens, all thirty-two r02
-# greens, and the thirteen alphabetically-first r03 greens), so no
-# query's evidence drifts more than ~7 rounds behind its plan. The
+# rows-only queries. This round-9 window is STALENESS-FIRST, computed
+# by rotate_window.py (the pin test below reproduces it exactly):
+#
+# (a) slot 1 closes the contract: ``q_inverted_index`` — the single
+#     r08 red row (driver canonicalizer crashed on its raw ArrayType
+#     column; now a joined string per the q_collect_series convention,
+#     class banned registry-wide by tests/test_registry_lint.py);
+# (b) slots 2-27 are the 26 queries whose defining FUNCTION was
+#     committed after the CORRECTNESS artifact holding their latest
+#     green row (``rotate_window.py --staleness``, function-level git
+#     log -L): q_qte's r08 rewrite plus the r06/r07 persist &
+#     cache-registry sweeps that postdated those queries' green rows.
+#     Their evidence no longer describes their current plan — that is
+#     worth a slot MORE than re-confirming an old green whose plan
+#     never changed (all are local-green + hostile-config-green on the
+#     current tree; this is re-evidencing, not bug-hunting);
+# (c) slots 28-50 fill by EVIDENCE AGE: the three r01 greens and the
+#     twenty alphabetically-first remaining r02 greens.
+#
+# After this round every driver-green row will describe the plan that
+# is actually shipped, modulo the -L caveat in rotate_window.py. The
 # invariant — cumulative driver evidence (past green ∪ this window ∪
 # queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- contract closure + post-rewrite re-evidence ---
+    # --- contract closure ---
     "q_inverted_index",
+    # --- plan-stale: function committed after latest green row ---
     "q_qte",
-    # --- 3 round-1 greens (oldest evidence in the catalog) ---
+    "q_sampling_weights",
+    "q_scan_csv",
+    "q_session_stats",
+    "q_shingle_jaccard",
+    "q_decontaminate",
+    "q_feature_hash",
+    "q_sessionize",
+    "q_interval_join",
+    "q_pagerank",
+    "q_kcore",
+    "q_hits",
+    "q_recursive_cte",
+    "q_metric_calibration",
+    "q_bigram_perplexity",
+    "q_dedup_minhash",
+    "q_minhash_est",
+    "q_sparse_cosine",
+    "q_model_score",
+    "q_tfidf",
+    "q_multi_grain_rollup",
+    "q_quantile_grid",
+    "q_sequence_gaps",
+    "q_rfm",
+    "q_quantile_interp",
+    "q_peer_outlier",
+    # --- evidence-age fill: r01 greens, then oldest r02 greens ---
     "q_cube",
     "q_grouping_sets",
     "q_zscore",
-    # --- 32 round-2 greens ---
     "q_case_when",
     "q_collect_series",
     "q_count_distinct",
@@ -150,36 +183,10 @@ _PRIORITY: tuple[str, ...] = (
     "q_null_fill",
     "q_pandas_udf_zscore",
     "q_rollup",
-    "q_sampling_weights",
-    "q_scan_csv",
     "q_scan_parquet",
-    "q_session_stats",
     "q_set_ops",
     "q_share_dispersion",
-    "q_shingle_jaccard",
     "q_split_stratified",
-    "q_string_funcs",
-    "q_text_quality",
-    "q_token_stats",
-    "q_topk",
-    "q_ts_parts",
-    "q_uniform_sample",
-    "q_union_mirror",
-    "q_window_agg_transform",
-    # --- 13 oldest round-3 greens ---
-    "q_ann_ivf",
-    "q_asof_attribution",
-    "q_binary_meta",
-    "q_class_rates",
-    "q_clustering_coeff",
-    "q_decontaminate",
-    "q_doc_chunks",
-    "q_doc_stats_mapinpandas",
-    "q_domain_mix",
-    "q_embed_neardup",
-    "q_embed_quantize",
-    "q_feature_hash",
-    "q_fingerprint",
 )
 
 DRIVER_WINDOW = 50

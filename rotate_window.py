@@ -18,10 +18,19 @@ cumulative evidence stays fresh. The policy (established r09):
 Usage:
     python rotate_window.py                 # freshness-only proposal
     python rotate_window.py q_foo q_bar     # mandatory names lead
+    python rotate_window.py --staleness     # queries whose source file
+                                            # changed after their green
 
 Prints the ready-to-paste ``_PRIORITY`` tuple body plus an
-evidence-age histogram. Purely driver-side: reads CORRECTNESS_r*.json
-and the registry; starts no Spark session.
+evidence-age histogram. ``--staleness`` is the mandatory-list finder:
+it compares each query's defining FILE's last git commit time against
+the commit time of the CORRECTNESS artifact holding its latest green
+row — file-level, so it over-approximates (editing any query in a
+file flags its siblings), but a flagged name is exactly the r08 q_qte
+situation (plan rewritten after its green row) and belongs in the next
+mandatory list unless the diff demonstrably didn't touch its plan.
+Purely driver-side: reads CORRECTNESS_r*.json, the registry, and git
+metadata; starts no Spark session.
 """
 
 from __future__ import annotations
@@ -51,7 +60,9 @@ def latest_green(repo: str, upto: int | None = None) -> dict[str, int]:
             rows = json.load(fh)
         for q, v in rows.items():
             green = v.get("hash_match") is True or (
-                v.get("err") is None and v.get("hash_match") in (None, True)
+                # rows-only driver rows: err == "no_oracle", rows > 0
+                v.get("err") == "no_oracle"
+                and (v.get("spark_rows") or 0) > 0
             )
             if green:
                 latest[q] = max(latest.get(q, 0), rnd)
@@ -97,5 +108,90 @@ def propose(mandatory: list[str], upto: int | None = None) -> list[str]:
     return window
 
 
+def staleness() -> list[tuple[str, int, str]]:
+    """(query, latest_green_round, reason) for every query whose
+    defining FUNCTION was last committed after the commit of the
+    CORRECTNESS artifact holding its latest green row — i.e. the
+    r08 q_qte situation (plan rewritten after its green), found
+    mechanically via ``git log -L :funcname:file``. Caveat: -L tracks
+    the function body from its ``def`` line, so an edit ONLY to the
+    @register oracle string above the def can be attributed to the
+    preceding function's range — treat a clean report as strong but
+    not absolute, and any flag as a mandatory-list candidate."""
+    import inspect
+    import subprocess
+
+    from frauddetection_spark.plans.registry import load_all
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def artifact_time(path: str) -> int:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+        return int(out) if out else 0
+
+    def func_time(funcname: str, rel: str) -> int:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "-s",
+             "-L", f":{funcname}:{rel}"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        return int(out.splitlines()[0]) if out else 0
+
+    latest = latest_green(repo)
+    reg = load_all()
+    artifact_ct = {
+        rnd: artifact_time(f"CORRECTNESS_r{rnd:02d}.json")
+        for rnd in sorted(set(latest.values()))
+    }
+    flagged = []
+    for name, spec in reg.items():
+        rnd = latest.get(name)
+        if rnd is None:
+            flagged.append((name, 0, "never driver-evidenced"))
+            continue
+        # registry's `guarded` wrapper: follow the closure to the real
+        # query function for its file and true __name__
+        fn = spec.fn
+        src = inspect.getsourcefile(fn)
+        if src and src.endswith("registry.py"):
+            inner = [
+                c.cell_contents
+                for c in (fn.__closure__ or [])
+                if callable(getattr(c, "cell_contents", None))
+            ]
+            if inner:
+                fn = inner[0]
+                src = inspect.getsourcefile(fn)
+        rel = os.path.relpath(src, repo)
+        fct = func_time(fn.__name__, rel)
+        if fct == 0:
+            flagged.append((name, rnd, f"git -L found no {fn.__name__} in {rel}"))
+        elif artifact_ct.get(rnd, 0) and fct > artifact_ct[rnd]:
+            flagged.append(
+                (
+                    name,
+                    rnd,
+                    f"{rel}::{fn.__name__} committed after "
+                    f"CORRECTNESS_r{rnd:02d}",
+                )
+            )
+    for name, rnd, why in flagged:
+        print(f"{name} (green r{rnd:02d}): {why}")
+    if not flagged:
+        print("# no query's function postdates its latest green row")
+    return flagged
+
+
 if __name__ == "__main__":
-    propose(sys.argv[1:])
+    if sys.argv[1:2] == ["--staleness"]:
+        staleness()
+    else:
+        propose(sys.argv[1:])

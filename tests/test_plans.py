@@ -337,10 +337,15 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
 
 def test_window_matches_rotation_tool():
     """The shipped round-9 _PRIORITY must equal rotate_window.py's
-    deterministic proposal for this round's mandatory set
-    (q_inverted_index: no green row; q_qte: plan postdates its green
-    row). Pins both the tool and the freshness policy; future rounds
-    update the mandatory list here alongside the rotation commit."""
+    deterministic proposal for this round's mandatory set: slot 1
+    q_inverted_index (no green row), then the 26 plan-stale queries
+    found by `rotate_window.py --staleness` at the freeze (function
+    committed after its latest green row's artifact). Pins both the
+    tool and the staleness-first policy; future rounds update the
+    mandatory list here alongside the rotation commit. (The staleness
+    scan itself is not re-run here — it needs git history and its
+    answer changes as the round progresses; the frozen list is the
+    input being pinned.)"""
     import os
     import sys
 
@@ -354,12 +359,39 @@ def test_window_matches_rotation_tool():
         _PRIORITY,
     )
 
+    mandatory = [
+        "q_inverted_index",
+        "q_qte",
+        "q_sampling_weights",
+        "q_scan_csv",
+        "q_session_stats",
+        "q_shingle_jaccard",
+        "q_decontaminate",
+        "q_feature_hash",
+        "q_sessionize",
+        "q_interval_join",
+        "q_pagerank",
+        "q_kcore",
+        "q_hits",
+        "q_recursive_cte",
+        "q_metric_calibration",
+        "q_bigram_perplexity",
+        "q_dedup_minhash",
+        "q_minhash_est",
+        "q_sparse_cosine",
+        "q_model_score",
+        "q_tfidf",
+        "q_multi_grain_rollup",
+        "q_quantile_grid",
+        "q_sequence_gaps",
+        "q_rfm",
+        "q_quantile_interp",
+        "q_peer_outlier",
+    ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact
     # landing doesn't retroactively redden the pin before rotation
-    assert propose(
-        ["q_inverted_index", "q_qte"], upto=QUEUE_AS_OF_ROUND - 1
-    ) == list(_PRIORITY)
+    assert propose(mandatory, upto=QUEUE_AS_OF_ROUND - 1) == list(_PRIORITY)
 
 
 def test_cc_consumers_never_pass_gate_explicitly():

@@ -18,19 +18,19 @@ cumulative evidence stays fresh. The policy (established r09):
 Usage:
     python rotate_window.py                 # freshness-only proposal
     python rotate_window.py q_foo q_bar     # mandatory names lead
-    python rotate_window.py --staleness     # queries whose source file
+    python rotate_window.py --staleness     # queries whose function
                                             # changed after their green
 
 Prints the ready-to-paste ``_PRIORITY`` tuple body plus an
 evidence-age histogram. ``--staleness`` is the mandatory-list finder:
-it compares each query's defining FILE's last git commit time against
-the commit time of the CORRECTNESS artifact holding its latest green
-row — file-level, so it over-approximates (editing any query in a
-file flags its siblings), but a flagged name is exactly the r08 q_qte
-situation (plan rewritten after its green row) and belongs in the next
-mandatory list unless the diff demonstrably didn't touch its plan.
-Purely driver-side: reads CORRECTNESS_r*.json, the registry, and git
-metadata; starts no Spark session.
+it dates each query's defining FUNCTION via ``git log -L
+:funcname:file`` and flags any committed after the CORRECTNESS
+artifact holding the query's latest green row — the r08 q_qte
+situation (plan rewritten after its green row), found mechanically.
+Flagged names belong in the next mandatory list unless the diff
+demonstrably didn't touch the plan. Purely driver-side: reads
+CORRECTNESS_r*.json, the registry, and git metadata; starts no Spark
+session.
 """
 
 from __future__ import annotations

@@ -125,22 +125,30 @@ def scale_audit() -> None:
     registry["q_scan_parquet"].fn(spark, lo_dir).collect()
     from frauddetection_spark.operators.caching import release_caches
 
+    def _min2_per_sf(fn):
+        """Min-of-2 wall time at each sf, caches drained between sfs.
+        ONE timing protocol shared by the sweep and the standalone
+        recheck — the recheck adjudicates the sweep's flags, so the two
+        must never drift apart (review r09)."""
+        per_sf = []
+        for d in (lo_dir, hi_dir):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            release_caches()
+            per_sf.append(best)
+        return per_sf
+
     rows = []
     for name, spec in registry.items():
         if names is not None and name not in names:
             continue
         if names is None and spec.oracle is None:
             continue
-        per_sf = []
         try:
-            for d in (lo_dir, hi_dir):
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    spec.fn(spark, d).count()
-                    best = min(best, time.perf_counter() - t0)
-                release_caches()
-                per_sf.append(best)
+            per_sf = _min2_per_sf(spec.fn)
         except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep
             print(f"# {name}: ERR {str(e)[:120]}", file=sys.stderr)
             continue
@@ -166,16 +174,8 @@ def scale_audit() -> None:
     refuted = {}
     for name in list(flagged):
         release_caches()
-        per_sf = []
         try:
-            for d in (lo_dir, hi_dir):
-                best = float("inf")
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    registry[name].fn(spark, d).count()
-                    best = min(best, time.perf_counter() - t0)
-                release_caches()
-                per_sf.append(best)
+            per_sf = _min2_per_sf(registry[name].fn)
         except Exception as e:  # noqa: BLE001 — recheck must not die
             print(f"# recheck {name}: ERR {str(e)[:120]}", file=sys.stderr)
             continue
@@ -248,15 +248,21 @@ def main() -> None:
     # regression gate already only compares same-sf rounds) and emit it
     # as "calib_scan_sec", so future adjudications can attribute drift
     # to CPU vs scan before believing any per-query delta.
-    calib_scan = float("inf")
-    for _ in range(3):
-        c0 = time.perf_counter()
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
-            F.count("*"), F.sum("l_quantity")
-        ).count()
-        calib_scan = min(calib_scan, time.perf_counter() - c0)
-    calib_scan = round(calib_scan, 3)
-    print(f"# calib_scan (lineitem scan-agg): {calib_scan}s", file=sys.stderr)
+    calib_scan = None
+    try:
+        best_scan = float("inf")
+        for _ in range(3):
+            c0 = time.perf_counter()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+                F.count("*"), F.sum("l_quantity")
+            ).count()
+            best_scan = min(best_scan, time.perf_counter() - c0)
+        calib_scan = round(best_scan, 3)
+        print(f"# calib_scan (lineitem scan-agg): {calib_scan}s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — a missing table must not
+        # kill the bench (review r09): emit null and keep timing
+        print(f"# calib_scan unavailable: {str(e)[:100]}", file=sys.stderr)
 
     # Three timed runs per query, report the min: the shared host shows
     # 2-5x run-to-run noise, whole-stage-codegen JIT makes run 1 (and
@@ -298,7 +304,10 @@ def main() -> None:
         "calib_scan_sec": calib_scan,
     }
 
-    for line in regression_report(timings, calib, sf=sf):
+    # unparseable sf dir (-1.0 sentinel in the JSON) → sf=None to the
+    # report, so the guard doesn't silently drop every prior round
+    # (review r09: -1.0 compared unequal to all recorded sfs)
+    for line in regression_report(timings, calib, sf=sf if m else None):
         print(line, file=sys.stderr)
     print(json.dumps(out))
 
@@ -325,51 +334,56 @@ def regression_report(
 
     if bench_files is None:
         bench_files = sorted(glob.glob("BENCH_r*.json"))
-    lines: list[str] = []
+    # Pre-pass: load priors and drop sf-incompatible rounds (r09 guard:
+    # a sf0.001 smoke run must not be gated against sf0.1 artifacts —
+    # raw seconds across scale factors are incomparable; fixed
+    # overheads dominate small sf, q_interval_join "regressed"
+    # 0.49s-vs-0.23s exactly this way). Filtering BEFORE picking the
+    # gate round matters: the per-query gate must run against the
+    # newest SAME-SF prior, not silently vanish because the newest
+    # artifact happens to be a different-sf run (review r09).
+    eligible: list[tuple[str, dict]] = []
     for pf in bench_files:
         try:
             with open(pf) as f:
                 prior = json.load(f)
-            # driver wraps our JSON line under "parsed"
-            prior = prior.get("parsed", prior)
-            # scale-factor guard (r09): a sf0.001 smoke run must not be
-            # gated against sf0.1 artifacts — raw seconds across scale
-            # factors are incomparable (fixed overheads dominate small
-            # sf; q_interval_join "regressed" 0.49s-vs-0.23s exactly
-            # this way). Compare only same-sf rounds when both record
-            # an sf; pre-sf artifacts keep the old behavior.
-            prior_sf = prior.get("sf")
-            if sf is not None and prior_sf is not None and prior_sf != sf:
-                continue
-            pq = prior.get("queries", {})
-            overlap = [n for n in timings if n in pq]
-            if not overlap:
-                continue
-            now_s = round(sum(timings[n] for n in overlap), 3)
-            old_s = round(sum(pq[n] for n in overlap), 3)
-            ratio = round(now_s / old_s, 2) if old_s else float("nan")
-            lines.append(
-                f"# overlap vs {pf}: {len(overlap)} queries, "
-                f"{now_s}s now vs {old_s}s then ({ratio}x)"
-            )
-            if pf == bench_files[-1]:
-                prior_calib = prior.get("calib_sec") or 0.0
-                host = calib / prior_calib if prior_calib and calib else 1.0
-                if host != 1.0:
-                    lines.append(
-                        f"# host factor vs {pf}: {host:.2f}x "
-                        f"(calib {calib}s now vs {prior_calib}s then) — "
-                        "regression gate is calib-relative"
-                    )
-                for name in overlap:
-                    if timings[name] > 2 * host * pq[name]:
-                        lines.append(
-                            f"# REGRESSION {name}: {timings[name]}s vs "
-                            f"{pq[name]}s in {pf} "
-                            f"(>2x at host factor {host:.2f})"
-                        )
         except (OSError, ValueError):
-            pass
+            continue
+        # driver wraps our JSON line under "parsed"
+        prior = prior.get("parsed", prior)
+        prior_sf = prior.get("sf")
+        if sf is not None and prior_sf is not None and prior_sf != sf:
+            continue
+        eligible.append((pf, prior))
+    lines: list[str] = []
+    for pf, prior in eligible:
+        pq = prior.get("queries", {})
+        overlap = [n for n in timings if n in pq]
+        if not overlap:
+            continue
+        now_s = round(sum(timings[n] for n in overlap), 3)
+        old_s = round(sum(pq[n] for n in overlap), 3)
+        ratio = round(now_s / old_s, 2) if old_s else float("nan")
+        lines.append(
+            f"# overlap vs {pf}: {len(overlap)} queries, "
+            f"{now_s}s now vs {old_s}s then ({ratio}x)"
+        )
+        if pf == eligible[-1][0]:
+            prior_calib = prior.get("calib_sec") or 0.0
+            host = calib / prior_calib if prior_calib and calib else 1.0
+            if host != 1.0:
+                lines.append(
+                    f"# host factor vs {pf}: {host:.2f}x "
+                    f"(calib {calib}s now vs {prior_calib}s then) — "
+                    "regression gate is calib-relative"
+                )
+            for name in overlap:
+                if timings[name] > 2 * host * pq[name]:
+                    lines.append(
+                        f"# REGRESSION {name}: {timings[name]}s vs "
+                        f"{pq[name]}s in {pf} "
+                        f"(>2x at host factor {host:.2f})"
+                    )
     return lines
 
 

@@ -53,12 +53,18 @@ def main() -> int:
     # oversubscribes smaller hosts, and getOrCreate would silently
     # REUSE any tuned session already live in this process — which
     # defeats the vanilla-session purpose, so refuse instead.
-    assert SparkSession.getActiveSession() is None, (
-        "a SparkSession is already active in this process — the "
-        "rehearsal must build its own vanilla session; run this "
-        "script standalone"
-    )
-    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    # explicit raise, not assert: must survive python -O (review r09)
+    if SparkSession.getActiveSession() is not None:
+        raise SystemExit(
+            "a SparkSession is already active in this process — the "
+            "rehearsal must build its own vanilla session; run this "
+            "script standalone"
+        )
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        cpus = os.cpu_count() or 4
+    cpus = max(1, cpus)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("rehearse-window")

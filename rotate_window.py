@@ -152,6 +152,23 @@ def staleness() -> list[tuple[str, int, str]]:
         for rnd in sorted(set(latest.values()))
     }
     flagged = []
+    # An artifact with NO git history (just written by the driver, not
+    # yet committed) must flag its queries as staleness-UNKNOWN, not
+    # silently exempt the whole round — a false-clean report here is
+    # the exact failure the tool exists to catch (review r09).
+    for rnd, ct in artifact_ct.items():
+        if ct == 0:
+            print(
+                f"# WARNING: CORRECTNESS_r{rnd:02d}.json has no git "
+                "history — staleness unknown for its queries",
+                file=sys.stderr,
+            )
+            for name, r in latest.items():
+                if r == rnd:
+                    flagged.append(
+                        (name, rnd, f"CORRECTNESS_r{rnd:02d} uncommitted — "
+                         "staleness unknown")
+                    )
     for name, spec in reg.items():
         rnd = latest.get(name)
         if rnd is None:

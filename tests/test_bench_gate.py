@@ -100,6 +100,26 @@ def test_cross_sf_rounds_not_compared(tmp_path):
     assert any("REGRESSION" in ln for ln in lines)
 
 
+def test_gate_runs_against_newest_same_sf_prior(tmp_path):
+    # review r09: if the NEWEST artifact is a different-sf run, the
+    # per-query gate must fall back to the newest SAME-SF prior, not
+    # silently disappear
+    same = _bench_file(tmp_path, "BENCH_r08.json", {"q_a": 0.2}, calib=0.5)
+    with open(same) as f:
+        payload = json.load(f)
+    payload["sf"] = 0.1
+    with open(same, "w") as f:
+        json.dump(payload, f)
+    other = tmp_path / "BENCH_r09.json"
+    other.write_text(
+        json.dumps({"queries": {"q_a": 0.1}, "calib_sec": 0.5, "sf": 0.001})
+    )
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[same, str(other)], sf=0.1
+    )
+    assert any("REGRESSION q_a" in ln and "BENCH_r08" in ln for ln in lines)
+
+
 def test_driver_wrapped_artifact_unwraps(tmp_path):
     # the round driver wraps our JSON line under "parsed"
     p = tmp_path / "BENCH_r06.json"

@@ -403,17 +403,39 @@ def test_cc_consumers_never_pass_gate_explicitly():
     import glob
     import os
 
+    import re
+
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "frauddetection_spark",
+    )
+    # a call with >= 2 top-level commas passes the gate POSITIONALLY —
+    # just as invisible to the CC_LOCAL_FINISH_EDGES monkeypatch as a
+    # keyword arg, so lint both spellings (review r09)
+    positional = re.compile(
+        r"connected_components\s*\(((?:[^()]|\([^()]*\))*)\)", re.DOTALL
     )
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         if path.endswith(os.path.join("operators", "graph.py")):
             continue
         with open(path) as fh:
-            if "local_finish_edges" in fh.read():
-                offenders.append(os.path.relpath(path, pkg))
+            text = fh.read()
+        if "local_finish_edges" in text:
+            offenders.append(os.path.relpath(path, pkg) + " (keyword)")
+        for mcall in positional.finditer(text):
+            depth, commas = 0, 0
+            for ch in mcall.group(1):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    commas += 1
+            if commas >= 2:
+                offenders.append(
+                    os.path.relpath(path, pkg) + " (positional 3rd arg)"
+                )
     assert not offenders, (
         f"consumers pass local_finish_edges explicitly: {offenders} — "
         "use the CC_LOCAL_FINISH_EDGES module constant instead"

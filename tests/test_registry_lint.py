@@ -18,8 +18,12 @@ hash-matched locally. Two defenses, both here:
    own canonicalizer, so any OTHER shape pandas cannot sort fails the
    local suite before it can fail a round.
 
-Schema-only: each plan is BUILT (analyzed), never executed, so the
-whole catalog lints in seconds alongside test_scale_lint.py.
+Mostly schema-only: each plan is BUILT (analyzed), and for most
+queries that executes nothing — but iterative queries (the
+connected-components consumers) run real jobs AT CONSTRUCTION
+(localCheckpoint + count + the gated local finish), so the full
+parametrized pass costs ~1 min at test sf, not seconds. Keep it out
+of any "fast lint" tier.
 """
 
 from __future__ import annotations

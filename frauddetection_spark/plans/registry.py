@@ -106,87 +106,84 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 
 # Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Cumulative driver evidence after round 8
-# covers 298 of the 299 oracle-backed queries (CORRECTNESS_r01..r08 —
-# zero hash mismatches ever recorded) plus driver rows>0 for all 10
-# rows-only queries. This round-9 window is STALENESS-FIRST, computed
-# by rotate_window.py (the pin test below reproduces it exactly):
+# 50 entries of ``queries()``. Cumulative driver evidence after round 9
+# covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r09 — zero
+# hash mismatches ever recorded) plus driver rows>0 for all 10
+# rows-only queries: the contract is closed. This round-10 window is
+# STALENESS-FIRST under the now IMPORT-DEEP scan, computed by
+# rotate_window.py (the pin test below reproduces it exactly):
 #
-# (a) slot 1 closes the contract: ``q_inverted_index`` — the single
-#     r08 red row (driver canonicalizer crashed on its raw ArrayType
-#     column; now a joined string per the q_collect_series convention,
-#     class banned registry-wide by tests/test_registry_lint.py);
-# (b) slots 2-27 are the 26 queries whose defining FUNCTION was
-#     committed after the CORRECTNESS artifact holding their latest
-#     green row (``rotate_window.py --staleness``, function-level git
-#     log -L): q_qte's r08 rewrite plus the r06/r07 persist &
-#     cache-registry sweeps that postdated those queries' green rows.
-#     Their evidence no longer describes their current plan — that is
-#     worth a slot MORE than re-confirming an old green whose plan
-#     never changed (all are local-green + hostile-config-green on the
-#     current tree; this is re-evidencing, not bug-hunting);
-# (c) slots 28-50 fill by EVIDENCE AGE: the three r01 greens and the
-#     twenty alphabetically-first remaining r02 greens.
+# (a) slots 1-19 are the queries whose evidence a shared HELPER stales:
+#     ``rotate_window.py --staleness`` now walks one import level
+#     (VERDICT r09 item 3 — the function-level git -L scan missed the
+#     r09 connected_components gate refactor under its four unchanged
+#     consumers), and flags 19 queries whose called operators
+#     (operators/rank.py::prefix_rank, operators/graph.py::
+#     connected_components et al., sources/io.py::duckdb_fixture,
+#     functions/pandas_udfs.py::document_stats, ...) were committed
+#     after those queries' latest green artifact. All are local-green
+#     on the current tree; this is re-evidencing, not bug-hunting;
+# (b) slots 20-50 fill by EVIDENCE AGE: the seven remaining r02-latest
+#     greens, then the alphabetically-first r03-latest greens.
 #
-# After this round every driver-green row will describe the plan that
-# is actually shipped, modulo the -L caveat in rotate_window.py. The
-# invariant — cumulative driver evidence (past green ∪ this window ∪
-# queue) covers every oracle query — is pinned by
+# After this round every driver-green row describes the shipped plan
+# even one helper-level deep, modulo the -L caveat in rotate_window.py.
+# The invariant — cumulative driver evidence (past green ∪ this window
+# ∪ queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- contract closure ---
-    "q_inverted_index",
-    # --- plan-stale: function committed after latest green row ---
-    "q_qte",
-    "q_sampling_weights",
-    "q_scan_csv",
-    "q_session_stats",
-    "q_shingle_jaccard",
-    "q_decontaminate",
-    "q_feature_hash",
-    "q_sessionize",
-    "q_interval_join",
-    "q_pagerank",
-    "q_kcore",
-    "q_hits",
-    "q_recursive_cte",
-    "q_metric_calibration",
-    "q_bigram_perplexity",
-    "q_dedup_minhash",
-    "q_minhash_est",
-    "q_sparse_cosine",
-    "q_model_score",
-    "q_tfidf",
-    "q_multi_grain_rollup",
-    "q_quantile_grid",
-    "q_sequence_gaps",
-    "q_rfm",
-    "q_quantile_interp",
-    "q_peer_outlier",
-    # --- evidence-age fill: r01 greens, then oldest r02 greens ---
-    "q_cube",
-    "q_grouping_sets",
-    "q_zscore",
-    "q_case_when",
-    "q_collect_series",
-    "q_count_distinct",
-    "q_dedup_exact",
-    "q_dedup_hash",
-    "q_dense_spine",
-    "q_filter_compound",
-    "q_groupby_agg",
-    "q_json_extract",
-    "q_key_range",
-    "q_math_funcs",
-    "q_median",
-    "q_metric_confusion",
-    "q_null_fill",
-    "q_pandas_udf_zscore",
-    "q_rollup",
-    "q_scan_parquet",
-    "q_set_ops",
-    "q_share_dispersion",
-    "q_split_stratified",
+    # --- helper-stale: called operator committed after latest green ---
+    "q_scan_partitioned",
+    "q_scan_jsonl",
+    "q_user_deciles",
+    "q_join_common_neighbor",
+    "q_clustering_coeff",
+    "q_connected_components",
+    "q_uniform_sample",
+    "q_metric_ap",
+    "q_ann_ivf",
+    "q_dedup_semantic",
+    "q_doc_stats_mapinpandas",
+    "q_dedup_groups",
+    "q_entity_resolution",
+    "q_skyline",
+    "q_lorenz_gini",
+    "q_ks_score",
+    "q_lift_gains",
+    "q_ks_2sample",
+    "q_percent_rank",
+    # --- evidence-age fill: remaining r02 greens, then oldest r03 ---
+    "q_string_funcs",
+    "q_text_quality",
+    "q_token_stats",
+    "q_topk",
+    "q_ts_parts",
+    "q_union_mirror",
+    "q_window_agg_transform",
+    "q_asof_attribution",
+    "q_binary_meta",
+    "q_class_rates",
+    "q_doc_chunks",
+    "q_domain_mix",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_fingerprint",
+    "q_funnel",
+    "q_graph_aggregate_weighted",
+    "q_histogram_norm",
+    "q_intersect",
+    "q_lag_gap",
+    "q_lang_id",
+    "q_latest_state",
+    "q_metric_auc",
+    "q_metric_prf",
+    "q_neighbor_avg_degree",
+    "q_ngrams",
+    "q_pack_sequences",
+    "q_pivot",
+    "q_profile_events",
+    "q_quality_rules",
+    "q_salted_agg",
 )
 
 DRIVER_WINDOW = 50
@@ -201,7 +198,7 @@ DRIVER_WINDOW = 50
 # queues again, rotate at round START (promote the queue in the same
 # commit that bumps this marker) so the shipped tree is never red at a
 # judging snapshot.
-QUEUE_AS_OF_ROUND = 9
+QUEUE_AS_OF_ROUND = 10
 
 QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
 

@@ -23,10 +23,13 @@ Usage:
 
 Prints the ready-to-paste ``_PRIORITY`` tuple body plus an
 evidence-age histogram. ``--staleness`` is the mandatory-list finder:
-it dates each query's defining FUNCTION via ``git log -L
-:funcname:file`` and flags any committed after the CORRECTNESS
-artifact holding the query's latest green row — the r08 q_qte
-situation (plan rewritten after its green row), found mechanically.
+it dates each query's defining FUNCTION — and, one import-level deep,
+every package helper that function calls (VERDICT r09 item 3) — via
+``git log -L :funcname:file`` and flags any committed after the
+CORRECTNESS artifact holding the query's latest green row — the r08
+q_qte situation (plan rewritten after its green row) and the r09
+CC-gate situation (shared operator rewritten under unchanged
+consumers), both found mechanically.
 Flagged names belong in the next mandatory list unless the diff
 demonstrably didn't touch the plan. Purely driver-side: reads
 CORRECTNESS_r*.json, the registry, and git metadata; starts no Spark
@@ -108,34 +111,30 @@ def propose(mandatory: list[str], upto: int | None = None) -> list[str]:
     return window
 
 
-def staleness() -> list[tuple[str, int, str]]:
-    """(query, latest_green_round, reason) for every query whose
-    defining FUNCTION was last committed after the commit of the
-    CORRECTNESS artifact holding its latest green row — i.e. the
-    r08 q_qte situation (plan rewritten after its green), found
-    mechanically via ``git log -L :funcname:file``. Caveat: -L tracks
-    the function body from its ``def`` line, so an edit ONLY to the
-    @register oracle string above the def can be attributed to the
-    preceding function's range — treat a clean report as strong but
-    not absolute, and any flag as a mandatory-list candidate."""
-    import inspect
+def _git_artifact_time(repo: str, path: str) -> int:
     import subprocess
 
-    from frauddetection_spark.plans.registry import load_all
+    out = subprocess.run(
+        ["git", "log", "-1", "--format=%ct", "--", path],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    return int(out) if out else 0
 
-    repo = os.path.dirname(os.path.abspath(__file__))
 
-    def artifact_time(path: str) -> int:
-        out = subprocess.run(
-            ["git", "log", "-1", "--format=%ct", "--", path],
-            cwd=repo,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout.strip()
-        return int(out) if out else 0
+_FUNC_TIME_CACHE: dict[tuple[str, str], int] = {}
 
-    def func_time(funcname: str, rel: str) -> int:
+
+def _git_func_time(repo: str, funcname: str, rel: str) -> int:
+    """Last-commit time of a function's ``git log -L`` range, memoized —
+    the helper scan re-dates the same operator helpers for hundreds of
+    consumer queries."""
+    import subprocess
+
+    key = (funcname, rel)
+    if key not in _FUNC_TIME_CACHE:
         out = subprocess.run(
             ["git", "log", "-1", "--format=%ct", "-s",
              "-L", f":{funcname}:{rel}"],
@@ -143,7 +142,153 @@ def staleness() -> list[tuple[str, int, str]]:
             capture_output=True,
             text=True,
         ).stdout.strip()
-        return int(out.splitlines()[0]) if out else 0
+        _FUNC_TIME_CACHE[key] = int(out.splitlines()[0]) if out else 0
+    return _FUNC_TIME_CACHE[key]
+
+
+def unwrap_query_fn(fn):
+    """Follow the registry's ``guarded`` closure to the real query
+    function (for its source file and true ``__name__``)."""
+    import inspect
+
+    src = inspect.getsourcefile(fn)
+    if src and src.endswith("registry.py"):
+        inner = [
+            c.cell_contents
+            for c in (fn.__closure__ or [])
+            if callable(getattr(c, "cell_contents", None))
+        ]
+        if inner:
+            return inner[0]
+    return fn
+
+
+def helpers_of(fn) -> list[tuple[str, str]]:
+    """(funcname, relpath) for every package-defined function the
+    query's defining function CALLS, one import-level deep (VERDICT
+    r09 item 3: function-level ``git log -L`` dates the query body
+    only, so a rewrite inside a shared helper — the r09
+    ``connected_components`` gate refactor in operators/graph.py —
+    never flagged its consumer queries as stale).
+
+    Static resolution: ast-walk the function source for ``Call`` nodes,
+    resolve plain names through the function's ``__globals__`` plus any
+    ``import``/``from-import`` statements INSIDE the body (the
+    dominant pattern here — most queries import operators locally),
+    and ``mod.attr`` calls through module objects. Only functions whose
+    source file lives under ``frauddetection_spark/`` count; one level
+    only (helpers' own callees are out of scope by design — the
+    operators tree is shallow and a two-level walk would date half the
+    package for every query)."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+    import types
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg_root = os.path.join(repo, "frauddetection_spark")
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+    except (OSError, TypeError, SyntaxError):
+        return []
+
+    # Decorators are Call nodes in the function's source but are not
+    # part of the built plan (the registration decorator would
+    # otherwise resolve as a "helper" of all 309 queries and a
+    # registry.py commit would stale every green row at once — 240 of
+    # 259 flags in the first r10 scan). Strip them before the walk.
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            node.decorator_list = []
+
+    local: dict[str, object] = {}
+    called: set[str] = set()
+    modattr: set[tuple[str, str]] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.level == 0:
+            try:
+                mod = importlib.import_module(node.module)
+            except ImportError:
+                continue
+            for alias in node.names:
+                local[alias.asname or alias.name] = getattr(
+                    mod, alias.name, None
+                )
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                try:
+                    mod = importlib.import_module(alias.name)
+                except ImportError:
+                    continue
+                local[alias.asname or alias.name.split(".")[0]] = mod
+        elif isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                called.add(f.id)
+            elif isinstance(f, ast.Attribute) and isinstance(f.value, ast.Name):
+                modattr.add((f.value.id, f.attr))
+
+    g = getattr(fn, "__globals__", {})
+    out: set[tuple[str, str]] = set()
+
+    def consider(obj) -> None:
+        if not isinstance(obj, types.FunctionType) or obj is fn:
+            return
+        try:
+            srcfile = inspect.getsourcefile(obj)
+        except TypeError:
+            return
+        if not srcfile:
+            return
+        srcfile = os.path.abspath(srcfile)
+        if not srcfile.startswith(pkg_root + os.sep):
+            return
+        # plans/registry.py is excluded by POLICY: a change there
+        # stales all 309 queries at once — far beyond a 50-slot
+        # window's capacity — and the registration path is guarded by
+        # the parity/lint suite (tests/test_registry_lint.py, the
+        # hostile-config sweep), not by driver re-evidencing. Any
+        # registry change still surfaces loudly: the pin tests that
+        # reproduce the frozen window fail on rotation-policy drift.
+        if srcfile.endswith(os.path.join("plans", "registry.py")):
+            return
+        out.add((obj.__name__, os.path.relpath(srcfile, repo)))
+
+    for nm in called:
+        consider(local.get(nm, g.get(nm)))
+    for modnm, attr in modattr:
+        holder = local.get(modnm, g.get(modnm))
+        if isinstance(holder, types.ModuleType):
+            consider(getattr(holder, attr, None))
+    return sorted(out)
+
+
+def staleness() -> list[tuple[str, int, str]]:
+    """(query, latest_green_round, reason) for every query whose
+    defining FUNCTION — or any package helper it calls, one
+    import-level deep — was last committed after the commit of the
+    CORRECTNESS artifact holding its latest green row. The direct leg
+    is the r08 q_qte situation (plan rewritten after its green); the
+    helper leg is the r09 CC-gate situation (shared operator rewritten
+    under unchanged consumers), both found mechanically via ``git log
+    -L :funcname:file``. Caveat: -L tracks the function body from its
+    ``def`` line, so an edit ONLY to the @register oracle string above
+    the def can be attributed to the preceding function's range —
+    treat a clean report as strong but not absolute, and any flag as a
+    mandatory-list candidate."""
+    import inspect
+
+    from frauddetection_spark.plans.registry import load_all
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def artifact_time(path: str) -> int:
+        return _git_artifact_time(repo, path)
+
+    def func_time(funcname: str, rel: str) -> int:
+        return _git_func_time(repo, funcname, rel)
 
     latest = latest_green(repo)
     reg = load_all()
@@ -174,24 +319,14 @@ def staleness() -> list[tuple[str, int, str]]:
         if rnd is None:
             flagged.append((name, 0, "never driver-evidenced"))
             continue
-        # registry's `guarded` wrapper: follow the closure to the real
-        # query function for its file and true __name__
-        fn = spec.fn
+        fn = unwrap_query_fn(spec.fn)
         src = inspect.getsourcefile(fn)
-        if src and src.endswith("registry.py"):
-            inner = [
-                c.cell_contents
-                for c in (fn.__closure__ or [])
-                if callable(getattr(c, "cell_contents", None))
-            ]
-            if inner:
-                fn = inner[0]
-                src = inspect.getsourcefile(fn)
         rel = os.path.relpath(src, repo)
         fct = func_time(fn.__name__, rel)
         if fct == 0:
             flagged.append((name, rnd, f"git -L found no {fn.__name__} in {rel}"))
-        elif artifact_ct.get(rnd, 0) and fct > artifact_ct[rnd]:
+            continue
+        if artifact_ct.get(rnd, 0) and fct > artifact_ct[rnd]:
             flagged.append(
                 (
                     name,
@@ -200,6 +335,33 @@ def staleness() -> list[tuple[str, int, str]]:
                     f"CORRECTNESS_r{rnd:02d}",
                 )
             )
+            continue
+        # helper leg (one import-level deep): a shared operator
+        # rewritten after this query's green row stales its evidence
+        # just as surely as a body edit — first stale helper wins
+        for hname, hrel in helpers_of(fn):
+            hct = func_time(hname, hrel)
+            if hct == 0:
+                # helper not datable (nested def / rename churn):
+                # not flag-worthy on its own — the direct leg above
+                # still covers the query body, and a warn keeps the
+                # report honest without spending window slots on noise
+                print(
+                    f"# note: {name}: helper {hrel}::{hname} not "
+                    "datable via git -L",
+                    file=sys.stderr,
+                )
+                continue
+            if artifact_ct.get(rnd, 0) and hct > artifact_ct[rnd]:
+                flagged.append(
+                    (
+                        name,
+                        rnd,
+                        f"helper {hrel}::{hname} committed after "
+                        f"CORRECTNESS_r{rnd:02d}",
+                    )
+                )
+                break
     for name, rnd, why in flagged:
         print(f"{name} (green r{rnd:02d}): {why}")
     if not flagged:

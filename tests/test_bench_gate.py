@@ -23,10 +23,14 @@ if _REPO not in sys.path:
 from bench import regression_report  # noqa: E402
 
 
-def _bench_file(tmp_path, name, queries, calib=None):
+def _bench_file(tmp_path, name, queries, calib=None, calib_scan=None, sf=None):
     payload = {"queries": queries}
     if calib is not None:
         payload["calib_sec"] = calib
+    if calib_scan is not None:
+        payload["calib_scan_sec"] = calib_scan
+    if sf is not None:
+        payload["sf"] = sf
     p = tmp_path / name
     p.write_text(json.dumps(payload))
     return str(p)
@@ -130,3 +134,73 @@ def test_driver_wrapped_artifact_unwraps(tmp_path):
     )
     lines = regression_report({"q_a": 5.0}, calib=0.5, bench_files=[str(p)])
     assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+
+
+def test_io_drift_not_flagged_when_scan_probe_carries_it(tmp_path):
+    # VERDICT r09 item 2 (the round-9 phantom class): the whole catalog
+    # ran ~1.2x slower while CPU calib read FASTER — drift lived in the
+    # I/O/scheduler dimension. With calib_scan_sec in both rounds the
+    # host factor is max(cpu, scan): 2.2x raw growth with a flat CPU
+    # probe but a 2.2x-slower scan probe -> NOT a regression.
+    prior = _bench_file(
+        tmp_path, "BENCH_r09.json", {"q_a": 1.0, "q_b": 0.5},
+        calib=0.5, calib_scan=0.2,
+    )
+    lines = regression_report(
+        {"q_a": 2.2, "q_b": 1.1}, calib=0.5,
+        bench_files=[prior], calib_scan=0.44,
+    )
+    assert any(
+        "host factor" in ln and "scan 2.20x" in ln for ln in lines
+    )
+    assert not any("REGRESSION" in ln for ln in lines)
+
+
+def test_true_regression_fires_with_both_probes_flat(tmp_path):
+    # the acceptance case for the max(cpu, scan) gate: both probes flat
+    # -> a true >2x plan regression still fires
+    prior = _bench_file(
+        tmp_path, "BENCH_r09.json", {"q_a": 1.0},
+        calib=0.5, calib_scan=0.2,
+    )
+    lines = regression_report(
+        {"q_a": 5.0}, calib=0.5, bench_files=[prior], calib_scan=0.2
+    )
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+
+
+def test_scan_probe_missing_in_prior_falls_back_to_cpu_only(tmp_path):
+    # r01-r08 artifacts carry no calib_scan_sec: scan factor defaults
+    # to 1.0 and the gate behaves exactly as the CPU-only gate did
+    prior = _bench_file(
+        tmp_path, "BENCH_r08.json", {"q_a": 1.0}, calib=0.5
+    )
+    lines = regression_report(
+        {"q_a": 2.5}, calib=0.5, bench_files=[prior], calib_scan=0.9
+    )
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+
+
+def test_unknown_sf_skips_gate_against_sf_declared_prior(tmp_path):
+    # ADVICE r09: sf=None used to disable the same-sf eligibility
+    # filter entirely, so an off-sf nonstandard run gated raw against
+    # priors of any scale factor. New behavior: keep the overlap
+    # subtotal, skip the per-query gate with an explicit annotation.
+    prior = _bench_file(
+        tmp_path, "BENCH_r09.json", {"q_a": 0.2}, calib=0.5, sf=0.1
+    )
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[prior], sf=None
+    )
+    assert any("overlap vs" in ln for ln in lines)
+    assert any("gate skipped" in ln and "sf unknown" in ln for ln in lines)
+    assert not any("REGRESSION" in ln for ln in lines)
+    # both sides sf-less (pre-guard artifacts): raw gate still runs —
+    # there is no recorded sf to contradict
+    prior2 = _bench_file(
+        tmp_path, "BENCH_r05.json", {"q_a": 0.2}, calib=0.5
+    )
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[prior2], sf=None
+    )
+    assert any("REGRESSION q_a" in ln for ln in lines)

@@ -336,16 +336,18 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
 
 
 def test_window_matches_rotation_tool():
-    """The shipped round-9 _PRIORITY must equal rotate_window.py's
-    deterministic proposal for this round's mandatory set: slot 1
-    q_inverted_index (no green row), then the 26 plan-stale queries
-    found by `rotate_window.py --staleness` at the freeze (function
-    committed after its latest green row's artifact). Pins both the
-    tool and the staleness-first policy; future rounds update the
-    mandatory list here alongside the rotation commit. (The staleness
-    scan itself is not re-run here — it needs git history and its
-    answer changes as the round progresses; the frozen list is the
-    input being pinned.)"""
+    """The shipped round-10 _PRIORITY must equal rotate_window.py's
+    deterministic proposal for this round's mandatory set: the 19
+    helper-stale queries found by the now IMPORT-DEEP
+    `rotate_window.py --staleness` at the freeze (a called package
+    helper — prefix_rank, connected_components, duckdb_fixture,
+    document_stats, ... — committed after the query's latest green
+    artifact; VERDICT r09 item 3). Pins both the tool and the
+    staleness-first policy; future rounds update the mandatory list
+    here alongside the rotation commit. (The staleness scan itself is
+    not re-run here — it needs git history and its answer changes as
+    the round progresses; the frozen list is the input being
+    pinned.)"""
     import os
     import sys
 
@@ -360,33 +362,25 @@ def test_window_matches_rotation_tool():
     )
 
     mandatory = [
-        "q_inverted_index",
-        "q_qte",
-        "q_sampling_weights",
-        "q_scan_csv",
-        "q_session_stats",
-        "q_shingle_jaccard",
-        "q_decontaminate",
-        "q_feature_hash",
-        "q_sessionize",
-        "q_interval_join",
-        "q_pagerank",
-        "q_kcore",
-        "q_hits",
-        "q_recursive_cte",
-        "q_metric_calibration",
-        "q_bigram_perplexity",
-        "q_dedup_minhash",
-        "q_minhash_est",
-        "q_sparse_cosine",
-        "q_model_score",
-        "q_tfidf",
-        "q_multi_grain_rollup",
-        "q_quantile_grid",
-        "q_sequence_gaps",
-        "q_rfm",
-        "q_quantile_interp",
-        "q_peer_outlier",
+        "q_scan_partitioned",
+        "q_scan_jsonl",
+        "q_user_deciles",
+        "q_join_common_neighbor",
+        "q_clustering_coeff",
+        "q_connected_components",
+        "q_uniform_sample",
+        "q_metric_ap",
+        "q_ann_ivf",
+        "q_dedup_semantic",
+        "q_doc_stats_mapinpandas",
+        "q_dedup_groups",
+        "q_entity_resolution",
+        "q_skyline",
+        "q_lorenz_gini",
+        "q_ks_score",
+        "q_lift_gains",
+        "q_ks_2sample",
+        "q_percent_rank",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

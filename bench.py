@@ -315,10 +315,53 @@ def main() -> None:
     # unparseable sf dir (-1.0 sentinel in the JSON) → sf=None to the
     # report, so the guard doesn't silently drop every prior round
     # (review r09: -1.0 compared unequal to all recorded sfs)
+    flags: list[dict] = []
     for line in regression_report(
-        timings, calib, sf=sf if m else None, calib_scan=calib_scan
+        timings, calib, sf=sf if m else None, calib_scan=calib_scan,
+        flags_out=flags,
     ):
         print(line, file=sys.stderr)
+
+    # Self-adjudicate surviving flags INSIDE the artifact, exactly as
+    # the scale audit does for its own (VERDICT r09 #1/#3): every
+    # REGRESSION since r06 has adjudicated to sweep pollution (cache
+    # churn / JVM state from the preceding headline queries), and a
+    # line shipped in the driver's post-commit artifact used to wait a
+    # full round for a refutation. Re-measure each flagged query
+    # standalone in a clean-cache state against the SAME gate; the
+    # JSON records sweep time, recheck time, and the verdict, so the
+    # shipped artifact reflects adjudicated reality.
+    if flags:
+        adjud = {}
+        for fl in flags:
+            release_caches()
+            best = float("inf")
+            try:
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    registry[fl["name"]].fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 — recheck must not
+                # kill the bench line the driver parses
+                print(f"# recheck {fl['name']}: ERR {str(e)[:120]}",
+                      file=sys.stderr)
+                continue
+            release_caches()
+            refuted = best <= 2 * fl["host"] * fl["prior_s"]
+            adjud[fl["name"]] = {
+                "sweep_s": fl["now_s"],
+                "recheck_s": round(best, 3),
+                "prior_s": fl["prior_s"],
+                "prior_file": fl["prior_file"],
+                "host": fl["host"],
+                "verdict": "refuted" if refuted else "confirmed",
+            }
+            print(
+                f"# recheck {fl['name']}: {best:.3f}s standalone — "
+                f"flag {'REFUTED' if refuted else 'CONFIRMED'}",
+                file=sys.stderr,
+            )
+        out["regressions"] = adjud
     print(json.dumps(out))
 
 
@@ -328,6 +371,7 @@ def regression_report(
     bench_files: list[str] | None = None,
     sf: float | None = None,
     calib_scan: float | None = None,
+    flags_out: list[dict] | None = None,
 ) -> list[str]:
     """Round-over-round regression report lines: like-for-like OVERLAP
     subtotals vs EVERY prior round — a grown headline must never hide
@@ -346,7 +390,15 @@ def regression_report(
     true plan regression still exceeds 2x against either probe. Raw
     seconds remain the fallback against pre-calibration rounds
     (r01-r05). Factored out of main() so the gate itself is
-    unit-testable without a Spark session (tests/test_bench_gate.py)."""
+    unit-testable without a Spark session (tests/test_bench_gate.py).
+
+    ``flags_out``, when given, receives one dict per REGRESSION line
+    ({name, now_s, prior_s, prior_file, host}) so the caller can
+    adjudicate each flag standalone INSIDE the same artifact (VERDICT
+    r09 "What's wrong" #3: the driver's bench run lands after the
+    final commit, so a line it prints could previously only be
+    adjudicated a round later — BENCH_r09 shipped q_groupby_agg
+    flagged for a whole round when a 3-second recheck refutes it)."""
     import glob
 
     if bench_files is None:
@@ -427,6 +479,14 @@ def regression_report(
                         f"{pq[name]}s in {pf} "
                         f"(>2x at host factor {host:.2f})"
                     )
+                    if flags_out is not None:
+                        flags_out.append({
+                            "name": name,
+                            "now_s": timings[name],
+                            "prior_s": pq[name],
+                            "prior_file": pf,
+                            "host": round(host, 3),
+                        })
     return lines
 
 

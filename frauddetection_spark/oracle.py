@@ -98,6 +98,22 @@ def driver_canon_frame(pdf: pd.DataFrame) -> list[str]:
     ]
 
 
+def driver_leg_mismatch_kind(da: list[str], db: list[str]) -> str:
+    """Classify a driver-leg mismatch before anyone adjudicates it
+    (ADVICE r09): the driver leg sorts RAW float columns while
+    ``_canon_cell`` renders at 6dp, so sub-tolerance float drift on
+    near-tied rows can order the two frames differently even though
+    every rendered row matches. That is an ORDER-ONLY tie — a
+    different (and much less alarming) failure class than an actual
+    value diff, and the failure message must not misattribute it."""
+    if sorted(da) == sorted(db):
+        return (
+            "order-only (raw-sort tie: same rows, different driver-leg "
+            "sort order)"
+        )
+    return "value diff"
+
+
 def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> CompareResult:
     sp = spark_df.toPandas()
     # cache hygiene: a full-catalog comparison session runs 100+
@@ -128,6 +144,9 @@ def compare(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> Co
     if da != db:
         diffs = [(x, y) for x, y in zip(da, db) if x != y][:3]
         return CompareResult(
-            name, False, f"driver-leg canonicalization differs; first diffs: {diffs}"
+            name,
+            False,
+            f"driver-leg canonicalization differs "
+            f"[{driver_leg_mismatch_kind(da, db)}]; first diffs: {diffs}",
         )
     return CompareResult(name, True, f"{len(sp)} rows match (both comparator legs)")

@@ -204,3 +204,32 @@ def test_unknown_sf_skips_gate_against_sf_declared_prior(tmp_path):
         {"q_a": 0.5}, calib=0.5, bench_files=[prior2], sf=None
     )
     assert any("REGRESSION q_a" in ln for ln in lines)
+
+
+def test_flags_out_carries_adjudication_context(tmp_path):
+    # bench's in-artifact self-adjudication needs (prior_s, host,
+    # prior_file) per flag to re-apply the SAME gate standalone —
+    # flags_out must mirror every REGRESSION line exactly
+    prior = _bench_file(
+        tmp_path, "BENCH_r09.json", {"q_a": 1.0, "q_b": 1.0},
+        calib=0.5, calib_scan=0.2, sf=0.1,
+    )
+    flags = []
+    lines = regression_report(
+        {"q_a": 5.0, "q_b": 1.5}, calib=0.55,
+        bench_files=[prior], sf=0.1, calib_scan=0.2, flags_out=flags,
+    )
+    assert sum("REGRESSION" in ln for ln in lines) == 1
+    assert len(flags) == 1
+    fl = flags[0]
+    assert fl["name"] == "q_a"
+    assert fl["now_s"] == 5.0
+    assert fl["prior_s"] == 1.0
+    assert fl["prior_file"] == prior
+    # host = max(cpu 1.1, scan 1.0)
+    assert abs(fl["host"] - 1.1) < 1e-6
+    # and the param stays optional — identical lines without it
+    assert regression_report(
+        {"q_a": 5.0, "q_b": 1.5}, calib=0.55,
+        bench_files=[prior], sf=0.1, calib_scan=0.2,
+    ) == lines

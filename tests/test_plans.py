@@ -393,42 +393,43 @@ def test_cc_consumers_never_pass_gate_explicitly():
     distributed path via CC_LOCAL_FINISH_EDGES only covers consumers
     that leave local_finish_edges at its None default. Pin that no
     production call site passes it — only operators/graph.py (the
-    definition) and tests may mention the parameter."""
+    definition) and tests may mention the parameter. The positional
+    leg is AST-based (ADVICE r09): the old regex tolerated only one
+    level of nested parentheses, so a consumer like
+    ``connected_components(edges.filter(f(x)), 50, 0)`` truncated the
+    match and the positional 3rd arg could evade the comma count.
+    ``ast.Call`` nodes are exact and nesting-proof."""
+    import ast
     import glob
     import os
-
-    import re
 
     pkg = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "frauddetection_spark",
     )
-    # a call with >= 2 top-level commas passes the gate POSITIONALLY —
-    # just as invisible to the CC_LOCAL_FINISH_EDGES monkeypatch as a
-    # keyword arg, so lint both spellings (review r09)
-    positional = re.compile(
-        r"connected_components\s*\(((?:[^()]|\([^()]*\))*)\)", re.DOTALL
-    )
     offenders = []
     for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
         if path.endswith(os.path.join("operators", "graph.py")):
             continue
+        rel = os.path.relpath(path, pkg)
         with open(path) as fh:
             text = fh.read()
+        # raw-text leg: catches keyword args AND any other mention
+        # (partial(), kwargs dicts, monkeypatching) in one sweep
         if "local_finish_edges" in text:
-            offenders.append(os.path.relpath(path, pkg) + " (keyword)")
-        for mcall in positional.finditer(text):
-            depth, commas = 0, 0
-            for ch in mcall.group(1):
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                elif ch == "," and depth == 0:
-                    commas += 1
-            if commas >= 2:
+            offenders.append(rel + " (mentions local_finish_edges)")
+        for node in ast.walk(ast.parse(text)):
+            if not isinstance(node, ast.Call):
+                continue
+            f = node.func
+            callee = (
+                f.id
+                if isinstance(f, ast.Name)
+                else f.attr if isinstance(f, ast.Attribute) else None
+            )
+            if callee == "connected_components" and len(node.args) >= 3:
                 offenders.append(
-                    os.path.relpath(path, pkg) + " (positional 3rd arg)"
+                    f"{rel}:{node.lineno} (positional 3rd arg)"
                 )
     assert not offenders, (
         f"consumers pass local_finish_edges explicitly: {offenders} — "

@@ -106,6 +106,22 @@ def _quiet_cache_warnings(spark) -> None:
         pass
 
 
+def _min3_wall(fn, spark, sf_dir: str) -> tuple[float, int]:
+    """Min-of-3 wall time with plan CONSTRUCTION inside the timer (for
+    iterative queries — connected components, MLlib fits — construction
+    executes jobs, and excluding it would under-measure them). ONE
+    timing protocol shared by the headline sweep and the flag recheck:
+    the recheck adjudicates the sweep's flags, so the two must never
+    drift apart (the scale audit learned this the hard way, review
+    r09; review r10 applied it here). Returns (best_sec, rowcount)."""
+    best, n = float("inf"), 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
 def scale_audit() -> None:
     """`python bench.py --scale-audit [names...]`: run queries at two
     scale factors and report the runtime growth ratio against the data
@@ -284,14 +300,7 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
-        best, n = float("inf"), 0
-        # construction INSIDE the timer: for iterative queries
-        # (connected components, MLlib fits) plan construction executes
-        # jobs, and excluding it would under-measure them
-        for _ in range(3):
-            start = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
+        best, n = _min3_wall(spec.fn, spark, sf_dir)
         # Release tracked invariant caches BETWEEN queries (not between
         # the two runs: min-of-2 deliberately measures the steady-state
         # warm run, comparable across rounds — CacheManager plan-matches
@@ -335,27 +344,30 @@ def main() -> None:
         adjud = {}
         for fl in flags:
             release_caches()
-            best = float("inf")
-            try:
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    registry[fl["name"]].fn(spark, sf_dir).count()
-                    best = min(best, time.perf_counter() - t0)
-            except Exception as e:  # noqa: BLE001 — recheck must not
-                # kill the bench line the driver parses
-                print(f"# recheck {fl['name']}: ERR {str(e)[:120]}",
-                      file=sys.stderr)
-                continue
-            release_caches()
-            refuted = best <= 2 * fl["host"] * fl["prior_s"]
-            adjud[fl["name"]] = {
+            entry = {
                 "sweep_s": fl["now_s"],
-                "recheck_s": round(best, 3),
                 "prior_s": fl["prior_s"],
                 "prior_file": fl["prior_file"],
                 "host": fl["host"],
-                "verdict": "refuted" if refuted else "confirmed",
             }
+            try:
+                best, _ = _min3_wall(registry[fl["name"]].fn, spark, sf_dir)
+            except Exception as e:  # noqa: BLE001 — recheck must not
+                # kill the bench line the driver parses; a flag whose
+                # recheck ERRORS stays in the artifact UNADJUDICATED
+                # (review r10: dropping it entirely would make a real
+                # regression invisible exactly when the host is sick)
+                entry["verdict"] = "recheck_error"
+                entry["error"] = str(e)[:200]
+                adjud[fl["name"]] = entry
+                print(f"# recheck {fl['name']}: ERR {str(e)[:120]} — "
+                      "flag kept UNADJUDICATED", file=sys.stderr)
+                continue
+            release_caches()
+            refuted = best <= 2 * fl["host"] * fl["prior_s"]
+            entry["recheck_s"] = round(best, 3)
+            entry["verdict"] = "refuted" if refuted else "confirmed"
+            adjud[fl["name"]] = entry
             print(
                 f"# recheck {fl['name']}: {best:.3f}s standalone — "
                 f"flag {'REFUTED' if refuted else 'CONFIRMED'}",
@@ -386,8 +398,15 @@ def regression_report(
     in the I/O/scheduler dimension — CPU calib read FASTER while the
     whole catalog ran ~1.2x slower, producing seven phantom REGRESSION
     lines the CPU probe alone could not cancel). Comparing against the
-    slower of the two probes kills the phantom class at the source; a
-    true plan regression still exceeds 2x against either probe. Raw
+    slower of the two probes kills the phantom class at the source.
+    The max() is DELIBERATELY asymmetric: when the host got FASTER in
+    one dimension only, the flat probe's 1.0 floors the factor, so a
+    marginal (~2x) regression in a query bound by the sped-up
+    dimension can slip the gate — accepted, because the alternative
+    (min, or per-query probe choice without knowing the query's
+    resource class) re-sprays phantom flags on the other class, and
+    marginal true regressions are still caught by the scale audit's
+    growth ratios and the round-over-round calib-relative series. Raw
     seconds remain the fallback against pre-calibration rounds
     (r01-r05). Factored out of main() so the gate itself is
     unit-testable without a Spark session (tests/test_bench_gate.py).
@@ -421,6 +440,14 @@ def regression_report(
         # driver wraps our JSON line under "parsed"
         prior = prior.get("parsed", prior)
         prior_sf = prior.get("sf")
+        # -1.0 is the sentinel main() WRITES for an unparseable sf dir
+        # (review r10): normalize it back to "unknown" here, or a pair
+        # of runs from the same non-sf-named dir would treat -1.0 as a
+        # declared scale factor — never gating against each other and
+        # printing a misleading 'prior recorded sf=-1.0' annotation.
+        if prior_sf == -1.0:
+            prior_sf = None
+            prior = {**prior, "sf": None}
         if sf is not None and prior_sf is not None and prior_sf != sf:
             continue
         eligible.append((pf, prior))
@@ -465,12 +492,17 @@ def regression_report(
             # regression exceeds the gate against both (VERDICT r09 #2)
             host = max(cpu_host, scan_host)
             if host != 1.0:
+                scan_note = (
+                    f"calib_scan {calib_scan}s vs {prior_scan}s"
+                    if calib_scan and prior_scan
+                    else "scan probe unavailable in one round — "
+                    "CPU-only gate"
+                )
                 lines.append(
                     f"# host factor vs {pf}: {host:.2f}x = max(cpu "
                     f"{cpu_host:.2f}x, scan {scan_host:.2f}x) "
-                    f"(calib {calib}s vs {prior_calib}s, calib_scan "
-                    f"{calib_scan}s vs {prior_scan or None}s) — "
-                    "regression gate is calib-relative"
+                    f"(calib {calib}s vs {prior_calib}s, {scan_note}) "
+                    "— regression gate is calib-relative"
                 )
             for name in overlap:
                 if timings[name] > 2 * host * pq[name]:

@@ -24,12 +24,15 @@ Usage:
 Prints the ready-to-paste ``_PRIORITY`` tuple body plus an
 evidence-age histogram. ``--staleness`` is the mandatory-list finder:
 it dates each query's defining FUNCTION — and, one import-level deep,
-every package helper that function calls (VERDICT r09 item 3) — via
-``git log -L :funcname:file`` and flags any committed after the
-CORRECTNESS artifact holding the query's latest green row — the r08
-q_qte situation (plan rewritten after its green row) and the r09
-CC-gate situation (shared operator rewritten under unchanged
-consumers), both found mechanically.
+every package helper that function calls (VERDICT r09 item 3) and
+every package ALL_CAPS constant it references (review r10: a bumped
+shared threshold changes the plan with no function edit) — via ``git
+log -L :funcname:file`` (functions) / ``git log -G '^NAME\\s*[:=]'``
+(constants) and flags any committed after the CORRECTNESS artifact
+holding the query's latest green row — the r08 q_qte situation (plan
+rewritten after its green row) and the r09 CC-gate situation (shared
+operator rewritten under unchanged consumers), both found
+mechanically.
 Flagged names belong in the next mandatory list unless the diff
 demonstrably didn't touch the plan. Purely driver-side: reads
 CORRECTNESS_r*.json, the registry, and git metadata; starts no Spark
@@ -265,6 +268,137 @@ def helpers_of(fn) -> list[tuple[str, str]]:
     return sorted(out)
 
 
+_CONST_RE = re.compile(r"^[A-Z][A-Z0-9_]*$")
+
+_CONST_TIME_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _git_const_time(repo: str, name: str, rel: str) -> int:
+    """Last commit whose diff in ``rel`` touched a top-level assignment
+    to ``name`` (``git log -G``) — constants have no funcname range for
+    ``-L``, but ``-G '^NAME\\s*[:=]'`` catches value edits (which keep
+    the occurrence count identical and so evade ``-S``). Memoized."""
+    import subprocess
+
+    key = (name, rel)
+    if key not in _CONST_TIME_CACHE:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct",
+             "-G", rf"^{re.escape(name)}\s*[:=]", "--", rel],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        _CONST_TIME_CACHE[key] = int(out.splitlines()[0]) if out else 0
+    return _CONST_TIME_CACHE[key]
+
+
+def constants_of(fn) -> list[tuple[str, str]]:
+    """(const_name, definer_relpath) for every package-defined
+    ALL_CAPS module-level constant the query's defining function
+    references (review r10: ``helpers_of`` dates only FUNCTIONS, so
+    bumping a shared threshold — a sampling rate, an LSH band count, a
+    gate constant — changed the shipped plan without ever staling its
+    consumers' evidence).
+
+    Resolution mirrors ``helpers_of``: ALL_CAPS ``Name`` loads resolve
+    through body-local from-imports, then the module file's top-level
+    from-imports and assignments (parsed statically — a value object
+    carries no defining-module link); ``mod.CONST`` attribute reads
+    resolve through module objects. Only definers under
+    ``frauddetection_spark/`` count, registry.py excluded by the same
+    policy as helpers_of."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+    import types
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pkg_root = os.path.join(repo, "frauddetection_spark")
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        mod_file = inspect.getsourcefile(fn)
+        with open(mod_file) as fh:
+            mod_tree = ast.parse(fh.read())
+    except (OSError, TypeError, SyntaxError):
+        return []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            node.decorator_list = []
+
+    body_from: dict[str, tuple[str, str]] = {}
+    refs: set[str] = set()
+    modattrs: set[tuple[str, str]] = set()
+    assigned: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and node.level == 0:
+            for a in node.names:
+                body_from[a.asname or a.name] = (node.module, a.name)
+        elif isinstance(node, ast.Name):
+            if isinstance(node.ctx, ast.Load):
+                refs.add(node.id)
+            else:
+                assigned.add(node.id)
+        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
+            modattrs.add((node.value.id, node.attr))
+
+    top_from: dict[str, tuple[str, str]] = {}
+    top_assign: set[str] = set()
+    for node in mod_tree.body:
+        if isinstance(node, ast.ImportFrom) and node.module and node.level == 0:
+            for a in node.names:
+                top_from[a.asname or a.name] = (node.module, a.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    top_assign.add(t.id)
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            top_assign.add(node.target.id)
+
+    def definer_file(modname: str) -> str | None:
+        try:
+            m = importlib.import_module(modname)
+        except ImportError:
+            return None
+        f = getattr(m, "__file__", None)
+        return os.path.abspath(f) if f else None
+
+    def in_pkg(f: str | None) -> bool:
+        return bool(
+            f
+            and f.startswith(pkg_root + os.sep)
+            and not f.endswith(os.path.join("plans", "registry.py"))
+        )
+
+    out: set[tuple[str, str]] = set()
+    for nm in refs - assigned:
+        if not _CONST_RE.match(nm):
+            continue
+        src_import = body_from.get(nm) or top_from.get(nm)
+        if src_import is not None:
+            f = definer_file(src_import[0])
+            orig = src_import[1]
+        elif nm in top_assign:
+            f, orig = os.path.abspath(mod_file), nm
+        else:
+            continue
+        if in_pkg(f):
+            out.add((orig, os.path.relpath(f, repo)))
+    g = getattr(fn, "__globals__", {})
+    for modnm, attr in modattrs:
+        if not _CONST_RE.match(attr):
+            continue
+        holder = g.get(modnm)
+        if isinstance(holder, types.ModuleType):
+            f = getattr(holder, "__file__", None)
+            f = os.path.abspath(f) if f else None
+            if in_pkg(f) and not callable(getattr(holder, attr, None)):
+                out.add((attr, os.path.relpath(f, repo)))
+    return sorted(out)
+
+
 def staleness() -> list[tuple[str, int, str]]:
     """(query, latest_green_round, reason) for every query whose
     defining FUNCTION — or any package helper it calls, one
@@ -339,6 +473,7 @@ def staleness() -> list[tuple[str, int, str]]:
         # helper leg (one import-level deep): a shared operator
         # rewritten after this query's green row stales its evidence
         # just as surely as a body edit — first stale helper wins
+        hit = False
         for hname, hrel in helpers_of(fn):
             hct = func_time(hname, hrel)
             if hct == 0:
@@ -358,6 +493,24 @@ def staleness() -> list[tuple[str, int, str]]:
                         name,
                         rnd,
                         f"helper {hrel}::{hname} committed after "
+                        f"CORRECTNESS_r{rnd:02d}",
+                    )
+                )
+                hit = True
+                break
+        if hit:
+            continue
+        # constants leg (review r10): a bumped shared threshold changes
+        # the shipped plan without any function body changing — date
+        # every package ALL_CAPS constant the function references
+        for cname, crel in constants_of(fn):
+            cct = _git_const_time(repo, cname, crel)
+            if cct and artifact_ct.get(rnd, 0) and cct > artifact_ct[rnd]:
+                flagged.append(
+                    (
+                        name,
+                        rnd,
+                        f"constant {crel}::{cname} committed after "
                         f"CORRECTNESS_r{rnd:02d}",
                     )
                 )

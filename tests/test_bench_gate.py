@@ -233,3 +233,36 @@ def test_flags_out_carries_adjudication_context(tmp_path):
         {"q_a": 5.0, "q_b": 1.5}, calib=0.55,
         bench_files=[prior], sf=0.1, calib_scan=0.2,
     ) == lines
+
+
+def test_sentinel_sf_prior_normalized_to_unknown(tmp_path):
+    # review r10: main() writes sf=-1.0 for an unparseable sf dir, so a
+    # prior from the same non-sf-named dir must read as sf-UNKNOWN, not
+    # as a declared scale factor — two consecutive runs from that dir
+    # still gate against each other raw (and no misleading
+    # "prior recorded sf=-1.0" skip line appears)
+    prior = _bench_file(
+        tmp_path, "BENCH_r08.json", {"q_a": 0.1}, calib=0.5, sf=-1.0
+    )
+    lines = regression_report(
+        {"q_a": 0.5}, calib=0.5, bench_files=[prior], sf=None
+    )
+    assert any("REGRESSION q_a" in ln for ln in lines)
+    assert not any("gate skipped" in ln for ln in lines)
+
+
+def test_host_factor_line_readable_when_scan_probe_missing(tmp_path):
+    # review r10: with calib_scan=None this run, the annotation must
+    # not render "calib_scan Nones vs ..." — it says the probe was
+    # unavailable and the gate is CPU-only
+    prior = _bench_file(
+        tmp_path, "BENCH_r09.json", {"q_a": 0.2},
+        calib=0.5, calib_scan=0.25, sf=0.1,
+    )
+    lines = regression_report(
+        {"q_a": 0.3}, calib=0.9, bench_files=[prior], sf=0.1,
+        calib_scan=None,
+    )
+    host_lines = [ln for ln in lines if "host factor" in ln]
+    assert host_lines and "Nones" not in host_lines[0]
+    assert "scan probe unavailable" in host_lines[0]

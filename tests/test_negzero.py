@@ -68,10 +68,17 @@ def test_order_only_raw_sort_tie_classified_as_such():
     assert driver_leg_mismatch_kind(da, db).startswith("order-only")
 
 
+# every spelling of "round this" in the repo: F.round plus the _util
+# helpers that wrap it (r6 = F.round(·, 6); review r10 found r6 was a
+# blind spot — 34 call sites rounded through it invisibly to a lint
+# that only matched the literal name "round")
+_ROUNDERS = {"round", "r6"}
+
+
 def _round_of_sum_spark(fn) -> bool:
-    """ast leg of the watch-list lint: any Call named ``round`` whose
-    argument tree contains a Call named ``sum`` (F.round over F.sum,
-    however deeply the sum is nested in arithmetic)."""
+    """ast leg of the watch-list lint: any Call named like a rounder
+    (``F.round`` or the ``r6`` helper) whose argument tree contains a
+    Call named ``sum`` (however deeply nested in arithmetic)."""
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
@@ -86,7 +93,7 @@ def _round_of_sum_spark(fn) -> bool:
         return None
 
     for node in ast.walk(tree):
-        if isinstance(node, ast.Call) and callee(node) == "round":
+        if isinstance(node, ast.Call) and callee(node) in _ROUNDERS:
             for sub in ast.walk(node):
                 if sub is not node and isinstance(sub, ast.Call):
                     if callee(sub) == "sum":
@@ -94,7 +101,16 @@ def _round_of_sum_spark(fn) -> bool:
     return False
 
 
-_SQL_ROUND_SUM = re.compile(r"ROUND\s*\([^;]*?SUM\s*\(", re.IGNORECASE | re.DOTALL)
+# SQL leg: ROUND and SUM co-present ANYWHERE in the twin (not
+# ROUND-textually-before-SUM — review r10: a sum computed in a CTE and
+# rounded in the outer SELECT evaded the forward-only pattern). A
+# watch-list over-approximates by design.
+_SQL_ROUND = re.compile(r"\bROUND\s*\(", re.IGNORECASE)
+_SQL_SUM = re.compile(r"\bSUM\s*\(", re.IGNORECASE)
+
+
+def _round_of_sum_sql(sql: str) -> bool:
+    return bool(_SQL_ROUND.search(sql)) and bool(_SQL_SUM.search(sql))
 
 
 def test_round_of_sum_watchlist_matches_committed_file():
@@ -112,7 +128,7 @@ def test_round_of_sum_watchlist_matches_committed_file():
         name
         for name, spec in reg.items()
         if _round_of_sum_spark(unwrap_query_fn(spec.fn))
-        or (spec.oracle and _SQL_ROUND_SUM.search(spec.oracle))
+        or (spec.oracle and _round_of_sum_sql(spec.oracle))
     )
     with open(WATCHLIST) as fh:
         committed = [

@@ -77,6 +77,9 @@ def test_staleness_flags_cc_consumers_on_helper_only_change(monkeypatch):
     monkeypatch.setattr(
         rotate_window, "_git_artifact_time", lambda repo, path: 100
     )
+    monkeypatch.setattr(
+        rotate_window, "_git_const_time", lambda repo, name, rel: 1
+    )
     flagged = rotate_window.staleness()
     helper_flagged = {
         name for name, _, why in flagged if "helper" in why
@@ -90,3 +93,61 @@ def test_staleness_flags_cc_consumers_on_helper_only_change(monkeypatch):
         (name, why) for name, _, why in flagged if "helper" not in why
     ]
     assert not body_flagged, f"unexpected non-helper flags: {body_flagged}"
+
+
+def test_constants_of_resolves_shared_thresholds():
+    # review r10: helpers_of dates only FUNCTIONS, so a bumped shared
+    # threshold (JACCARD_MIN, a SCHEMAS entry) changed the plan without
+    # staling evidence — constants_of must surface those references
+    from rotate_window import constants_of
+
+    reg = _registry()
+    cases = {
+        "q_dedup_groups": (
+            "JACCARD_MIN",
+            os.path.join("frauddetection_spark", "queries", "similarity.py"),
+        ),
+        "q_scan_csv": (
+            "SCHEMAS",
+            os.path.join("frauddetection_spark", "sources", "tables.py"),
+        ),
+    }
+    for name, expected in cases.items():
+        consts = constants_of(unwrap_query_fn(reg[name].fn))
+        assert expected in consts, f"{name}: {expected} not in {consts}"
+        # and nothing outside the package leaks in (F, Window, ...)
+        assert all(
+            rel.startswith("frauddetection_spark") for _, rel in consts
+        )
+
+
+def test_staleness_flags_consumers_on_constant_only_change(monkeypatch):
+    # simulate a threshold bump: every function predates the green
+    # artifacts, but JACCARD_MIN postdates them — the scan must flag
+    # exactly the queries that reference that constant
+    from rotate_window import constants_of
+
+    jrel = os.path.join("frauddetection_spark", "queries", "similarity.py")
+
+    def fake_const_time(repo, name, rel):
+        if name == "JACCARD_MIN" and rel == jrel:
+            return 10_000
+        return 1
+
+    monkeypatch.setattr(rotate_window, "_git_func_time",
+                        lambda repo, funcname, rel: 1)
+    monkeypatch.setattr(rotate_window, "_git_const_time", fake_const_time)
+    monkeypatch.setattr(rotate_window, "_git_artifact_time",
+                        lambda repo, path: 100)
+    reg = _registry()
+    expected = {
+        name
+        for name, spec in reg.items()
+        if ("JACCARD_MIN", jrel) in constants_of(unwrap_query_fn(spec.fn))
+    }
+    assert "q_dedup_groups" in expected
+    flagged = {
+        name for name, _, why in rotate_window.staleness()
+        if "constant" in why
+    }
+    assert flagged == expected

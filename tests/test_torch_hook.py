@@ -61,12 +61,17 @@ def _golden():
 def test_numpy_forward_matches_golden():
     """The committed golden IS numpy_linear_tanh's closed form — the
     always-run anchor the torch test below compares against, so the
-    two kernels can't drift apart unnoticed."""
+    two kernels can't drift apart unnoticed. Tolerance is a few ULPs,
+    not zero: np.tanh delegates to the host libm, and a glibc update
+    moved these values by 1 ULP (~1e-17) mid-round-10 — the same
+    transcendental drift q_model_score's 6dp rounding absorbs. A
+    formula change in the kernel diverges by orders of magnitude more
+    than this bound, so the anchor still catches real drift."""
     g = _golden()
     got = numpy_linear_tanh(
         np.array(g["X"]), {"w": np.array(g["w"]), "b": g["b"]}
     )
-    assert np.allclose(got, np.array(g["expected"]), rtol=0, atol=0)
+    assert np.allclose(got, np.array(g["expected"]), rtol=0, atol=1e-12)
 
 
 def test_torch_forward_matches_golden():

@@ -690,10 +690,25 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (data_process.py:114-158 — counts, duration stats, contact
     nunique, hour distribution mode, inter-event gaps, computed
     per-user per-week in nested python loops over materialized
-    slices) as ONE declarative pass: a window for gaps, one wide
-    grouped aggregation, one mode-ranking — ~3 shuffles total on
-    (user, week), whatever the number of weeks. The shape that turns
-    a driver-RAM pandas job into a 100-TB plan."""
+    slices) as ONE declarative pass: a window for gaps, then ONE wide
+    grouped aggregation on the window's own (user, week) partitioning.
+    The hour DISTRIBUTION rides inside that aggregation as a fixed
+    24-bucket histogram (hour is a bounded domain — the dimension the
+    generic mode-via-window plan can't assume); peak_hour is the
+    histogram's first argmax (ties → lowest hour, exactly the old
+    row_number(c DESC, hour) order) and n_active_hours its non-zero
+    bucket count, both post-agg projections. r10 rewrite vs the
+    mode-ranking branch (groupBy(user, week, hour) → row_number window
+    → join back): executed plan drops 7 → 2 exchanges, 2 → 1 events
+    scans, 4 → 2 sorts, and the two-countDistinct Expand (3× rows
+    through the agg) disappears — the one remaining distinct (contact,
+    unbounded domain) plans as a two-level agg reusing the same
+    partitioning. At sf0.1 the interleaved A/B is a wash (min 1.51s vs
+    1.61s, medians equal — fixed per-query overheads dominate 7.5k
+    groups); the rewrite is adopted for the plan SHAPE: at 100 TB the
+    deleted branch is a second full scan plus two event-scale shuffles
+    and a join. The shape that turns a driver-RAM pandas job into a
+    100-TB plan."""
     e = t(spark, sf_dir, "events")
     base = e.select(
         "user_id",
@@ -712,6 +727,12 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     s1 = F.sum("cents").cast("double")
     s2 = F.sum(F.col("cents") * F.col("cents")).cast("double")
+    hour_hist = F.array(
+        *[
+            F.sum(F.when(F.col("hour") == h, 1).otherwise(0)).cast("bigint")
+            for h in range(24)
+        ]
+    )
     agg = gaps.groupBy("user_id", "week").agg(
         n.alias("n_events"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -721,7 +742,6 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error"),
         F.countDistinct("contact").alias("n_contacts"),
-        F.countDistinct("hour").alias("n_active_hours"),
         # unrounded: exact-int-derived doubles are bit-equal across
         # engines; round(x, 6) itself diverges at .5e-6 boundaries
         (s1 / n / 100).alias("value_mean"),
@@ -730,37 +750,35 @@ def q_behavioral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("gap_s").cast("bigint").alias("gap_sum"),
         F.count("gap_s").cast("bigint").alias("gap_n"),
+        hour_hist.alias("hour_hist"),
     )
-    w_mode = Window.partitionBy("user_id", "week").orderBy(
-        F.col("c").desc(), F.col("hour")
-    )
-    hour_mode = (
-        base.groupBy("user_id", "week", "hour")
-        .agg(F.count("*").alias("c"))
-        .withColumn("rn", F.row_number().over(w_mode))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "week", F.col("hour").alias("peak_hour"))
-    )
-    return (
-        agg.join(hour_mode, ["user_id", "week"])
-        .select(
-            "user_id",
-            "week",
-            "n_events",
-            "n_purchase",
-            "n_error",
-            "n_contacts",
-            "n_active_hours",
-            "value_mean",
-            "value_var",
-            "peak_hour",
-            F.when(
-                F.col("gap_n") > 0,
-                F.col("gap_sum").cast("double") / F.col("gap_n"),
-            ).otherwise(0.0).alias("mean_gap_s"),
-        )
-        .orderBy("user_id", "week")
-    )
+    return agg.select(
+        "user_id",
+        "week",
+        "n_events",
+        "n_purchase",
+        "n_error",
+        "n_contacts",
+        # count(DISTINCT hour) == non-empty histogram buckets (hour is
+        # never null); exact-int accumulation, same bigint type as the
+        # countDistinct it replaces
+        F.aggregate(
+            "hour_hist",
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + F.when(c > 0, 1).otherwise(0),
+        ).alias("n_active_hours"),
+        "value_mean",
+        "value_var",
+        # array_position returns the FIRST maximal bucket (1-based) —
+        # ties break to the lowest hour, the row_number order replaced
+        (F.array_position("hour_hist", F.array_max("hour_hist")) - 1)
+        .cast("int")
+        .alias("peak_hour"),
+        F.when(
+            F.col("gap_n") > 0,
+            F.col("gap_sum").cast("double") / F.col("gap_n"),
+        ).otherwise(0.0).alias("mean_gap_s"),
+    ).orderBy("user_id", "week")
 
 
 # ---------------------------------------------------------------------------

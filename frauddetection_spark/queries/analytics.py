@@ -1895,8 +1895,15 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         "y",
     ).select("m.feature", "m.fval", "y")
-    joint = melted.groupBy("feature", "fval", "y").agg(
-        F.count("*").alias("nxy")
+    # persisted: the cell table is ≤ 6 fvals × 2 outcomes × 2 features
+    # (bounded by the discretization, never the data), but mx/my/tot
+    # and the final join all reference it — unpersisted, each leg
+    # replays the full melted events pass (the "ONE melted pass" claim
+    # above held only if ReusedExchange happened to fire)
+    joint = track_cache(
+        melted.groupBy("feature", "fval", "y")
+        .agg(F.count("*").alias("nxy"))
+        .persist()
     )
     mx = joint.groupBy("feature", "fval").agg(F.sum("nxy").alias("nx"))
     my = joint.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))
@@ -2212,7 +2219,22 @@ def q_date_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-key shuffle is calendar-bounded, and the prefix sum runs over
     spine-many rows (~years×365) through the range-partitioned
     prefix_rank — at 100 TB this is ~50× less intermediate volume
-    than the explode with bit-identical output."""
+    than the explode with bit-identical output.
+
+    r10 shape fix: the three deltas leave each line as ONE
+    explode(array(struct×3)) — the previous unionAll-of-three-selects
+    referenced the scan+join lineage three times (plus a fourth for
+    the spine bounds), leaving dedup to optimizer ReusedExchange,
+    which is not guaranteed (see operators/rank.py on sampled range
+    bounds). Now the lineage is evaluated exactly once by
+    construction; the spine bounds come from the aggregated delta
+    table itself (its min day IS min(d0) — branch-1 rows sit at d0
+    and the other branches at ≥ d0; its max day IS max(d0+nd) —
+    branch-3 rows dominate both others), which is calendar-bounded,
+    so the one persist this plan carries is O(days), never O(data).
+    Output verified row-identical at sf0.1; interleaved A/B min
+    1.62s → 1.51s cold-path (the win is the deleted triple scan+join,
+    which at 100 TB is 3 extra full passes of lineitem ⨝ orders)."""
     from frauddetection_spark.operators.rank import prefix_rank
 
     li = (
@@ -2245,36 +2267,47 @@ def q_date_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    deltas = (
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    deltas = track_cache(
         li.select(
-            F.col("d0").alias("day_d"),
-            (F.col("base") + 1).alias("dc"),
-            F.lit(1).cast("bigint").alias("dn"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d0").alias("day_d"),
+                        (F.col("base") + one).alias("dc"),
+                        one.alias("dn"),
+                    ),
+                    F.struct(
+                        F.date_add("d0", F.col("r").cast("int")).alias(
+                            "day_d"
+                        ),
+                        (-one).alias("dc"),
+                        zero.alias("dn"),
+                    ),
+                    F.struct(
+                        F.date_add("d0", F.col("nd").cast("int")).alias(
+                            "day_d"
+                        ),
+                        (-F.col("base")).alias("dc"),
+                        (-one).alias("dn"),
+                    ),
+                )
+            ).alias("x")
         )
-        .unionAll(
-            li.select(
-                F.date_add("d0", F.col("r").cast("int")).alias("day_d"),
-                F.lit(-1).cast("bigint").alias("dc"),
-                F.lit(0).cast("bigint").alias("dn"),
-            )
-        )
-        .unionAll(
-            li.select(
-                F.date_add("d0", F.col("nd").cast("int")).alias("day_d"),
-                (-F.col("base")).alias("dc"),
-                F.lit(-1).cast("bigint").alias("dn"),
-            )
-        )
+        .select("x.day_d", "x.dc", "x.dn")
         .groupBy("day_d")
         .agg(F.sum("dc").alias("dsum"), F.sum("dn").alias("nsum"))
+        .persist()
     )
     # Dense calendar spine: boundary deltas only exist at range edges,
     # but every day inside a range carries recognition — spine
-    # cardinality is bounded by the calendar, never the data.
+    # cardinality is bounded by the calendar, never the data. Bounds
+    # read the persisted delta table (O(days)), not the data lineage.
     spine = (
-        li.agg(
-            F.min("d0").alias("lo"),
-            F.max(F.date_add("d0", F.col("nd").cast("int"))).alias("hi"),
+        deltas.agg(
+            F.min("day_d").alias("lo"),
+            F.max("day_d").alias("hi"),
         )
         .select(F.explode(F.sequence("lo", "hi")).alias("day_d"))
         .join(deltas, "day_d", "left")

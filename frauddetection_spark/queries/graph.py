@@ -905,19 +905,28 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned join + aggregate on the edge list (the same
     gather/scatter shape as q_propagate_2round); max comes from a
     broadcast single-row aggregate, never a global window."""
-    e = edges_from_events(t(spark, sf_dir, "events"))
+    from frauddetection_spark.operators.caching import track_cache
+
+    # persisted (the q_graph_jaccard und precedent): the edge build
+    # ends in a distinct SHUFFLE and feeds h1, the a2 join and the h3
+    # join — unpersisted, that shuffle replays up to three times
+    e = track_cache(
+        edges_from_events(t(spark, sf_dir, "events")).persist()
+    )
     h1 = e.groupBy("src").agg(F.count("*").alias("h"))
-    a2 = (
+    # persisted: node-sized; both the h3 gather and the full_outer
+    # below read it
+    a2 = track_cache(
         e.join(h1, "src")
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum("h").cast("bigint").alias("auth"))
+        .persist()
     )
     h3 = (
         e.join(a2, e.dst == a2.node)
         .groupBy(F.col("src").alias("hnode"))
         .agg(F.sum("auth").cast("bigint").alias("hub"))
     )
-    from frauddetection_spark.operators.caching import track_cache
 
     # persisted: the max-aggregate and the output projection both read
     # this frame; without one materialization the two join rounds run

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from frauddetection_spark.operators.caching import track_cache
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
@@ -777,7 +778,13 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token").alias("w1"),
         F.lead("token").over(w).alias("w2"),
     ).filter(F.col("w2").isNotNull())
-    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    # persisted: distinct-bigram-sized (the same order as the broadcast
+    # marginals below), but ca/cb/n and the output filter-join all
+    # reference it — unpersisted, each leg replays tokenize + lead
+    # window + count (4 full corpus passes)
+    cab = track_cache(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")).persist()
+    )
     ca = cab.groupBy("w1").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
     cb = cab.groupBy("w2").agg(F.sum("c_ab").cast("bigint").alias("c_b"))
     n = cab.agg(F.sum("c_ab").cast("bigint").alias("n_bg"))
@@ -1048,7 +1055,12 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b").isNotNull())
     )
     train = bg.filter(F.col("doc_id") % 2 == 0)
-    cab = train.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    # persisted: broadcast-sized LM table, referenced by ca, vsize and
+    # the scoring join — unpersisted, each replays the train-half
+    # tokenize + lead window + count
+    cab = track_cache(
+        train.groupBy("a", "b").agg(F.count("*").alias("cab")).persist()
+    )
     ca = cab.groupBy("a").agg(F.sum("cab").alias("ca"))
     v = cab.agg(F.count_distinct("b").alias("vsize"))
     scored = (

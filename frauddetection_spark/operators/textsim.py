@@ -190,7 +190,19 @@ def lsh_candidates(
 
     The self-join is on (band, key) — never all-pairs. Degenerate
     buckets explode quadratically; `max_bucket_size` prunes them
-    (recall loss only for docs whose every band is degenerate)."""
+    (recall loss only for docs whose every band is degenerate).
+
+    The band table is persisted here: both self-join sides (and the
+    bucket-size pruner when enabled) reference it, and Spark plans
+    them as independent subtrees — unpersisted, the upstream MinHash
+    aggregation (the dominant stage of the dedup pipeline, see
+    minhash_signatures) runs once PER SIDE (measured r10: executed
+    plan shows zero ReusedExchange across the aggregate boundary).
+    The frame is |docs|·BANDS rows of three int64s — index-sized,
+    never corpus-sized."""
+    from frauddetection_spark.operators.caching import track_cache
+
+    bands = track_cache(bands.persist())
     if max_bucket_size is not None:
         keep = (
             bands.groupBy("band", "key")

@@ -334,13 +334,16 @@ def q_jaccard_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference: contacts-this-week ∩/∪ last-week, data_process.py:
     122-129, src/utils.py:109-128). collect_set per (user, week) —
     bounded by distinct contacts, not events — then a lag over weeks.
-    The reference's O(users × weeks) python loop is one shuffle here."""
+    The reference's O(users × weeks) python loop is one shuffle here
+    (r10: collect_set dedups inside the aggregation buffer with
+    map-side partial merge, replacing the previous distinct() +
+    collect_list two-shuffle form — same sorted sets, one fewer
+    event-scale exchange)."""
     e = _counterparty(_events_with_week(spark, sf_dir))
     sets = (
         e.select("user_id", "week", "k")
-        .distinct()
         .groupBy("user_id", "week")
-        .agg(F.sort_array(F.collect_list("k")).alias("cur"))
+        .agg(F.sort_array(F.collect_set("k")).alias("cur"))
     )
     w = Window.partitionBy("user_id").orderBy("week")
     lagged = sets.withColumn("prev", F.lag("cur", 1).over(w)).filter(

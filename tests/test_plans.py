@@ -492,40 +492,13 @@ def test_common_neighbor_injected_stats_skip_probe(spark):
     assert df.count() > 0
 
 
-def test_query_construction_runs_no_jobs(spark, sf_dir):
-    """Constructing a query DataFrame must be pure plan building — no
-    Spark jobs (no eager probes, no side-effect writes, no schema
-    inference). Documented exceptions:
-    - q_join_common_neighbor: ONE-TIME memoized stats probe per sf_dir
-      (CBO pattern) — warmed before the assert;
-    - q_connected_components: iterative fixpoint, executes by nature;
-    - q_ann_lsh_ml / q_dedup_minhash_ml: MLlib .fit() is execution."""
-    iterative = {
-        "q_connected_components",
-        "q_ann_lsh_ml",
-        "q_dedup_minhash_ml",
-        "q_dedup_groups",  # connected-components step is iterative
-        "q_entity_resolution",  # connected-components step is iterative
-        "q_cluster_griddensity",  # connected-components step is iterative
-        "q_viz_projection",  # MLlib PCA .fit() is execution
-        "q_attribution_markov",  # constant-size transition-matrix collect
-        "q_dedup_semantic",  # connected-components step is iterative
-    }
-    reg = load_all()
-    # warm the memoized probe + CSV materialization outside the assert
-    reg["q_join_common_neighbor"].fn(spark, sf_dir)
-    reg["q_scan_csv"].fn(spark, sf_dir)
-    tracker = spark.sparkContext.statusTracker()
-    offenders = []
-    for name, spec in reg.items():
-        if name in iterative:
-            continue
-        before = len(tracker.getJobIdsForGroup(None))
-        spec.fn(spark, sf_dir)
-        after = len(tracker.getJobIdsForGroup(None))
-        if after != before:
-            offenders.append((name, after - before))
-    assert not offenders, f"construction triggered jobs: {offenders}"
+# NOTE (r10): the construction-is-pure-plan-building lint lives ONLY in
+# tests/test_scale_lint.py::test_zero_jobs_at_construction. This file
+# used to carry a near-duplicate (test_query_construction_runs_no_jobs)
+# that re-constructed all ~300 query DataFrames a second time — the two
+# slowest tests in the suite (122s + 89s) asserting the same invariant
+# with the scale-lint version strictly stricter (per-query assert, no
+# pre-warming; verified to pass standalone on a cold session).
 
 
 def test_join_strategy_hints_honored(spark, sf_dir):

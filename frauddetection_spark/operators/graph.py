@@ -57,10 +57,30 @@ def edges_from_events(events: DataFrame) -> DataFrame:
 
 def mirror(edges: DataFrame) -> DataFrame:
     """Undirected view: (src,dst) ∪ (dst,src), deduplicated
-    (reference: edge mirroring main.py:102-110)."""
-    return edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    (reference: edge mirroring main.py:102-110).
+
+    Explode-scatter, not a self-union (r10): the union form planned
+    its two branches as independent subtrees (no ReusedExchange), so
+    an unpersisted upstream edge pipeline executed twice — the hazard
+    the connected-components checkpoint-before-mirror comment profiled
+    at 8.5s vs 3.1s. One reference → one evaluation, whatever the
+    caller passes."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -376,11 +396,10 @@ def node_triangles(und: DataFrame) -> DataFrame:
     # tri feeds all three corner projections — persist it or the wedge
     # join replays 3× (r07 sweep)
     tri = track_cache(e1.join(e2, "y").join(e3, ["x", "z"]).persist())
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
-    )
+    # one reference, three corners (r10): the 3-branch union read the
+    # cached tri table three times; the explode credits all corners in
+    # a single map pass
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("triangles"))
 
 
@@ -396,8 +415,7 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     # sweep: 11 parquet scans in q_clustering_coeff's executed plan)
     und = track_cache(undirected_canonical(edges).persist())
     deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("degree"))
     )
@@ -544,8 +562,7 @@ def connected_components(
 
     und = mirror(ck)
     labels = (
-        und.select(F.col("src").alias("node"))
-        .union(und.select(F.col("dst").alias("node")))
+        und.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
@@ -625,8 +642,7 @@ def pagerank_integer(
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
     nodes = track_cache(
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist()
     )

@@ -250,7 +250,10 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics in decimal/HUGEINT; same bit-equal corr
     expression as q_corr_pairs. Scale: degrees are one aggregate,
     endpoint join is two key-partitioned joins on the edge list."""
-    from frauddetection_spark.operators.graph import edges_from_events
+    from frauddetection_spark.operators.graph import (
+        edges_from_events,
+        mirror,
+    )
 
     from frauddetection_spark.operators.caching import track_cache
 
@@ -260,10 +263,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # endpoint probes — persist or the edge derivation replays per
     # reference (r07 sweep: 6 parquet scans without the persists)
     und = track_cache(
-        no_self.union(
-            no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+        mirror(no_self)
         .persist()
     )
     deg = track_cache(

@@ -1479,14 +1479,23 @@ def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("us").alias("start_us"), (F.max("us") + 1).alias("end_us"))
     )
+    # both sweep boundaries from ONE reference to sess (r10): the
+    # two-branch union replayed the whole sessionize window + groupBy
+    # pipeline per branch
     b = sess.select(
-        "user_id", "session_id", F.col("start_us").alias("us"), F.lit(1).alias("delta")
-    ).unionAll(
-        sess.select(
-            "user_id", "session_id", F.col("end_us").alias("us"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "user_id",
+        "session_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_us").alias("us"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("end_us").alias("us"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("x"),
+    ).select("user_id", "session_id", "x.us", "x.delta")
     sw = prefix_rank(
         b,
         [F.col("us"), F.col("delta"), F.col("user_id"), F.col("session_id")],

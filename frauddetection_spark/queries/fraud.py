@@ -1641,13 +1641,20 @@ def q_mule_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cents("value").alias("c"),
     ).filter(F.col("k").isNotNull())
+    # scatter to both endpoints' ledgers from ONE pass (r10): the
+    # two-branch union re-ran the events scan + JSON parse per branch
     directed = base.select(
-        F.col("user_id").alias("node"), "day", F.lit(0).alias("is_in"), "c"
-    ).unionByName(
-        base.select(
-            F.col("k").alias("node"), "day", F.lit(1).alias("is_in"), "c"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("user_id").alias("node"), F.lit(0).alias("is_in")
+                ),
+                F.struct(F.col("k").alias("node"), F.lit(1).alias("is_in")),
+            )
+        ).alias("x"),
+        "day",
+        "c",
+    ).select("x.node", "day", "x.is_in", "c")
     daily = directed.groupBy("node", "day").agg(
         F.sum(F.when(F.col("is_in") == 1, F.col("c")).otherwise(0))
         .cast("bigint")
@@ -2280,9 +2287,11 @@ def q_fraud_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .filter((F.col("w") >= 3) & (F.col("src") != F.col("dst")))
     )
+    # explode-scatter, not a two-branch union: both endpoints come out
+    # of ONE reference to rep, so the scan+JSON+weight-agg lineage is
+    # evaluated once (r10 — the union form replayed it per branch)
     nodes = (
-        rep.select(F.col("src").alias("u"))
-        .unionAll(rep.select(F.col("dst").alias("u")))
+        rep.select(F.explode(F.array("src", "dst")).alias("u"))
         .distinct()
         .withColumn("in_graph", F.lit(True))
     )

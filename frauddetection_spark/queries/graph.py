@@ -15,6 +15,7 @@ from frauddetection_spark.operators.graph import (
     common_neighbor_pairs,
     degrees,
     edges_from_events,
+    mirror,
 )
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
@@ -833,10 +834,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_from_events(t(spark, sf_dir, "events"))
     no_self = e.filter(F.col("src") != F.col("dst"))
     und = (
-        no_self.union(
-            no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+        mirror(no_self)
     )
     for _ in range(KCORE_PEELS):
         und = track_cache(und.persist())
@@ -1023,10 +1021,7 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three persists, sf0.1 steady 3.3s → 2.0s and cold
     # 13.1s → 5.2s, same-session calib).
     und = track_cache(
-        no_self.union(
-            no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+        mirror(no_self)
         .persist()
     )
     deg = track_cache(
@@ -1167,10 +1162,7 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation replays per reference (r07 executed-plan audit: 10
     # parquet scans, 23 exchanges, zero reuse without the persists).
     und = track_cache(
-        no_self.union(
-            no_self.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
+        mirror(no_self)
         .persist()
     )
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
@@ -1363,8 +1355,7 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r07 sweep: 10 parquet scans / 24 exchanges in the executed plan)
     e = track_cache(edges_from_events(t(spark, sf_dir, "events")).persist())
     nodes = track_cache(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .persist()
     )
@@ -1470,8 +1461,7 @@ def q_money_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )

@@ -586,27 +586,46 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket size is bounded (TPC-H ≤ 7; at 100 TB cap or sample
     whale baskets first). Marginals and the order total join back as
     exact ints; support/lift are single double expressions identical
-    in both twins."""
+    in both twins.
+
+    Plan shape (r10 — the q_item_cf diagonal trick at order grain):
+    ONE groupBy(order) collect_set builds each basket (dedup in the
+    same shuffle); posexplode + explode(slice at i+1) emits every
+    within-basket pair INCLUDING the diagonal (p, p), so a single
+    (p1, p2) count shuffle yields pair counts (off-diagonal) AND the
+    per-part marginals n_part (diagonal), while the order total is a
+    count of the persisted basket table. The r07 form self-joined the
+    distinct incidence on the basket id — two probe-side shuffles of
+    it plus separate marginal/total aggregations. Measured at sf0.1
+    (interleaved, clean caches): steady 2.7s → 2.1s, same rows."""
     from frauddetection_spark.operators.caching import track_cache
 
-    # li is read 4× (order total, marginals, both self-join sides) —
-    # persist it or the scan+distinct replays per reference (r07 sweep)
-    li = track_cache(
+    baskets = track_cache(
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("ps")
         .persist()
     )
-    tot = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    marg = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
+    tot = baskets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    counts = track_cache(
+        baskets.select(F.posexplode("ps").alias("i", "p1"), "ps")
+        .select(
+            "p1",
+            F.explode(
+                F.slice("ps", F.col("i") + F.lit(1), F.size("ps"))
+            ).alias("p2"),
+        )
         .groupBy("p1", "p2")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
+        .persist()
+    )
+    marg = counts.filter(F.col("p1") == F.col("p2")).select(
+        F.col("p1").alias("l_partkey"), F.col("n").alias("n_part")
+    )
+    pairs = counts.filter(
+        (F.col("p1") != F.col("p2")) & (F.col("n") >= 2)
     )
     out = (
         pairs.join(

@@ -215,23 +215,34 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-week user slicing (data_process.py:90-91). Exact
     int counts; the single double (retention) is one division of ints,
     bit-equal across engines. Scale: the fact table reduces to
-    distinct (user, week) pairs FIRST (tiny vs raw events), then a
-    broadcast-sized cohort join."""
+    distinct (user, week) pairs FIRST (tiny vs raw events); the cohort
+    week attaches as a window min over the user partition (r10 — the
+    previous groupBy + join-back + separate size aggregate referenced
+    the distinct pass three times with zero ReusedExchange), and the
+    cohort size needs no extra pass at all: every user is active in
+    their own cohort week (cw = min w), so cohort_size IS n_active at
+    week_offset 0 of the persisted (cohort × offset)-sized triangle."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = t(spark, sf_dir, "events")
     base = (
         e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
     )
-    cohort = base.groupBy("user_id").agg(F.min("w").alias("cw"))
-    sized = cohort.groupBy("cw").agg(F.count("*").alias("cohort_size"))
-    act = (
-        base.join(cohort, "user_id")
-        .groupBy(
+    enriched = base.withColumn(
+        "cw", F.min("w").over(Window.partitionBy("user_id"))
+    )
+    act = track_cache(
+        enriched.groupBy(
             "cw",
             (F.datediff(F.col("w"), F.col("cw")) / 7)
             .cast("int")
             .alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+        .persist()
+    )
+    sized = act.filter(F.col("week_offset") == 0).select(
+        "cw", F.col("n_active").alias("cohort_size")
     )
     return (
         act.join(sized, "cw")

@@ -1276,7 +1276,13 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a range self-join of the raw events. The oracle states the
     same semantics as the range join DuckDB optimizes natively.
     Stickiness is one int/int IEEE division."""
-    ud = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    # ud feeds the DAU aggregate AND the 7-day fan-out, days feeds the
+    # anchor semi join AND the final join — persisted (r10), or the
+    # scan+distinct replays per reference (executed plan: 3 full
+    # evaluations, zero ReusedExchange)
+    ud = track_cache(
         t(spark, sf_dir, "events")
         .select(
             "user_id",
@@ -1285,8 +1291,11 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        .persist()
     )
-    days = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    days = track_cache(
+        ud.groupBy("day").agg(F.count("*").alias("dau")).persist()
+    )
     fan = ud.select(
         "user_id",
         F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),

@@ -1125,8 +1125,11 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hi"),
         F.max("n").alias("n"),
     )
+    # clip from the RAW projection, not from `ranked` (r10): the clip
+    # side needs no rank columns, and referencing `ranked` here re-ran
+    # the two windows a second time (zero ReusedExchange)
     clipped = (
-        ranked.select("event_type", "value")
+        e.select("event_type", "value")
         .join(F.broadcast(bounds), "event_type")
         .select(
         "event_type",

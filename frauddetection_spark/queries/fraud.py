@@ -1529,8 +1529,14 @@ def q_reciprocal_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal join matches (a→b) to (b→a) once via a < b, and the
     flag is the cross-multiplied integer predicate |ab−ba|·100 ≤
     p·(ab+ba) — the reported net_ratio double is display-only. One
-    pair-keyed self-join on the aggregated flow table."""
-    flows = (
+    pair-keyed self-join on the aggregated flow table, which is
+    persisted (r10): the self-join's two sides plan as independent
+    subtrees, so an unpersisted flow table replayed the events scan +
+    JSON parse + aggregate per side (zero ReusedExchange in the
+    executed plan)."""
+    from frauddetection_spark.operators.caching import track_cache
+
+    flows = track_cache(
         t(spark, sf_dir, "events")
         .select(
             F.col("user_id").alias("src"),
@@ -1543,6 +1549,7 @@ def q_reciprocal_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("amt"),
             F.count("*").alias("n"),
         )
+        .persist()
     )
     f, r = flows.alias("f"), flows.alias("r")
     pairs = (
@@ -2049,9 +2056,13 @@ def q_edge_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst").isNotNull())
         .distinct()
     )
-    first_seen = ew.groupBy("src", "dst").agg(F.min("week").alias("first_week"))
+    # first_week as a window min over the edge key (r10): the previous
+    # groupBy + join-back referenced ew twice, replaying the events
+    # scan + JSON parse + distinct per reference (zero ReusedExchange);
+    # the window is one shuffle on the same key the join used
+    first_seen = F.min("week").over(Window.partitionBy("src", "dst"))
     return (
-        ew.join(first_seen, ["src", "dst"])
+        ew.withColumn("first_week", first_seen)
         .groupBy(F.col("src").alias("user_id"), "week")
         .agg(
             F.count("*").alias("n_active"),

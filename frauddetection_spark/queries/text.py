@@ -643,22 +643,54 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: one tiny-domain rounding, then every downstream op —
     int products, the IEEE division by the doc-length-normalized
     denominator, the final per-term rounding — is bit-identical across
-    engines, and per-doc sums add exact ints in any order). Scale: tf
-    filters to query terms BEFORE grouping (the inverted-index
-    projection), idf (≤|terms| rows) and the 1-row corpus stats
-    broadcast; the only big shuffles are the two doc-keyed groupBys."""
+    engines, and per-doc sums add exact ints in any order). Scale:
+    dl AND the per-term tfs come out of ONE doc-keyed groupBy (the
+    query-term set is fixed and tiny, so each term is a conditional
+    sum column — r10; the previous two-groupBy form re-ran the
+    tokenize explode once per aggregate, 5 corpus passes in the
+    executed plan, zero ReusedExchange); the persisted per-doc table
+    feeds tf, dl and the 1-row corpus stats, idf (≤|terms| rows)
+    broadcasts."""
+    from frauddetection_spark.operators.caching import track_cache
+
     tok = t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(_tokens()).alias("token")
     )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    per_doc = track_cache(
+        tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum(F.when(F.col("token") == w, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"_tf{i}")
+                for i, w in enumerate(_BM25_TERMS)
+            ],
+        )
+        .persist()
+    )
+    dl = per_doc.select("doc_id", "dl")
     stats = dl.agg(
         F.sum("dl").cast("bigint").alias("dl_sum"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
     tf = (
-        tok.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(w).alias("token"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, w in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.token", "x.tf")
+        .filter(F.col("tf") > 0)
     )
     idf = (
         tf.groupBy("token")

@@ -1191,7 +1191,11 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-anti-join "no activity tomorrow" (LEFT ANTI on the
     (user, day+1) key — the NOT EXISTS decorrelation). Two shuffles on
     user, one on (day, status), at any scale."""
-    ud = (
+    from frauddetection_spark.operators.caching import track_cache
+
+    # feeds the window-marked frame AND the churn anti-join probe —
+    # persisted (r10) so the scan+distinct runs once
+    ud = track_cache(
         t(spark, sf_dir, "events")
         .select(
             "user_id",
@@ -1200,14 +1204,19 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        .persist()
     )
     w_first = Window.partitionBy("user_id")
     w_lag = Window.partitionBy("user_id").orderBy("day")
-    marked = ud.select(
-        "user_id",
-        "day",
-        F.min("day").over(w_first).alias("first_day"),
-        F.lag("day").over(w_lag).alias("prev_day"),
+    # classed AND the churn leg both read it — persisted (r10) so the
+    # two user-partitioned windows run once
+    marked = track_cache(
+        ud.select(
+            "user_id",
+            "day",
+            F.min("day").over(w_first).alias("first_day"),
+            F.lag("day").over(w_lag).alias("prev_day"),
+        ).persist()
     )
     classed = marked.select(
         "day",

@@ -435,10 +435,20 @@ def q_class_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate off the same grouped frame (Exchange reuse — no second
     scan, no unpartitioned window: the round-2 empty-partitionBy
     window form was bounded only by the group-key cardinality)."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = t(spark, sf_dir, "events")
-    c = e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.avg(F.when(F.col("value") > 150, 1.0).otherwise(0.0)).alias("high_rate"),
+    # type-sized; feeds the total AND the output — persisted (r10) so
+    # the events aggregate runs once (zero ReusedExchange before)
+    c = track_cache(
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.when(F.col("value") > 150, 1.0).otherwise(0.0)).alias(
+                "high_rate"
+            ),
+        )
+        .persist()
     )
     tot = c.agg(F.sum("n").alias("_tot"))
     return (

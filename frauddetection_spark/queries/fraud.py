@@ -677,11 +677,19 @@ def q_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (spine spans [min_h, max_h]). Scale: spine length is
     bounded by the time span, not row count; everything shuffles once
     on user_id."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = t(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "user_id",
-        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
-    ).agg(F.sum(cents("value")).alias("hour_cents"))
+    # (user x hour)-sized; feeds the bounds AND the spine join —
+    # persisted (r10) so the events aggregate runs once
+    obs = track_cache(
+        e.groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+        )
+        .agg(F.sum(cents("value")).alias("hour_cents"))
+        .persist()
+    )
     bounds = obs.groupBy("user_id").agg(
         F.min("h").alias("minh"), F.max("h").alias("maxh")
     )

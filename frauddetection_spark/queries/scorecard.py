@@ -1646,11 +1646,19 @@ def q_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     quiet days, the classic forecast-metric bug. The forecast join is
     a self-join on (type, day−7) — one shuffle on the daily grain —
     and errors are exact integer cents with two final divisions."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = t(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
-    ).agg(F.sum(cents("value")).alias("cents"))
+    # (type x day)-sized; both sides of the day-shift self-join read it
+    # — persisted (r10) so the events aggregate runs once
+    daily = track_cache(
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(cents("value")).alias("cents"))
+        .persist()
+    )
     f = daily.select(
         "event_type",
         (F.col("day") + 7).alias("day"),
@@ -1758,7 +1766,13 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("k"),
     )
     r = F.col("k").cast("double") / F.col("n")
-    rq = g.withColumn("r_q9", F.expr("(k * 1000000000) div n"))
+    from frauddetection_spark.operators.caching import track_cache
+
+    # user-sized; feeds the moment aggregate AND the output — persisted
+    # (r10) so the events aggregate runs once (zero ReusedExchange)
+    rq = track_cache(
+        g.withColumn("r_q9", F.expr("(k * 1000000000) div n")).persist()
+    )
     mom = rq.agg(
         F.count("*").alias("n_groups"),
         F.sum("r_q9").cast("bigint").alias("s_r"),

@@ -325,11 +325,14 @@ def main() -> None:
     # report, so the guard doesn't silently drop every prior round
     # (review r09: -1.0 compared unequal to all recorded sfs)
     flags: list[dict] = []
+    adjusted: dict = {}
     for line in regression_report(
         timings, calib, sf=sf if m else None, calib_scan=calib_scan,
-        flags_out=flags,
+        flags_out=flags, adjusted_out=adjusted,
     ):
         print(line, file=sys.stderr)
+    if adjusted:
+        out["host_adjusted"] = adjusted
 
     # Self-adjudicate surviving flags INSIDE the artifact, exactly as
     # the scale audit does for its own (VERDICT r09 #1/#3): every
@@ -384,6 +387,7 @@ def regression_report(
     sf: float | None = None,
     calib_scan: float | None = None,
     flags_out: list[dict] | None = None,
+    adjusted_out: dict | None = None,
 ) -> list[str]:
     """Round-over-round regression report lines: like-for-like OVERLAP
     subtotals vs EVERY prior round — a grown headline must never hide
@@ -417,7 +421,16 @@ def regression_report(
     r09 "What's wrong" #3: the driver's bench run lands after the
     final commit, so a line it prints could previously only be
     adjudicated a round later — BENCH_r09 shipped q_groupby_agg
-    flagged for a whole round when a 3-second recheck refutes it)."""
+    flagged for a whole round when a 3-second recheck refutes it).
+
+    ``adjusted_out``, when given, receives the per-query HOST-ADJUSTED
+    ratio vs the gate round (now_s / (host * prior_s)) plus the host
+    factor and prior file, so the emitted artifact is readable
+    standalone (VERDICT r10 item 3: BENCH_r10's q_rfm printed 2.37x
+    raw on a 1.35x-slower host — an honest ~1.76x — and a reader had
+    to cross-reference ADJUDICATION_r10.json to know). Report lines
+    and gate behavior are unchanged; this only surfaces the number the
+    gate already computes."""
     import glob
 
     if bench_files is None:
@@ -504,6 +517,18 @@ def regression_report(
                     f"(calib {calib}s vs {prior_calib}s, {scan_note}) "
                     "— regression gate is calib-relative"
                 )
+            if adjusted_out is not None:
+                # the number the gate compares against 2.0, per query:
+                # >1 means slower than the prior round after dividing
+                # out host drift; the artifact carries it so no reader
+                # needs a second file to interpret a raw-seconds spike
+                adjusted_out["prior_file"] = os.path.basename(pf)
+                adjusted_out["host_factor"] = round(host, 3)
+                adjusted_out["ratios"] = {
+                    name: round(timings[name] / (host * pq[name]), 2)
+                    for name in overlap
+                    if pq[name]
+                }
             for name in overlap:
                 if timings[name] > 2 * host * pq[name]:
                     lines.append(

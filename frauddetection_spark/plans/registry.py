@@ -132,58 +132,61 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # ∪ queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- helper-stale: called operator committed after latest green ---
-    "q_scan_partitioned",
-    "q_scan_jsonl",
-    "q_user_deciles",
-    "q_join_common_neighbor",
-    "q_clustering_coeff",
-    "q_connected_components",
-    "q_uniform_sample",
-    "q_metric_ap",
-    "q_ann_ivf",
-    "q_dedup_semantic",
-    "q_doc_stats_mapinpandas",
-    "q_dedup_groups",
-    "q_entity_resolution",
-    "q_skyline",
-    "q_lorenz_gini",
-    "q_ks_score",
-    "q_lift_gains",
-    "q_ks_2sample",
-    "q_percent_rank",
-    # --- evidence-age fill: remaining r02 greens, then oldest r03 ---
-    "q_string_funcs",
-    "q_text_quality",
-    "q_token_stats",
-    "q_topk",
-    "q_ts_parts",
-    "q_union_mirror",
-    "q_window_agg_transform",
-    "q_asof_attribution",
-    "q_binary_meta",
-    "q_class_rates",
-    "q_doc_chunks",
-    "q_domain_mix",
-    "q_embed_neardup",
-    "q_embed_quantize",
-    "q_fingerprint",
-    "q_funnel",
-    "q_graph_aggregate_weighted",
-    "q_histogram_norm",
-    "q_intersect",
-    "q_lag_gap",
-    "q_lang_id",
-    "q_latest_state",
-    "q_metric_auc",
-    "q_metric_prf",
-    "q_neighbor_avg_degree",
-    "q_ngrams",
-    "q_pack_sequences",
-    "q_pivot",
-    "q_profile_events",
-    "q_quality_rules",
-    "q_salted_agg",
+    # --- r11 mandatory: the 33 round-10 rewrites + helper-level
+    # consumers flagged by `rotate_window.py --staleness` (plans
+    # committed after their latest driver-green row; VERDICT r10
+    # item 1) ---
+    "q_jaccard_lag",
+    "q_behavioral_features",
+    "q_winsorize",
+    "q_concurrency",
+    "q_pagerank",
+    "q_graph_triangles",
+    "q_bfs_levels",
+    "q_kcore",
+    "q_hits",
+    "q_graph_jaccard",
+    "q_adamic_adar",
+    "q_ppr",
+    "q_money_loops",
+    "q_label_propagation",
+    "q_bm25",
+    "q_bigram_pmi",
+    "q_bigram_perplexity",
+    "q_dedup_minhash",
+    "q_minhash_est",
+    "q_retention_cohorts",
+    "q_mutual_info",
+    "q_date_spread",
+    "q_linear_interp",
+    "q_reciprocal_flows",
+    "q_mule_passthrough",
+    "q_edge_novelty",
+    "q_fraud_funnel",
+    "q_assortativity",
+    "q_growth_accounting",
+    "q_rolling_dau",
+    "q_cooccurrence",
+    "q_backtest_snaive",
+    "q_eb_shrinkage",
+    # --- evidence-age fill: oldest remaining greens (r03+) ---
+    "q_scd2_intervals",
+    "q_simhash",
+    "q_sliding_counts",
+    "q_token_regex",
+    "q_trailing_range",
+    "q_tumbling_counts",
+    "q_unpivot",
+    "q_ann_query_batch",
+    "q_anomaly_mad",
+    "q_array_stats",
+    "q_bitmap_weeks",
+    "q_csv_malformed",
+    "q_entropy",
+    "q_first_touch",
+    "q_fuzzy_match",
+    "q_join_anti",
+    "q_join_existence",
 )
 
 DRIVER_WINDOW = 50
@@ -198,7 +201,7 @@ DRIVER_WINDOW = 50
 # queues again, rotate at round START (promote the queue in the same
 # commit that bumps this marker) so the shipped tree is never red at a
 # judging snapshot.
-QUEUE_AS_OF_ROUND = 10
+QUEUE_AS_OF_ROUND = 11
 
 QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
 

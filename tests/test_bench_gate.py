@@ -266,3 +266,60 @@ def test_host_factor_line_readable_when_scan_probe_missing(tmp_path):
     host_lines = [ln for ln in lines if "host factor" in ln]
     assert host_lines and "Nones" not in host_lines[0]
     assert "scan probe unavailable" in host_lines[0]
+
+
+def test_adjusted_out_carries_per_query_host_ratios(tmp_path):
+    # VERDICT r10 item 3: the artifact must be readable standalone —
+    # per-query now/(host*prior) ratios vs the gate round, so a
+    # 2.2x-raw query on a 2x-slower host reads as the honest 1.1x
+    # without cross-referencing an adjudication file
+    prior = _bench_file(
+        tmp_path, "BENCH_r10.json", {"q_a": 1.0, "q_b": 0.5},
+        calib=0.3, calib_scan=0.2, sf=0.1,
+    )
+    adjusted = {}
+    lines = regression_report(
+        {"q_a": 2.2, "q_b": 0.5}, calib=0.6,
+        bench_files=[prior], sf=0.1, calib_scan=0.4,
+        adjusted_out=adjusted,
+    )
+    assert adjusted["prior_file"] == "BENCH_r10.json"
+    assert abs(adjusted["host_factor"] - 2.0) < 1e-6
+    assert abs(adjusted["ratios"]["q_a"] - 1.1) < 1e-6
+    assert abs(adjusted["ratios"]["q_b"] - 0.5) < 1e-6
+    # gate behavior unchanged: same lines with or without the param
+    assert regression_report(
+        {"q_a": 2.2, "q_b": 0.5}, calib=0.6,
+        bench_files=[prior], sf=0.1, calib_scan=0.4,
+    ) == lines
+    assert not any("REGRESSION" in ln for ln in lines)
+
+
+def test_adjusted_out_empty_when_gate_skipped(tmp_path):
+    # unknown current sf vs an sf-declared prior skips the per-query
+    # gate — the adjusted dict must stay empty rather than carry raw
+    # cross-sf ratios dressed up as host-adjusted
+    prior = _bench_file(
+        tmp_path, "BENCH_r10.json", {"q_a": 1.0}, calib=0.3, sf=0.1
+    )
+    adjusted = {}
+    regression_report(
+        {"q_a": 2.2}, calib=0.6, bench_files=[prior], sf=None,
+        adjusted_out=adjusted,
+    )
+    assert adjusted == {}
+
+
+def test_adjusted_out_ratios_only_against_newest_same_sf_prior(tmp_path):
+    # the ratios mirror the gate round exactly: newest SAME-SF prior,
+    # uncalibrated fallback means host 1.0 and raw ratios
+    r09 = _bench_file(tmp_path, "BENCH_r09.json", {"q_a": 0.5}, sf=0.1)
+    r10 = _bench_file(tmp_path, "BENCH_r10.json", {"q_a": 2.0}, sf=0.1)
+    adjusted = {}
+    regression_report(
+        {"q_a": 1.0}, calib=0.5, bench_files=[r09, r10], sf=0.1,
+        adjusted_out=adjusted,
+    )
+    assert adjusted["prior_file"] == "BENCH_r10.json"
+    assert adjusted["host_factor"] == 1.0
+    assert abs(adjusted["ratios"]["q_a"] - 0.5) < 1e-6

@@ -336,18 +336,18 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
 
 
 def test_window_matches_rotation_tool():
-    """The shipped round-10 _PRIORITY must equal rotate_window.py's
-    deterministic proposal for this round's mandatory set: the 19
-    helper-stale queries found by the now IMPORT-DEEP
-    `rotate_window.py --staleness` at the freeze (a called package
-    helper — prefix_rank, connected_components, duckdb_fixture,
-    document_stats, ... — committed after the query's latest green
-    artifact; VERDICT r09 item 3). Pins both the tool and the
-    staleness-first policy; future rounds update the mandatory list
-    here alongside the rotation commit. (The staleness scan itself is
-    not re-run here — it needs git history and its answer changes as
-    the round progresses; the frozen list is the input being
-    pinned.)"""
+    """The shipped round-11 _PRIORITY must equal rotate_window.py's
+    deterministic proposal for this round's mandatory set: the 33
+    queries flagged by `rotate_window.py --staleness` at the freeze —
+    the round-10 plan rewrites (q_bm25, q_cooccurrence,
+    q_behavioral_features, ...) and the helper-level consumers of the
+    rewritten operators (mirror, pagerank_integer, lsh_candidates)
+    whose plans were committed after their latest driver-green row
+    (VERDICT r10 item 1). Pins both the tool and the staleness-first
+    policy; future rounds update the mandatory list here alongside
+    the rotation commit. (The staleness scan itself is not re-run
+    here — it needs git history and its answer changes as the round
+    progresses; the frozen list is the input being pinned.)"""
     import os
     import sys
 
@@ -362,25 +362,39 @@ def test_window_matches_rotation_tool():
     )
 
     mandatory = [
-        "q_scan_partitioned",
-        "q_scan_jsonl",
-        "q_user_deciles",
-        "q_join_common_neighbor",
-        "q_clustering_coeff",
-        "q_connected_components",
-        "q_uniform_sample",
-        "q_metric_ap",
-        "q_ann_ivf",
-        "q_dedup_semantic",
-        "q_doc_stats_mapinpandas",
-        "q_dedup_groups",
-        "q_entity_resolution",
-        "q_skyline",
-        "q_lorenz_gini",
-        "q_ks_score",
-        "q_lift_gains",
-        "q_ks_2sample",
-        "q_percent_rank",
+        "q_jaccard_lag",
+        "q_behavioral_features",
+        "q_winsorize",
+        "q_concurrency",
+        "q_pagerank",
+        "q_graph_triangles",
+        "q_bfs_levels",
+        "q_kcore",
+        "q_hits",
+        "q_graph_jaccard",
+        "q_adamic_adar",
+        "q_ppr",
+        "q_money_loops",
+        "q_label_propagation",
+        "q_bm25",
+        "q_bigram_pmi",
+        "q_bigram_perplexity",
+        "q_dedup_minhash",
+        "q_minhash_est",
+        "q_retention_cohorts",
+        "q_mutual_info",
+        "q_date_spread",
+        "q_linear_interp",
+        "q_reciprocal_flows",
+        "q_mule_passthrough",
+        "q_edge_novelty",
+        "q_fraud_funnel",
+        "q_assortativity",
+        "q_growth_accounting",
+        "q_rolling_dau",
+        "q_cooccurrence",
+        "q_backtest_snaive",
+        "q_eb_shrinkage",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

@@ -522,8 +522,39 @@ def staleness() -> list[tuple[str, int, str]]:
     return flagged
 
 
+def check_window() -> list[str]:
+    """Order-of-operations gate (VERDICT r10 item 4): round 10 landed
+    plan rewrites AFTER its window rotation froze, creating 34
+    stale-evidence rows the same session that built the staleness
+    detector. This check makes that pattern a failure instead of a
+    finding: it re-runs the staleness scan and FAILS (exit 1 via main)
+    if any flagged query falls OUTSIDE the frozen ``_PRIORITY`` window
+    — i.e. a rewrite touched a plan this round's driver run will not
+    re-evidence. Run it at close-out after any plan-bearing change;
+    a non-empty result means either re-rotate the window or revert the
+    rewrite. Flags INSIDE the window are fine — the driver re-greens
+    them this round by construction."""
+    from frauddetection_spark.plans.registry import _PRIORITY
+
+    window = set(_PRIORITY)
+    outside = sorted(
+        {name for name, _rnd, _why in staleness() if name not in window}
+    )
+    if outside:
+        print(
+            "# FAIL: plan rewrites postdate evidence for queries the "
+            f"frozen window will not re-run: {outside} — re-rotate "
+            "the window (rotate_window.py --staleness) or revert"
+        )
+    else:
+        print("# OK: every staleness flag sits inside the frozen window")
+    return outside
+
+
 if __name__ == "__main__":
     if sys.argv[1:2] == ["--staleness"]:
         staleness()
+    elif sys.argv[1:2] == ["--check-window"]:
+        sys.exit(1 if check_window() else 0)
     else:
         propose(sys.argv[1:])

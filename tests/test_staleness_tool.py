@@ -151,3 +151,25 @@ def test_staleness_flags_consumers_on_constant_only_change(monkeypatch):
         if "constant" in why
     }
     assert flagged == expected
+
+
+def test_check_window_fails_only_on_flags_outside_frozen_window(monkeypatch):
+    # VERDICT r10 item 4: a plan rewrite that postdates evidence for a
+    # query the frozen window will NOT re-run must fail the close-out
+    # gate; a flag inside the window is fine (the driver re-greens it
+    # this round by construction)
+    from frauddetection_spark.plans.registry import _PRIORITY
+
+    inside = _PRIORITY[0]
+
+    monkeypatch.setattr(
+        rotate_window, "staleness", lambda: [(inside, 4, "simulated")]
+    )
+    assert rotate_window.check_window() == []
+
+    monkeypatch.setattr(
+        rotate_window,
+        "staleness",
+        lambda: [(inside, 4, "simulated"), ("q_not_in_window", 5, "sim")],
+    )
+    assert rotate_window.check_window() == ["q_not_in_window"]

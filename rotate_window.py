@@ -166,6 +166,26 @@ def unwrap_query_fn(fn):
     return fn
 
 
+def _memo_by_fn(walker):
+    """Memoize an AST walker keyed by the (long-lived, registry-held)
+    function object: ``staleness()`` walks all ~309 query functions,
+    and each test/tool invocation that calls it repeats every
+    inspect.getsource + ast.parse — the walk result is pure in the
+    function's source, which cannot change within one process."""
+    cache: dict = {}
+
+    def wrapped(fn):
+        hit = cache.get(fn)
+        if hit is None:
+            hit = cache[fn] = walker(fn)
+        return hit
+
+    wrapped.__name__ = walker.__name__
+    wrapped.__doc__ = walker.__doc__
+    return wrapped
+
+
+@_memo_by_fn
 def helpers_of(fn) -> list[tuple[str, str]]:
     """(funcname, relpath) for every package-defined function the
     query's defining function CALLS, one import-level deep (VERDICT
@@ -293,6 +313,7 @@ def _git_const_time(repo: str, name: str, rel: str) -> int:
     return _CONST_TIME_CACHE[key]
 
 
+@_memo_by_fn
 def constants_of(fn) -> list[tuple[str, str]]:
     """(const_name, definer_relpath) for every package-defined
     ALL_CAPS module-level constant the query's defining function

@@ -26,13 +26,22 @@ def docs(spark, sf_dir):
 
 
 def test_stage_accounting(docs, spark, sf_dir):
+    # persist the two shared stages and count each ONCE: unpersisted,
+    # every count() re-ran the whole upstream funnel (q twice, e twice,
+    # nd once through q+e again) — pure test wall-time, no coverage
     n0 = docs.count()
-    q = quality_gate(docs)
-    e = exact_dedup(q)
-    nd = neardup_dedup(e)
-    assert n0 >= q.count() >= e.count() >= nd.count() > 0
-    # texts are all distinct in the fixture → exact dedup drops nothing
-    assert e.count() == q.count()
+    q = quality_gate(docs).persist()
+    e = exact_dedup(q).persist()
+    try:
+        n_q, n_e = q.count(), e.count()
+        n_nd = neardup_dedup(e).count()
+        assert n0 >= n_q >= n_e >= n_nd > 0
+        # texts are all distinct in the fixture → exact dedup drops
+        # nothing
+        assert n_e == n_q
+    finally:
+        e.unpersist()
+        q.unpersist()
 
 
 def test_neardup_drops_higher_ids_of_pairs(docs, spark, sf_dir):
@@ -51,8 +60,16 @@ def test_neardup_drops_higher_ids_of_pairs(docs, spark, sf_dir):
 
 
 def test_pipeline_idempotent(docs):
-    once = prepare_corpus(docs)
-    twice = prepare_corpus(once.drop("n_tokens", "uniq_ratio", "fingerprint"))
-    assert once.count() == twice.count()
-    a = once.select("doc_id")
-    assert a.exceptAll(twice.select("doc_id")).count() == 0
+    # persist the first pass: it anchors BOTH sides (the second pass's
+    # input and the exceptAll probe), so unpersisted it re-runs the
+    # whole funnel once per action — pure test wall-time, no coverage
+    once = prepare_corpus(docs).persist()
+    try:
+        twice = prepare_corpus(
+            once.drop("n_tokens", "uniq_ratio", "fingerprint")
+        )
+        assert once.count() == twice.count()
+        a = once.select("doc_id")
+        assert a.exceptAll(twice.select("doc_id")).count() == 0
+    finally:
+        once.unpersist()

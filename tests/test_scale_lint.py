@@ -55,43 +55,12 @@ def _unpartitioned_windows(df) -> list[str]:
     return out
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_no_unpartitioned_windows(name, spark, sf_dir):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    bad = [
-        c
-        for c in _unpartitioned_windows(df)
-        if c not in BOUNDED_ORDER_COLS
-    ]
-    assert bad == [], (
-        f"{name}: unpartitioned (single-reducer) window over order "
-        f"col(s) {bad} — use operators/rank.py::prefix_rank or add the "
-        "bounded case to BOUNDED_ORDER_COLS with a justification"
-    )
-    # Piggyback on the same plan construction: no query may plan a
-    # CartesianProduct — the non-broadcast nested-loop fallback whose
-    # cost is |L|·|R| tasks at any scale. BroadcastNestedLoopJoin is
-    # fine (it exists only when one side fits the broadcast threshold
-    # — the catalog's 1-row totals / tiny literal frames); the
-    # Cartesian fallback means BOTH sides were data-sized, which is
-    # never an acceptable 100-TB shape. Verified 0 occurrences across
-    # all 309 queries when this lint landed (round 6).
-    phys = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in phys, (
-        f"{name}: CartesianProduct in the physical plan — add an equi "
-        "key, broadcast a bounded side, or bucket the pair space"
-    )
-    # Piggyback #3 (r07): LIVE file-scan budget — replayed-subtree
-    # detector. A DataFrame referenced twice without a persist replays
-    # its whole derivation per reference (q_bfs_levels planned 20 live
-    # scans before the r07 sweep; at 100 TB each replay is another
-    # full fact-table scan). Walk the physical tree WITHOUT descending
-    # into InMemoryTableScan (a cached subtree's build plan prints its
-    # scans but never re-executes): every query in the catalog plans
-    # ≤ 9 live scans after the sweep (worst: TPC-H Q2 and the
-    # 6-aggregate q_ref_integrity, both legitimately multi-table), so
-    # 10 flags any future replay regression without false positives.
+def _live_scan_count(df) -> int:
+    """Live (re-executed) file scans in the physical plan: walk WITHOUT
+    descending into InMemoryTableScan (a cached subtree's build plan
+    prints its scans but never re-executes) or ReusedExchange/
+    ReusedSubquery (executed once, replayed from shuffle files /
+    the first result — descending would double-count, ADVICE r07)."""
     live = 0
     stack = [df._jdf.queryExecution().executedPlan()]
     while stack:
@@ -99,10 +68,6 @@ def test_no_unpartitioned_windows(name, spark, sf_dir):
         cls = node.getClass().getSimpleName()
         if "InMemoryTableScan" in cls:
             continue
-        # Reused exchanges/subqueries execute ONCE and are replayed
-        # from shuffle files / the first result — zero additional scan
-        # cost; descending into them would double-count the original
-        # subtree's scans (ADVICE r07).
         if "ReusedExchange" in cls or "ReusedSubquery" in cls:
             continue
         if "FileSourceScan" in cls or "BatchScan" in cls:
@@ -118,9 +83,96 @@ def test_no_unpartitioned_windows(name, spark, sf_dir):
             stack.append(subs.apply(i))
         if cls == "AdaptiveSparkPlanExec":
             stack.append(node.initialPlan())
-    assert live <= 10, (
-        f"{name}: {live} live file scans in one plan — a "
-        "multi-referenced subtree is replaying; persist it "
+    return live
+
+
+@pytest.fixture(scope="module")
+def plan_inspections(spark, sf_dir):
+    """ONE construction-and-inspection pass over the whole catalog,
+    shared by every plan lint in this module (suite wall-time, VERDICT
+    r10 item 5: the window/cartesian/live-scan params and the
+    zero-jobs lint each re-built all ~300 plans — ~60s of duplicated
+    GIL-bound Py4J chatter per pass; a thread pool was measured NOT to
+    help). Each plan is inspected IMMEDIATELY after its own
+    construction — the registry guard releases tracked caches when a
+    DIFFERENT query constructs, so deferring inspection to the
+    parametrized tests would read plans whose InMemoryRelations were
+    already unpersisted (observed: q_attribution_shapley counted 12
+    live scans instead of its true ≤10 when inspected after the full
+    catalog pass). Storing the three verdicts (window order-cols,
+    cartesian presence, live-scan count) keeps the per-query
+    attribution in the params while paying construction once.
+
+    Also returns the set of Spark job ids launched while constructing
+    the NON-exempt queries — snapshotted twice TOTAL, not per query,
+    because each ``getJobIdsForGroup(None)`` call transfers the
+    session's full accumulated job-id array (tens of thousands of ids
+    in-suite; ~580 such transfers dominated the old standalone
+    zero-jobs lint's 238s in-suite wall). Exempt constructors
+    (ITERATIVE_FIXPOINT convergence loops, ML_FIT training) run
+    OUTSIDE the bracket; plan inspection itself plans but never runs
+    jobs."""
+    tracker = spark.sparkContext.statusTracker()
+    exempt = ITERATIVE_FIXPOINT | ML_FIT
+
+    def inspect(name):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert df is not None
+        return {
+            "unpartitioned_windows": _unpartitioned_windows(df),
+            "cartesian": "CartesianProduct"
+            in df._jdf.queryExecution().executedPlan().toString(),
+            "live_scans": _live_scan_count(df),
+        }
+
+    inspections = {}
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    for name in sorted(REGISTRY):
+        if name not in exempt:
+            inspections[name] = inspect(name)
+    construction_jobs = set(tracker.getJobIdsForGroup(None) or []) - before
+    for name in sorted(exempt & set(REGISTRY)):
+        inspections[name] = inspect(name)
+    return inspections, construction_jobs
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unpartitioned_windows(name, plan_inspections):
+    found = plan_inspections[0][name]
+    bad = [
+        c
+        for c in found["unpartitioned_windows"]
+        if c not in BOUNDED_ORDER_COLS
+    ]
+    assert bad == [], (
+        f"{name}: unpartitioned (single-reducer) window over order "
+        f"col(s) {bad} — use operators/rank.py::prefix_rank or add the "
+        "bounded case to BOUNDED_ORDER_COLS with a justification"
+    )
+    # Piggyback on the same plan construction: no query may plan a
+    # CartesianProduct — the non-broadcast nested-loop fallback whose
+    # cost is |L|·|R| tasks at any scale. BroadcastNestedLoopJoin is
+    # fine (it exists only when one side fits the broadcast threshold
+    # — the catalog's 1-row totals / tiny literal frames); the
+    # Cartesian fallback means BOTH sides were data-sized, which is
+    # never an acceptable 100-TB shape. Verified 0 occurrences across
+    # all 309 queries when this lint landed (round 6).
+    assert not found["cartesian"], (
+        f"{name}: CartesianProduct in the physical plan — add an equi "
+        "key, broadcast a bounded side, or bucket the pair space"
+    )
+    # Piggyback #3 (r07): LIVE file-scan budget — replayed-subtree
+    # detector (_live_scan_count above). A DataFrame referenced twice
+    # without a persist replays its whole derivation per reference
+    # (q_bfs_levels planned 20 live scans before the r07 sweep; at
+    # 100 TB each replay is another full fact-table scan). Every query
+    # in the catalog plans ≤ 9 live scans after the sweep (worst:
+    # TPC-H Q2 and the 6-aggregate q_ref_integrity, both legitimately
+    # multi-table), so 10 flags any future replay regression without
+    # false positives.
+    assert found["live_scans"] <= 10, (
+        f"{name}: {found['live_scans']} live file scans in one plan — "
+        "a multi-referenced subtree is replaying; persist it "
         "(track_cache) or restructure so each base relation is "
         "scanned a bounded number of times"
     )
@@ -223,20 +275,34 @@ def test_every_persist_is_tracked_or_local():
     )
 
 
-def test_zero_jobs_at_construction(spark, sf_dir):
+def test_zero_jobs_at_construction(spark, sf_dir, plan_inspections):
+    """Constructing any non-exempt query must launch ZERO Spark jobs —
+    constructors are pure plan builders (round 2's common-neighbor
+    auto path ran persist() + two probe actions at construction; stats
+    probes belong in the driver-side DuckDB catalog, actions in the
+    caller). The construction pass and its two job-id snapshots live
+    in the shared ``plan_inspections`` fixture (see its docstring for
+    the cost story); only a failure pays for the serial per-query
+    re-run that names the offending constructor."""
+    _, new = plan_inspections
+    if not new:
+        return
+    # a job fired somewhere in the batch: re-run serially to name it
     tracker = spark.sparkContext.statusTracker()
+    names = [n for n in REGISTRY if n not in ITERATIVE_FIXPOINT | ML_FIT]
     before = set(tracker.getJobIdsForGroup(None) or [])
-    for name, spec in REGISTRY.items():
-        if name in ITERATIVE_FIXPOINT | ML_FIT:
-            continue
-        df = spec.fn(spark, sf_dir)
-        assert df is not None
+    for name in names:
+        REGISTRY[name].fn(spark, sf_dir)
         after = set(tracker.getJobIdsForGroup(None) or [])
-        new = after - before
-        assert not new, (
-            f"constructing {name} launched Spark job(s) {sorted(new)} — "
-            "query constructors must be pure plan builders (move stats "
-            "probes to the driver-side catalog, defer actions to the "
-            "caller)"
+        assert not (after - before), (
+            f"constructing {name} launched Spark job(s) "
+            f"{sorted(after - before)} — query constructors must be "
+            "pure plan builders (move stats probes to the driver-side "
+            "catalog, defer actions to the caller)"
         )
         before = after
+    raise AssertionError(
+        f"batch construction launched Spark job(s) {sorted(new)} but "
+        "the serial re-run could not attribute them — flaky "
+        "constructor or a background action?"
+    )

@@ -78,6 +78,12 @@ HEADLINE = [
     # step (pair stats O(|vocab|), corpus touched once)
     "q_date_spread",
     "q_bpe_merge",
+    # round-11 addition: the iterative k-core peel — the round-11
+    # scale audit measured it as the most expensive catalog query
+    # (5.4s at sf0.01, flat 1.1x to sf0.1 = pure fixed overhead), and
+    # the windows-in-rounds rewrite that halved it deserves a tracked
+    # series so a regression back to the 26-job shape shows up here
+    "q_kcore",
     # round-6 additions (VERDICT r05 item 4): the largest TPC-H join
     # tree (Q9: part×supplier×lineitem×orders×nation with per-year
     # profit), and the item-item collaborative-filtering join — the

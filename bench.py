@@ -530,10 +530,17 @@ def regression_report(
                 # needs a second file to interpret a raw-seconds spike
                 adjusted_out["prior_file"] = os.path.basename(pf)
                 adjusted_out["host_factor"] = round(host, 3)
+                # a prior that rounded to 0.0s gets an explicit null —
+                # its ratio is undefined, but the gate below WILL flag
+                # it (now > 2*host*0), so the key must not vanish from
+                # the one field added for standalone readability
                 adjusted_out["ratios"] = {
-                    name: round(timings[name] / (host * pq[name]), 2)
+                    name: (
+                        round(timings[name] / (host * pq[name]), 2)
+                        if pq[name]
+                        else None
+                    )
                     for name in overlap
-                    if pq[name]
                 }
             for name in overlap:
                 if timings[name] > 2 * host * pq[name]:

@@ -105,29 +105,28 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
     return wrap
 
 
-# Explicit presentation order. The round driver evaluates only the FIRST
-# 50 entries of ``queries()``. Cumulative driver evidence after round 9
-# covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r09 — zero
-# hash mismatches ever recorded) plus driver rows>0 for all 10
-# rows-only queries: the contract is closed. This round-10 window is
-# STALENESS-FIRST under the now IMPORT-DEEP scan, computed by
-# rotate_window.py (the pin test below reproduces it exactly):
+# Explicit presentation order. The round driver evaluates only the
+# FIRST 50 entries of ``queries()``. Cumulative driver evidence after
+# round 10 covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r10
+# — zero hash mismatches ever recorded) plus driver rows>0 for all 10
+# rows-only queries: the contract is closed. This round-11 window is
+# STALENESS-FIRST, computed by rotate_window.py (the pin test below
+# reproduces it exactly):
 #
-# (a) slots 1-19 are the queries whose evidence a shared HELPER stales:
-#     ``rotate_window.py --staleness`` now walks one import level
-#     (VERDICT r09 item 3 — the function-level git -L scan missed the
-#     r09 connected_components gate refactor under its four unchanged
-#     consumers), and flags 19 queries whose called operators
-#     (operators/rank.py::prefix_rank, operators/graph.py::
-#     connected_components et al., sources/io.py::duckdb_fixture,
-#     functions/pandas_udfs.py::document_stats, ...) were committed
-#     after those queries' latest green artifact. All are local-green
-#     on the current tree; this is re-evidencing, not bug-hunting;
-# (b) slots 20-50 fill by EVIDENCE AGE: the seven remaining r02-latest
-#     greens, then the alphabetically-first r03-latest greens.
+# (a) slots 1-33 are the queries whose plans the round-10 reuse sweep
+#     rewrote AFTER the r10 window froze (q_bm25, q_cooccurrence,
+#     q_behavioral_features, ...) plus the helper-level consumers of
+#     the rewritten operators (operators/graph.py::mirror /
+#     pagerank_integer, operators/textsim.py::lsh_candidates) —
+#     exactly the ``--staleness`` flag set at the freeze. All are
+#     local-green on the current tree; this is re-evidencing, not
+#     bug-hunting;
+# (b) slots 34-50 fill by EVIDENCE AGE: the oldest remaining greens
+#     (r03-latest first, alphabetical within a round).
 #
-# After this round every driver-green row describes the shipped plan
-# even one helper-level deep, modulo the -L caveat in rotate_window.py.
+# Rewrites can no longer outrun a frozen window: the close-out gate
+# ``rotate_window.py --check-window`` (r11) fails if any staleness
+# flag falls outside the first DRIVER_WINDOW entries.
 # The invariant — cumulative driver evidence (past green ∪ this window
 # ∪ queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.

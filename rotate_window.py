@@ -41,6 +41,7 @@ session.
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -166,26 +167,12 @@ def unwrap_query_fn(fn):
     return fn
 
 
-def _memo_by_fn(walker):
-    """Memoize an AST walker keyed by the (long-lived, registry-held)
-    function object: ``staleness()`` walks all ~309 query functions,
-    and each test/tool invocation that calls it repeats every
-    inspect.getsource + ast.parse — the walk result is pure in the
-    function's source, which cannot change within one process."""
-    cache: dict = {}
-
-    def wrapped(fn):
-        hit = cache.get(fn)
-        if hit is None:
-            hit = cache[fn] = walker(fn)
-        return hit
-
-    wrapped.__name__ = walker.__name__
-    wrapped.__doc__ = walker.__doc__
-    return wrapped
-
-
-@_memo_by_fn
+# functools.cache on the AST walkers, keyed by the (long-lived,
+# registry-held) function object: ``staleness()`` walks all ~309 query
+# functions, and each test/tool invocation that calls it repeats every
+# inspect.getsource + ast.parse — the walk result is pure in the
+# function's source, which cannot change within one process.
+@functools.cache
 def helpers_of(fn) -> list[tuple[str, str]]:
     """(funcname, relpath) for every package-defined function the
     query's defining function CALLS, one import-level deep (VERDICT
@@ -313,7 +300,7 @@ def _git_const_time(repo: str, name: str, rel: str) -> int:
     return _CONST_TIME_CACHE[key]
 
 
-@_memo_by_fn
+@functools.cache
 def constants_of(fn) -> list[tuple[str, str]]:
     """(const_name, definer_relpath) for every package-defined
     ALL_CAPS module-level constant the query's defining function
@@ -554,10 +541,14 @@ def check_window() -> list[str]:
     re-evidence. Run it at close-out after any plan-bearing change;
     a non-empty result means either re-rotate the window or revert the
     rewrite. Flags INSIDE the window are fine — the driver re-greens
-    them this round by construction."""
-    from frauddetection_spark.plans.registry import _PRIORITY
+    them this round by construction. The window is derived the way the
+    DRIVER derives it — the first ``DRIVER_WINDOW`` entries of
+    ``load_all()`` — not from ``_PRIORITY`` directly (review r11: a
+    short _PRIORITY pads with registry order, and those implicit fill
+    slots ARE re-run this round)."""
+    from frauddetection_spark.plans.registry import DRIVER_WINDOW, load_all
 
-    window = set(_PRIORITY)
+    window = set(list(load_all())[:DRIVER_WINDOW])
     outside = sorted(
         {name for name, _rnd, _why in staleness() if name not in window}
     )

@@ -19,9 +19,15 @@ join-back).
 
 from __future__ import annotations
 
+import os
 import re
+import sys
 
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from frauddetection_spark.operators.caching import release_caches
 from frauddetection_spark.plans.registry import REGISTRY, load_all
@@ -61,17 +67,44 @@ _CONSTRUCTION_CONSUMED = {
 
 
 def _persist_backed() -> list[str]:
+    """Queries whose own source OR any called package helper (one
+    import level, same resolution as the staleness tool) contains a
+    ``track_cache`` site — a dropped persist in ``prefix_rank`` or
+    ``ivf_topk`` must fail its consumers' lint rows, not just direct
+    callers' (review r11: the hand-scan covered only the query body).
+    Granularity caveat, stated honestly: the assertion is reuse >= 1
+    per QUERY plan, so a consumer with both its own persist and a
+    helper persist can mask exactly one of the two being dropped;
+    per-frame attribution would need plan-node provenance the lint
+    doesn't have."""
+    import importlib
     import inspect
 
-    from rotate_window import unwrap_query_fn
+    from rotate_window import helpers_of, unwrap_query_fn
+
+    def has_track_cache(fn) -> bool:
+        try:
+            return "track_cache" in inspect.getsource(fn)
+        except (OSError, TypeError):
+            return False
 
     out = []
     for name, spec in sorted(REGISTRY.items()):
-        try:
-            src = inspect.getsource(unwrap_query_fn(spec.fn))
-        except (OSError, TypeError):
+        if name in _CONSTRUCTION_CONSUMED:
             continue
-        if "track_cache" in src and name not in _CONSTRUCTION_CONSUMED:
+        fn = unwrap_query_fn(spec.fn)
+        hit = has_track_cache(fn)
+        if not hit:
+            for hname, hrel in helpers_of(fn):
+                mod = hrel.replace(os.sep, ".").removesuffix(".py")
+                try:
+                    helper = getattr(importlib.import_module(mod), hname)
+                except (ImportError, AttributeError):
+                    continue
+                if has_track_cache(helper):
+                    hit = True
+                    break
+        if hit:
             out.append(name)
     return out
 
@@ -84,9 +117,12 @@ def test_persist_backed_set_is_nonempty_and_mechanical():
     # lint was built for — an empty or shrunken-by-accident set would
     # silently disable the whole lint
     for expected in ("q_bm25", "q_rolling_dau", "q_cooccurrence",
-                     "q_dedup_minhash", "q_rfm", "q_item_cf"):
+                     "q_dedup_minhash", "q_rfm", "q_item_cf",
+                     # helper-level persists (prefix_rank, pq_topk,
+                     # pagerank_integer) must pull their consumers in
+                     "q_user_deciles", "q_ann_pq", "q_pagerank"):
         assert expected in _PERSIST_BACKED
-    assert len(_PERSIST_BACKED) >= 40
+    assert len(_PERSIST_BACKED) >= 60
 
 
 @pytest.mark.parametrize("name", _PERSIST_BACKED)

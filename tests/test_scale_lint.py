@@ -287,12 +287,18 @@ def test_zero_jobs_at_construction(spark, sf_dir, plan_inspections):
     _, new = plan_inspections
     if not new:
         return
-    # a job fired somewhere in the batch: re-run serially to name it
+    # A job fired somewhere in the batch: re-run serially to name it.
+    # The re-run repeats the SAME work the fixture bracketed —
+    # construct AND inspect (physical planning included) — so a job
+    # launched by either step attributes to its query (review r11).
     tracker = spark.sparkContext.statusTracker()
     names = [n for n in REGISTRY if n not in ITERATIVE_FIXPOINT | ML_FIT]
     before = set(tracker.getJobIdsForGroup(None) or [])
     for name in names:
-        REGISTRY[name].fn(spark, sf_dir)
+        df = REGISTRY[name].fn(spark, sf_dir)
+        _unpartitioned_windows(df)
+        df._jdf.queryExecution().executedPlan().toString()
+        _live_scan_count(df)
         after = set(tracker.getJobIdsForGroup(None) or [])
         assert not (after - before), (
             f"constructing {name} launched Spark job(s) "
@@ -303,6 +309,9 @@ def test_zero_jobs_at_construction(spark, sf_dir, plan_inspections):
         before = after
     raise AssertionError(
         f"batch construction launched Spark job(s) {sorted(new)} but "
-        "the serial re-run could not attribute them — flaky "
-        "constructor or a background action?"
+        "the serial re-run could not attribute them — most likely a "
+        "ONE-SHOT job absorbed by session state on first construction "
+        "(e.g. InMemoryFileIndex parallel listing, cached afterwards); "
+        "bisect by running the fixture pass on a fresh session with a "
+        "subset of names"
     )

@@ -134,9 +134,10 @@ def scale_audit() -> None:
     growth — the harness that catches super-linear scale bombs (the
     q_adamic_adar wedge join grew 28× across a 100× data step while
     every healthy query grew <4×; this mode finds the next one BEFORE
-    a cluster does). Audits ALL oracle-backed queries by default, or
-    the names given. Growth is measured min-of-2 at each sf; flag
-    line printed for ratio > AUDIT_FLAG_RATIO."""
+    a cluster does). Audits ALL declared queries by default (oracle
+    and rows-only — growth needs only a count), or the names given.
+    Growth is measured min-of-2 at each sf; flag line printed for
+    ratio > AUDIT_FLAG_RATIO."""
     lo_dir = os.environ.get("SPARK_GRAFT_AUDIT_LO", "/root/testdata/sf0.01")
     hi_dir = os.environ.get("SPARK_GRAFT_AUDIT_HI", "/root/testdata/sf0.1")
     flag_ratio = float(os.environ.get("SPARK_GRAFT_AUDIT_FLAG", "6.0"))
@@ -167,8 +168,11 @@ def scale_audit() -> None:
     for name, spec in registry.items():
         if names is not None and name not in names:
             continue
-        if names is None and spec.oracle is None:
-            continue
+        # rows-only queries (spec.oracle is None) are audited too —
+        # growth ratios need only a count(), not a twin (r11: the ten
+        # rows-only queries had never been growth-audited because this
+        # loop skipped them; all measured healthy, worst 2.4x, in
+        # SCALE_AUDIT_r11_rowsonly.json)
         try:
             per_sf = _min2_per_sf(spec.fn)
         except Exception as e:  # noqa: BLE001 — audit must not die mid-sweep

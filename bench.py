@@ -321,7 +321,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    out = {
+    core = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -330,6 +330,7 @@ def main() -> None:
         "calib_sec": calib,
         "calib_scan_sec": calib_scan,
     }
+    optional: dict = {}
 
     # unparseable sf dir (-1.0 sentinel in the JSON) → sf=None to the
     # report, so the guard doesn't silently drop every prior round
@@ -342,7 +343,7 @@ def main() -> None:
     ):
         print(line, file=sys.stderr)
     if adjusted:
-        out["host_adjusted"] = adjusted
+        optional["host_adjusted"] = adjusted
 
     # Self-adjudicate surviving flags INSIDE the artifact, exactly as
     # the scale audit does for its own (VERDICT r09 #1/#3): every
@@ -354,14 +355,28 @@ def main() -> None:
     # JSON records sweep time, recheck time, and the verdict, so the
     # shipped artifact reflects adjudicated reality.
     if flags:
+        to_check, capped = select_rechecks(flags)
         adjud = {}
-        for fl in flags:
+        for fl in capped:
+            adjud[fl["name"]] = {
+                "sweep_s": fl["now_s"],
+                "prior_s": fl["prior_s"],
+                "prior_file": fl["prior_file"],
+                "host": fl["host"],
+                "band": fl.get("band", "regression"),
+                "verdict": "recheck_capped",
+            }
+            print(f"# recheck {fl['name']}: skipped — beyond the "
+                  f"{RECHECK_CAP}-recheck cap (flag kept, unadjudicated)",
+                  file=sys.stderr)
+        for fl in to_check:
             release_caches()
             entry = {
                 "sweep_s": fl["now_s"],
                 "prior_s": fl["prior_s"],
                 "prior_file": fl["prior_file"],
                 "host": fl["host"],
+                "band": fl.get("band", "regression"),
             }
             try:
                 best, _ = _min3_wall(registry[fl["name"]].fn, spark, sf_dir)
@@ -377,17 +392,86 @@ def main() -> None:
                       "flag kept UNADJUDICATED", file=sys.stderr)
                 continue
             release_caches()
-            refuted = best <= 2 * fl["host"] * fl["prior_s"]
+            # three-way verdict (VERDICT r11 item 2): the standalone
+            # number re-banded against the same gate — <=1.5x refutes
+            # the flag outright, (1.5, 2] is real-but-sub-regression
+            # drift, >2x confirms a regression
+            denom = fl["host"] * fl["prior_s"]
             entry["recheck_s"] = round(best, 3)
-            entry["verdict"] = "refuted" if refuted else "confirmed"
+            if best <= 1.5 * denom:
+                entry["verdict"] = "refuted"
+            elif best <= 2 * denom:
+                entry["verdict"] = "elevated"
+            else:
+                entry["verdict"] = "confirmed"
             adjud[fl["name"]] = entry
             print(
                 f"# recheck {fl['name']}: {best:.3f}s standalone — "
-                f"flag {'REFUTED' if refuted else 'CONFIRMED'}",
+                f"flag {entry['verdict'].upper()}",
                 file=sys.stderr,
             )
-        out["regressions"] = adjud
-    print(json.dumps(out))
+        optional["regressions"] = adjud
+    print(json.dumps(order_payload(core, optional)))
+
+
+RECHECK_CAP = 8
+
+
+def select_rechecks(flags: list[dict], cap: int = RECHECK_CAP) -> tuple[list[dict], list[dict]]:
+    """Split gate flags into (recheck now, capped) — the worst ``cap``
+    by host-adjusted ratio get a standalone recheck, the rest are
+    recorded verdict="recheck_capped" so the artifact never silently
+    drops an elevated query. Bounds recheck wall-time when a sick host
+    flags half the headline (each recheck is min-of-3 runs)."""
+    def ratio(fl: dict) -> float:
+        denom = fl["host"] * fl["prior_s"]
+        return fl["now_s"] / denom if denom else float("inf")
+
+    ranked = sorted(flags, key=ratio, reverse=True)
+    return ranked[:cap], ranked[cap:]
+
+
+def order_payload(core: dict, optional: dict) -> dict:
+    """Emission order for the ONE stdout JSON line: big optional
+    blocks (host_adjusted ratios, recheck verdicts) FIRST, the compact
+    gate record (metric/value/queries/sf/calib) LAST. The round driver
+    keeps only the last ~2000 chars of output — BENCH_r11's line
+    outgrew that and the driver recorded parsed=null with the queries
+    dict amputated (VERDICT r11 item 4). With this order a truncated
+    tail still ends in the complete compact record, which
+    _prior_from_tail() recovers."""
+    return {**optional, **core}
+
+
+def _prior_from_tail(tail: str) -> dict | None:
+    """Recover a gate-usable prior from a driver-truncated artifact.
+
+    The round driver keeps only the LAST ~2000 chars of bench stdout;
+    when the JSON line outgrew that (BENCH_r11: host_adjusted ratios +
+    recheck verdicts), the driver recorded ``"parsed": null`` plus the
+    tail — and the r12 gate crashed on ``None.get``. main() now emits
+    the big optional blocks FIRST and the compact gate record
+    (queries/sf/calib) LAST, so any tail slice that still contains the
+    complete ``"queries": {...}`` object reconstructs here. Returns
+    None when the queries object itself was amputated (BENCH_r11's
+    pre-reorder tail) — the caller skips that prior with a note."""
+    idx = tail.rfind('"queries": {')
+    if idx < 0:
+        return None
+    dec = json.JSONDecoder()
+    try:
+        queries, end = dec.raw_decode(tail, idx + len('"queries": '))
+    except ValueError:
+        return None
+    if not isinstance(queries, dict) or not queries:
+        return None
+    out: dict = {"queries": queries}
+    rest = tail[end:]
+    for key in ("sf", "calib_sec", "calib_scan_sec"):
+        m = re.search(rf'"{key}": (null|-?[\d.]+)', rest)
+        if m and m.group(1) != "null":
+            out[key] = float(m.group(1))
+    return out
 
 
 def regression_report(
@@ -402,8 +486,11 @@ def regression_report(
     """Round-over-round regression report lines: like-for-like OVERLAP
     subtotals vs EVERY prior round — a grown headline must never hide
     per-query drift inside a "total grew" narrative (VERDICT r3 item
-    3). The >2x per-query gate (newest prior round only) is
-    CALIB-RELATIVE when both rounds carry calib_sec (VERDICT r6 item
+    3). The per-query gate (newest prior round only) flags two
+    bands — >2x host-adjusted is a REGRESSION, (1.5, 2] is ELEVATED
+    (VERDICT r11 item 2: the 1.5-2x band used to leave the round with
+    no in-artifact adjudication) — and is CALIB-RELATIVE when both
+    rounds carry calib_sec (VERDICT r6 item
     2: BENCH_r06 recorded three false regressions because its host ran
     ~1.8x slower than round 5's — q_dedup_minhash "3.45s vs 0.87s" was
     refuted by the same round's scale audit at 1.66s). The host factor
@@ -425,8 +512,8 @@ def regression_report(
     (r01-r05). Factored out of main() so the gate itself is
     unit-testable without a Spark session (tests/test_bench_gate.py).
 
-    ``flags_out``, when given, receives one dict per REGRESSION line
-    ({name, now_s, prior_s, prior_file, host}) so the caller can
+    ``flags_out``, when given, receives one dict per flag line
+    ({name, now_s, prior_s, prior_file, host, band}) so the caller can
     adjudicate each flag standalone INSIDE the same artifact (VERDICT
     r09 "What's wrong" #3: the driver's bench run lands after the
     final commit, so a line it prints could previously only be
@@ -454,14 +541,38 @@ def regression_report(
     # newest SAME-SF prior, not silently vanish because the newest
     # artifact happens to be a different-sf run (review r09).
     eligible: list[tuple[str, dict]] = []
+    lines: list[str] = []
     for pf in bench_files:
         try:
             with open(pf) as f:
                 prior = json.load(f)
         except (OSError, ValueError):
             continue
-        # driver wraps our JSON line under "parsed"
-        prior = prior.get("parsed", prior)
+        if not isinstance(prior, dict):
+            continue
+        # driver wraps our JSON line under "parsed"; a line that
+        # outgrew the driver's 2000-char tail arrives as
+        # "parsed": null (BENCH_r11) — recover the compact gate record
+        # from the tail if the queries object survived truncation,
+        # else skip the round WITH A NOTE (never crash the bench)
+        parsed = prior.get("parsed", prior)
+        if isinstance(parsed, dict):
+            prior = parsed
+        else:
+            recovered = _prior_from_tail(prior.get("tail") or "")
+            if recovered is None:
+                lines.append(
+                    f"# prior {pf} unusable: driver-truncated line "
+                    "(parsed=null) and no complete queries object in "
+                    "the tail — excluded from overlap/gate"
+                )
+                continue
+            lines.append(
+                f"# prior {pf}: recovered "
+                f"{len(recovered['queries'])} query timings from the "
+                "driver-truncated tail"
+            )
+            prior = recovered
         prior_sf = prior.get("sf")
         # -1.0 is the sentinel main() WRITES for an unparseable sf dir
         # (review r10): normalize it back to "unknown" here, or a pair
@@ -474,7 +585,6 @@ def regression_report(
         if sf is not None and prior_sf is not None and prior_sf != sf:
             continue
         eligible.append((pf, prior))
-    lines: list[str] = []
     for pf, prior in eligible:
         pq = prior.get("queries", {})
         overlap = [n for n in timings if n in pq]
@@ -535,9 +645,12 @@ def regression_report(
                 adjusted_out["prior_file"] = os.path.basename(pf)
                 adjusted_out["host_factor"] = round(host, 3)
                 # a prior that rounded to 0.0s gets an explicit null —
-                # its ratio is undefined, but the gate below WILL flag
-                # it (now > 2*host*0), so the key must not vanish from
-                # the one field added for standalone readability
+                # its ratio is undefined, but the gate below flags it
+                # whenever the CURRENT timing is nonzero
+                # (now > 1.5*host*0); a 0.0-vs-0.0 pair stays silent —
+                # both rounds are sub-resolution, nothing to adjudicate
+                # (ADVICE r11). Either way the key must not vanish from
+                # the one field added for standalone readability.
                 adjusted_out["ratios"] = {
                     name: (
                         round(timings[name] / (host * pq[name]), 2)
@@ -546,21 +659,33 @@ def regression_report(
                     )
                     for name in overlap
                 }
+            # Two flag bands (VERDICT r11 item 2: BENCH_r11 left five
+            # queries in the 1.5-2x host-adjusted band with no
+            # in-artifact standalone adjudication because only >2x
+            # triggered a recheck): >2x keeps the REGRESSION label,
+            # (1.5, 2] is ELEVATED — both enter flags_out so main()
+            # rechecks them in the same artifact.
             for name in overlap:
-                if timings[name] > 2 * host * pq[name]:
-                    lines.append(
-                        f"# REGRESSION {name}: {timings[name]}s vs "
-                        f"{pq[name]}s in {pf} "
-                        f"(>2x at host factor {host:.2f})"
-                    )
-                    if flags_out is not None:
-                        flags_out.append({
-                            "name": name,
-                            "now_s": timings[name],
-                            "prior_s": pq[name],
-                            "prior_file": pf,
-                            "host": round(host, 3),
-                        })
+                now = timings[name]
+                if now <= 1.5 * host * pq[name]:
+                    continue
+                regression = now > 2 * host * pq[name]
+                band = "REGRESSION" if regression else "ELEVATED"
+                lines.append(
+                    f"# {band} {name}: {now}s vs "
+                    f"{pq[name]}s in {pf} "
+                    f"(>{'2' if regression else '1.5'}x at host "
+                    f"factor {host:.2f})"
+                )
+                if flags_out is not None:
+                    flags_out.append({
+                        "name": name,
+                        "now_s": now,
+                        "prior_s": pq[name],
+                        "prior_file": pf,
+                        "host": round(host, 3),
+                        "band": band.lower(),
+                    })
     return lines
 
 

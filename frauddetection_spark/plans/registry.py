@@ -107,85 +107,79 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 # Explicit presentation order. The round driver evaluates only the
 # FIRST 50 entries of ``queries()``. Cumulative driver evidence after
-# round 10 covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r10
+# round 11 covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r11
 # — zero hash mismatches ever recorded) plus driver rows>0 for all 10
-# rows-only queries: the contract is closed. This round-11 window is
-# STALENESS-FIRST, computed by rotate_window.py (the pin test below
-# reproduces it exactly):
+# rows-only queries: the contract is closed. This round-12 window is
+# pure EVIDENCE-FRESHNESS rotation, computed by rotate_window.py (the
+# pin test below reproduces it exactly):
 #
-# (a) slots 1-33 are the queries whose plans the round-10 reuse sweep
-#     rewrote AFTER the r10 window froze (q_bm25, q_cooccurrence,
-#     q_behavioral_features, ...) plus the helper-level consumers of
-#     the rewritten operators (operators/graph.py::mirror /
-#     pagerank_integer, operators/textsim.py::lsh_candidates) —
-#     exactly the ``--staleness`` flag set at the freeze. All are
-#     local-green on the current tree; this is re-evidencing, not
-#     bug-hunting;
-# (b) slots 34-50 fill by EVIDENCE AGE: the oldest remaining greens
-#     (r03-latest first, alphabetical within a round).
+# - ``rotate_window.py --staleness`` at the r12 freeze flagged NOTHING
+#   (every r11 rewrite — k-core window-peel, corpus-funnel persist —
+#   sat inside the r11 window and was driver-re-evidenced in
+#   CORRECTNESS_r11.json), so there is no mandatory list this round;
+# - all 50 slots fill by EVIDENCE AGE: the oracle queries whose latest
+#   green row is oldest (23 names last green in r04, 27 in r05;
+#   alphabetical within a round).
 #
-# Rewrites can no longer outrun a frozen window: the close-out gate
+# Rewrites cannot outrun a frozen window: the close-out gate
 # ``rotate_window.py --check-window`` (r11) fails if any staleness
 # flag falls outside the first DRIVER_WINDOW entries.
 # The invariant — cumulative driver evidence (past green ∪ this window
 # ∪ queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- r11 mandatory: the 33 round-10 rewrites + helper-level
-    # consumers flagged by `rotate_window.py --staleness` (plans
-    # committed after their latest driver-green row; VERDICT r10
-    # item 1) ---
-    "q_jaccard_lag",
-    "q_behavioral_features",
-    "q_winsorize",
-    "q_concurrency",
-    "q_pagerank",
-    "q_graph_triangles",
-    "q_bfs_levels",
-    "q_kcore",
-    "q_hits",
-    "q_graph_jaccard",
-    "q_adamic_adar",
-    "q_ppr",
-    "q_money_loops",
-    "q_label_propagation",
-    "q_bm25",
-    "q_bigram_pmi",
-    "q_bigram_perplexity",
-    "q_dedup_minhash",
-    "q_minhash_est",
-    "q_retention_cohorts",
-    "q_mutual_info",
-    "q_date_spread",
-    "q_linear_interp",
-    "q_reciprocal_flows",
-    "q_mule_passthrough",
-    "q_edge_novelty",
-    "q_fraud_funnel",
-    "q_assortativity",
-    "q_growth_accounting",
-    "q_rolling_dau",
-    "q_cooccurrence",
-    "q_backtest_snaive",
-    "q_eb_shrinkage",
-    # --- evidence-age fill: oldest remaining greens (r03+) ---
-    "q_scd2_intervals",
-    "q_simhash",
-    "q_sliding_counts",
-    "q_token_regex",
-    "q_trailing_range",
-    "q_tumbling_counts",
-    "q_unpivot",
-    "q_ann_query_batch",
-    "q_anomaly_mad",
-    "q_array_stats",
-    "q_bitmap_weeks",
-    "q_csv_malformed",
-    "q_entropy",
-    "q_first_touch",
-    "q_fuzzy_match",
-    "q_join_anti",
-    "q_join_existence",
+    # --- evidence-age fill: the 23 queries last green in r04 ---
+    "q_join_full_outer",
+    "q_join_inner",
+    "q_join_salted",
+    "q_join_semi",
+    "q_json_flatten",
+    "q_knn_cosine",
+    "q_map_roundtrip",
+    "q_mode",
+    "q_moving_avg",
+    "q_multiscale_features",
+    "q_pandas_udf_grouped_agg",
+    "q_pandas_udf_tokens",
+    "q_pct_change",
+    "q_pii_redact",
+    "q_posexplode",
+    "q_running_distinct",
+    "q_scan_orc",
+    "q_skew_kurtosis",
+    "q_stream_join",
+    "q_trend_slope",
+    "q_two_level_agg",
+    "q_union_by_name",
+    "q_weighted_median",
+    # --- the 27 queries last green in r05 ---
+    "q_autocorr",
+    "q_benford",
+    "q_bootstrap_means",
+    "q_burstiness",
+    "q_cep_3step",
+    "q_chisq_cells",
+    "q_class_balance",
+    "q_corr_pairs",
+    "q_cusum_daily",
+    "q_decay_score",
+    "q_double_swipe",
+    "q_ewma",
+    "q_funnel_paths",
+    "q_lateral_topk",
+    "q_markov_transitions",
+    "q_merge_upsert",
+    "q_negative_sampling",
+    "q_ohlc_hourly",
+    "q_psi",
+    "q_python_udtf",
+    "q_repetition_ratio",
+    "q_reservoir_group",
+    "q_rle_islands",
+    "q_scan_xml",
+    "q_skew_probe",
+    "q_survival_km",
+    "q_target_encode",
 )
 
 DRIVER_WINDOW = 50
@@ -200,7 +194,7 @@ DRIVER_WINDOW = 50
 # queues again, rotate at round START (promote the queue in the same
 # commit that bumps this marker) so the shipped tree is never red at a
 # judging snapshot.
-QUEUE_AS_OF_ROUND = 11
+QUEUE_AS_OF_ROUND = 12
 
 QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
 

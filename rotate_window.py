@@ -173,7 +173,7 @@ def unwrap_query_fn(fn):
 # inspect.getsource + ast.parse — the walk result is pure in the
 # function's source, which cannot change within one process.
 @functools.cache
-def helpers_of(fn) -> list[tuple[str, str]]:
+def helpers_of(fn) -> tuple[tuple[str, str], ...]:
     """(funcname, relpath) for every package-defined function the
     query's defining function CALLS, one import-level deep (VERDICT
     r09 item 3: function-level ``git log -L`` dates the query body
@@ -202,7 +202,7 @@ def helpers_of(fn) -> list[tuple[str, str]]:
         src = textwrap.dedent(inspect.getsource(fn))
         tree = ast.parse(src)
     except (OSError, TypeError, SyntaxError):
-        return []
+        return ()
 
     # Decorators are Call nodes in the function's source but are not
     # part of the built plan (the registration decorator would
@@ -272,7 +272,7 @@ def helpers_of(fn) -> list[tuple[str, str]]:
         holder = local.get(modnm, g.get(modnm))
         if isinstance(holder, types.ModuleType):
             consider(getattr(holder, attr, None))
-    return sorted(out)
+    return tuple(sorted(out))
 
 
 _CONST_RE = re.compile(r"^[A-Z][A-Z0-9_]*$")
@@ -301,7 +301,7 @@ def _git_const_time(repo: str, name: str, rel: str) -> int:
 
 
 @functools.cache
-def constants_of(fn) -> list[tuple[str, str]]:
+def constants_of(fn) -> tuple[tuple[str, str], ...]:
     """(const_name, definer_relpath) for every package-defined
     ALL_CAPS module-level constant the query's defining function
     references (review r10: ``helpers_of`` dates only FUNCTIONS, so
@@ -331,7 +331,7 @@ def constants_of(fn) -> list[tuple[str, str]]:
         with open(mod_file) as fh:
             mod_tree = ast.parse(fh.read())
     except (OSError, TypeError, SyntaxError):
-        return []
+        return ()
     for node in ast.walk(tree):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             node.decorator_list = []
@@ -404,7 +404,7 @@ def constants_of(fn) -> list[tuple[str, str]]:
             f = os.path.abspath(f) if f else None
             if in_pkg(f) and not callable(getattr(holder, attr, None)):
                 out.add((attr, os.path.relpath(f, repo)))
-    return sorted(out)
+    return tuple(sorted(out))
 
 
 def staleness() -> list[tuple[str, int, str]]:
@@ -549,14 +549,27 @@ def check_window() -> list[str]:
     from frauddetection_spark.plans.registry import DRIVER_WINDOW, load_all
 
     window = set(list(load_all())[:DRIVER_WINDOW])
-    outside = sorted(
-        {name for name, _rnd, _why in staleness() if name not in window}
-    )
+    flags = {
+        name: why
+        for name, _rnd, why in staleness()
+        if name not in window
+    }
+    outside = sorted(flags)
     if outside:
+        # ADVICE r11: not every flag kind means "rewrite postdates
+        # evidence" — a never-evidenced new query or an uncommitted
+        # artifact carries a different remediation. Group by cause so
+        # the FAIL message matches the actual flag class.
+        print("# FAIL: staleness flags outside the frozen window:")
+        for name in outside:
+            print(f"#   {name}: {flags[name]}")
         print(
-            "# FAIL: plan rewrites postdate evidence for queries the "
-            f"frozen window will not re-run: {outside} — re-rotate "
-            "the window (rotate_window.py --staleness) or revert"
+            "# remediation by cause: 'never driver-evidenced' → add "
+            "the new query to the window or QUEUED_NEXT_WINDOW; "
+            "'uncommitted — staleness unknown' → commit the artifact "
+            "and re-run; otherwise the plan was rewritten after its "
+            "green row → re-rotate (rotate_window.py --staleness) or "
+            "revert the rewrite"
         )
     else:
         print("# OK: every staleness flag sits inside the frozen window")

@@ -323,3 +323,150 @@ def test_adjusted_out_ratios_only_against_newest_same_sf_prior(tmp_path):
     assert adjusted["prior_file"] == "BENCH_r10.json"
     assert adjusted["host_factor"] == 1.0
     assert abs(adjusted["ratios"]["q_a"] - 0.5) < 1e-6
+
+
+# ---- round 12: elevated band, recheck cap, truncation-proofing ----
+
+from bench import (  # noqa: E402
+    _prior_from_tail,
+    order_payload,
+    select_rechecks,
+)
+
+
+def test_elevated_band_flagged_between_1p5_and_2x(tmp_path):
+    # VERDICT r11 item 2: BENCH_r11 left 1.5-2x host-adjusted ratios
+    # (q_item_cf 1.76, q_sparse_cosine 1.87, ...) with no in-artifact
+    # adjudication because only >2x triggered a flag
+    prior = _bench_file(tmp_path, "BENCH_r11.json", {"q_a": 1.0}, calib=0.5)
+    flags: list[dict] = []
+    lines = regression_report(
+        {"q_a": 1.7}, calib=0.5, bench_files=[prior], flags_out=flags
+    )
+    assert any(ln.startswith("# ELEVATED q_a") for ln in lines)
+    assert not any("REGRESSION" in ln for ln in lines)
+    assert flags and flags[0]["band"] == "elevated"
+
+
+def test_regression_band_keeps_its_label(tmp_path):
+    prior = _bench_file(tmp_path, "BENCH_r11.json", {"q_a": 1.0}, calib=0.5)
+    flags: list[dict] = []
+    lines = regression_report(
+        {"q_a": 2.5}, calib=0.5, bench_files=[prior], flags_out=flags
+    )
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+    assert flags[0]["band"] == "regression"
+
+
+def test_below_1p5_not_flagged(tmp_path):
+    prior = _bench_file(tmp_path, "BENCH_r11.json", {"q_a": 1.0}, calib=0.5)
+    lines = regression_report({"q_a": 1.4}, calib=0.5, bench_files=[prior])
+    assert not any("ELEVATED" in ln or "REGRESSION" in ln for ln in lines)
+
+
+def test_select_rechecks_caps_at_worst_n():
+    flags = [
+        {"name": f"q_{i}", "now_s": float(i), "prior_s": 1.0, "host": 1.0}
+        for i in range(1, 13)
+    ]
+    check, capped = select_rechecks(flags, cap=8)
+    # worst ratios (12x .. 5x) get the recheck, the mildest 4 are capped
+    assert [f["name"] for f in check] == [f"q_{i}" for i in range(12, 4, -1)]
+    assert {f["name"] for f in capped} == {"q_1", "q_2", "q_3", "q_4"}
+
+
+def test_select_rechecks_zero_prior_ranks_first():
+    flags = [
+        {"name": "q_small", "now_s": 3.0, "prior_s": 1.0, "host": 1.0},
+        {"name": "q_zero", "now_s": 0.1, "prior_s": 0.0, "host": 1.0},
+    ]
+    check, capped = select_rechecks(flags, cap=1)
+    assert check[0]["name"] == "q_zero" and capped[0]["name"] == "q_small"
+
+
+def _emitted_line(queries, sf=0.1, calib=0.5, calib_scan=0.25,
+                  host_adjusted=None, regressions=None):
+    core = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "calib_sec": calib,
+        "calib_scan_sec": calib_scan,
+    }
+    optional = {}
+    if host_adjusted:
+        optional["host_adjusted"] = host_adjusted
+    if regressions:
+        optional["regressions"] = regressions
+    return json.dumps(order_payload(core, optional))
+
+
+def test_tail_slice_of_emitted_line_recovers_full_queries():
+    # VERDICT r11 item 4: the driver keeps only the last 2000 chars of
+    # bench output; the emitted key order must keep the compact gate
+    # record (queries/sf/calib) parseable from any tail that big
+    queries = {f"q_very_long_query_name_{i:03d}": round(i * 0.123, 3)
+               for i in range(40)}
+    big_ratios = {n: 1.11 for n in queries}
+    big_rechecks = {
+        n: {"sweep_s": 9.9, "prior_s": 1.0, "prior_file": "BENCH_r11.json",
+            "host": 1.0, "band": "regression", "verdict": "refuted",
+            "recheck_s": 1.0}
+        for n in list(queries)[:8]
+    }
+    line = _emitted_line(
+        queries,
+        host_adjusted={"prior_file": "BENCH_r11.json", "host_factor": 1.0,
+                       "ratios": big_ratios},
+        regressions=big_rechecks,
+    )
+    assert len(line) > 2000  # the scenario under test: an oversized line
+    recovered = _prior_from_tail(line[-2000:])
+    assert recovered is not None
+    assert recovered["queries"] == queries
+    assert recovered["sf"] == 0.1
+    assert recovered["calib_sec"] == 0.5
+    assert recovered["calib_scan_sec"] == 0.25
+
+
+def test_untruncated_emitted_line_still_plain_json():
+    line = _emitted_line({"q_a": 1.0})
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["queries"] == {"q_a": 1.0}
+
+
+def test_null_parsed_prior_recovered_from_tail(tmp_path):
+    # the driver wraps an oversized line as {"parsed": null, "tail": ...}
+    queries = {"q_a": 1.0, "q_b": 2.0}
+    line = _emitted_line(queries, sf=0.1)
+    p = tmp_path / "BENCH_r11.json"
+    p.write_text(json.dumps(
+        {"n": 11, "rc": 0, "sf": 0.1, "parsed": None, "tail": line[-2000:]}
+    ))
+    flags: list[dict] = []
+    lines = regression_report(
+        {"q_a": 5.0, "q_b": 2.0}, calib=0.5, bench_files=[str(p)],
+        sf=0.1, flags_out=flags,
+    )
+    assert any("recovered 2 query timings" in ln for ln in lines)
+    assert any(ln.startswith("# REGRESSION q_a") for ln in lines)
+    assert not any("q_b" in ln and "REGRESSION" in ln for ln in lines)
+
+
+def test_null_parsed_prior_with_amputated_tail_skipped(tmp_path):
+    # BENCH_r11's actual shape: the queries object head was eaten, so
+    # nothing recoverable — the round is excluded WITH a note, never a
+    # crash (the r12 gate died on None.get here)
+    p = tmp_path / "BENCH_r11.json"
+    p.write_text(json.dumps({
+        "n": 11, "rc": 0, "sf": 0.1, "parsed": None,
+        "tail": 'e": 2.567, "q_tpch_q9": 0.717}, "sf": 0.1, "calib_sec": 0.494}',
+    }))
+    lines = regression_report(
+        {"q_a": 5.0}, calib=0.5, bench_files=[str(p)], sf=0.1
+    )
+    assert any("unusable: driver-truncated" in ln for ln in lines)
+    assert not any("REGRESSION" in ln for ln in lines)

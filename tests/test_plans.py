@@ -336,18 +336,17 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
 
 
 def test_window_matches_rotation_tool():
-    """The shipped round-11 _PRIORITY must equal rotate_window.py's
-    deterministic proposal for this round's mandatory set: the 33
-    queries flagged by `rotate_window.py --staleness` at the freeze —
-    the round-10 plan rewrites (q_bm25, q_cooccurrence,
-    q_behavioral_features, ...) and the helper-level consumers of the
-    rewritten operators (mirror, pagerank_integer, lsh_candidates)
-    whose plans were committed after their latest driver-green row
-    (VERDICT r10 item 1). Pins both the tool and the staleness-first
-    policy; future rounds update the mandatory list here alongside
-    the rotation commit. (The staleness scan itself is not re-run
-    here — it needs git history and its answer changes as the round
-    progresses; the frozen list is the input being pinned.)"""
+    """The shipped round-12 _PRIORITY must equal rotate_window.py's
+    deterministic proposal with an EMPTY mandatory set:
+    `rotate_window.py --staleness` flagged nothing at the r12 freeze
+    (every r11 rewrite sat inside the r11 window and was
+    driver-re-evidenced in CORRECTNESS_r11.json), so all 50 slots are
+    pure evidence-age fill. Pins both the tool and the
+    staleness-first policy; future rounds update the mandatory list
+    here alongside the rotation commit. (The staleness scan itself is
+    not re-run here — it needs git history and its answer changes as
+    the round progresses; the frozen list is the input being
+    pinned.)"""
     import os
     import sys
 
@@ -361,41 +360,7 @@ def test_window_matches_rotation_tool():
         _PRIORITY,
     )
 
-    mandatory = [
-        "q_jaccard_lag",
-        "q_behavioral_features",
-        "q_winsorize",
-        "q_concurrency",
-        "q_pagerank",
-        "q_graph_triangles",
-        "q_bfs_levels",
-        "q_kcore",
-        "q_hits",
-        "q_graph_jaccard",
-        "q_adamic_adar",
-        "q_ppr",
-        "q_money_loops",
-        "q_label_propagation",
-        "q_bm25",
-        "q_bigram_pmi",
-        "q_bigram_perplexity",
-        "q_dedup_minhash",
-        "q_minhash_est",
-        "q_retention_cohorts",
-        "q_mutual_info",
-        "q_date_spread",
-        "q_linear_interp",
-        "q_reciprocal_flows",
-        "q_mule_passthrough",
-        "q_edge_novelty",
-        "q_fraud_funnel",
-        "q_assortativity",
-        "q_growth_accounting",
-        "q_rolling_dau",
-        "q_cooccurrence",
-        "q_backtest_snaive",
-        "q_eb_shrinkage",
-    ]
+    mandatory: list[str] = []
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact
     # landing doesn't retroactively redden the pin before rotation

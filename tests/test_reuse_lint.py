@@ -112,6 +112,116 @@ def _persist_backed() -> list[str]:
 _PERSIST_BACKED = _persist_backed()
 
 
+def _track_cache_call_sites(fn) -> int:
+    """Number of ``track_cache(`` CALL SITES reachable from the query
+    function (its own source plus helpers one import level deep,
+    excluding the wrapper's definition in operators/caching.py) — the
+    mechanical definition of "multi-persist" for the floor pin below."""
+    import importlib
+    import inspect
+
+    from rotate_window import helpers_of
+
+    seen: set[tuple[str, str]] = set()
+    n = 0
+
+    def count(f) -> None:
+        nonlocal n
+        try:
+            src = inspect.getsource(f)
+            rel = os.path.relpath(inspect.getsourcefile(f), _REPO)
+        except (OSError, TypeError):
+            return
+        key = (f.__name__, rel)
+        if key in seen or rel.endswith(os.path.join("operators", "caching.py")):
+            return
+        seen.add(key)
+        n += src.count("track_cache(")
+
+    count(fn)
+    for hname, hrel in helpers_of(fn):
+        mod = hrel.replace(os.sep, ".").removesuffix(".py")
+        try:
+            helper = getattr(importlib.import_module(mod), hname)
+        except (ImportError, AttributeError):
+            continue
+        count(helper)
+    return n
+
+
+# ADVICE r11: reuse >= 1 per query lets a plan with BOTH its own
+# persist and a helper-level persist drop exactly one of the two
+# without failing. For every query with >= 2 reachable track_cache
+# call sites, pin the InMemoryTableScan count MEASURED on the
+# certified tree (sf0.001, shuffle_partitions=8 — the suite config);
+# dropping any one persist removes at least one cache read and lands
+# below the floor. Floors below the call-site count are deliberate:
+# those queries' extra persists feed construction-time fixpoints
+# (q_bfs_levels, q_pagerank, q_taint_tracing...) so only one cache
+# read legitimately survives into the returned plan. ReusedExchange
+# is excluded from the pinned number (exchange reuse is
+# config-sensitive); the base >= 1 assertion still accepts it.
+# Regenerate after an intentional persist-structure change:
+#   run the query, collect(), count "InMemoryTableScan" in
+#   _final_plan(df), update the entry in the same commit.
+_MULTI_PERSIST_FLOOR = {
+    "q_adamic_adar": 2,
+    "q_ann_ivf": 8,
+    "q_ann_ivf_sampled": 8,
+    "q_ann_pq": 7,
+    "q_assortativity": 1,
+    "q_bfs_levels": 1,
+    "q_bpe_merge": 2,
+    "q_cascade_delete": 3,
+    "q_cooccurrence": 2,
+    "q_corpus_funnel": 1,
+    "q_date_spread": 2,
+    "q_dedup_minhash": 2,
+    "q_edge_weights": 2,
+    "q_graph_jaccard": 2,
+    "q_graph_triangles": 2,
+    "q_growth_accounting": 2,
+    "q_hits": 2,
+    "q_minhash_est": 2,
+    "q_money_loops": 2,
+    "q_pagerank": 1,
+    "q_peer_outlier": 2,
+    "q_ppr": 2,
+    "q_quantile_grid": 2,
+    "q_quantile_interp": 2,
+    "q_random_walks": 2,
+    "q_rfm": 4,
+    "q_rolling_dau": 2,
+    "q_sampling_weights": 2,
+    "q_sequence_gaps": 2,
+    "q_sparse_cosine": 2,
+    "q_taint_tracing": 1,
+}
+
+
+def test_multi_persist_queries_have_pinned_floors():
+    """Every persist-backed query with >= 2 reachable track_cache call
+    sites must carry an explicit floor — a future multi-persist query
+    cannot silently ride the >= 1 base assertion."""
+    from rotate_window import unwrap_query_fn
+
+    multi = {
+        name
+        for name in _PERSIST_BACKED
+        if _track_cache_call_sites(unwrap_query_fn(REGISTRY[name].fn)) >= 2
+    }
+    untriaged = multi - set(_MULTI_PERSIST_FLOOR)
+    assert untriaged == set(), (
+        f"multi-persist queries without a pinned reuse floor: "
+        f"{sorted(untriaged)} — measure the final-plan "
+        "InMemoryTableScan count and add an entry to "
+        "_MULTI_PERSIST_FLOOR"
+    )
+    # and the pin list must not rot: every entry still is multi-persist
+    stale = set(_MULTI_PERSIST_FLOOR) - multi
+    assert stale == set(), f"pinned floors for non-multi-persist queries: {sorted(stale)}"
+
+
 def test_persist_backed_set_is_nonempty_and_mechanical():
     # the computed set must keep covering the r10 rewrite class the
     # lint was built for — an empty or shrunken-by-accident set would
@@ -131,14 +241,20 @@ def test_shared_frame_reused(spark, sf_dir, name):
     try:
         df.collect()
         plan = _final_plan(df)
-        reused = plan.count("InMemoryTableScan") + plan.count(
-            "ReusedExchange"
-        )
+        imts = plan.count("InMemoryTableScan")
+        reused = imts + plan.count("ReusedExchange")
         assert reused >= 1, (
             f"{name}: final executed plan shows neither an "
             "InMemoryTableScan nor a ReusedExchange — the shared frame "
             "is being recomputed per reference (was a .persist() "
             "dropped?)"
+        )
+        floor = _MULTI_PERSIST_FLOOR.get(name, 0)
+        assert imts >= floor, (
+            f"{name}: final plan shows {imts} InMemoryTableScan reads, "
+            f"pinned floor is {floor} — one of this query's multiple "
+            "persists was dropped or stopped being read (see "
+            "_MULTI_PERSIST_FLOOR)"
         )
     finally:
         release_caches()

@@ -128,6 +128,23 @@ def _min3_wall(fn, spark, sf_dir: str) -> tuple[float, int]:
     return best, n
 
 
+# Queries whose super-linear growth is the DOCUMENTED DEFINITION, not
+# a plan defect: a scale-audit flag on these is annotated in-artifact
+# ("by_design") instead of adjudicated by a standalone recheck — the
+# growth is not contested, and rechecking the quadratic costs more
+# than the rest of the sweep. Keep this list tiny and justified; a
+# new entry needs the same docstring-level bound its members carry.
+AUDIT_QUADRATIC_BY_DESIGN = {
+    "q_knn_cosine": (
+        "exact brute-force kNN — the O(n²·d) oracle anchor the ANN "
+        "paths are measured against; docstring bounds it at ~1e5 "
+        "vectors and points to q_ann_ivf/_sampled/_pq as the scale "
+        "paths (r12 sf0.1->sf1: 100x pair growth for 10x rows, as "
+        "the definition implies)"
+    ),
+}
+
+
 def scale_audit() -> None:
     """`python bench.py --scale-audit [names...]`: run queries at two
     scale factors and report the runtime growth ratio against the data
@@ -197,6 +214,15 @@ def scale_audit() -> None:
     # refutation is needed.
     queries_out = {r[0]: {"lo_s": r[1], "hi_s": r[2], "ratio": r[3]}
                    for r in rows}
+    by_design = {}
+    for name in list(flagged):
+        note = AUDIT_QUADRATIC_BY_DESIGN.get(name)
+        if note is not None:
+            flagged.remove(name)
+            by_design[name] = queries_out[name]["ratio"]
+            queries_out[name]["by_design"] = note
+            print(f"# {name}: super-linear BY DESIGN (no recheck) — "
+                  f"{note}", file=sys.stderr)
     refuted = {}
     for name in list(flagged):
         release_caches()
@@ -221,6 +247,7 @@ def scale_audit() -> None:
         "n_queries": len(rows),
         "flagged": flagged,
         "refuted": refuted,
+        "by_design": by_design,
         "queries": queries_out,
     }))
 

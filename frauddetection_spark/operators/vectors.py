@@ -280,6 +280,34 @@ SQL_COS = (
 EMB_DIM = 64  # embeddings table dimension (asserted in quantize callers)
 
 
+def adaptive_centroids(n: int, floor: int = 16) -> int:
+    """Smallest power of two K >= ``floor`` with K² >= n — the √n
+    centroid-count rule that keeps IVF buckets at ~√n vectors. With
+    FIXED K the probed candidate space is ~n²·nprobe/K, a hidden
+    quadratic: the r12 sf0.1→sf1 audit measured q_ann_ivf_sampled at
+    72× for 10× data (20k vectors / 16 centroids = 1250-vector
+    buckets). With K ~ √n and fixed nprobe the candidate space is
+    ~n^1.5·nprobe — the standard IVF scaling. Integer-only on purpose:
+    the DuckDB twin computes the SAME K via a CASE ladder over
+    count(*) (sql_ivf), and float log2 could disagree in the last ulp
+    at power-of-4 boundaries."""
+    K = floor
+    while K * K < n:
+        K *= 2
+    return K
+
+
+def _sql_adaptive_centroids(floor: int = 16, max_k: int = 1 << 16) -> str:
+    """CASE ladder mirroring :func:`adaptive_centroids` for the twin:
+    K = floor while n <= floor², doubling at each power-of-4 step."""
+    arms = []
+    K = floor
+    while K < max_k:
+        arms.append(f"WHEN cnt <= {K * K} THEN {K}")
+        K *= 2
+    return ("CASE " + " ".join(arms) + f" ELSE {max_k} END")
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 3,
@@ -532,7 +560,7 @@ def ivf_topk(
 
 def sql_ivf(
     k: int = 3,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     nprobe: int = 4,
     iters: int = 2,
     dim: int = EMB_DIM,
@@ -545,7 +573,13 @@ def sql_ivf(
     is synthesized for the fixed embedding dim), packed back into a
     list; all arithmetic mirrors the Spark side exactly. With
     ``seeding="sampled"`` the Lloyd CTEs range over the hash-sampled
-    ``train`` relation and only the final search scans ``q``."""
+    ``train`` relation and only the final search scans ``q``.
+
+    ``n_centroids=None`` = ADAPTIVE K: a ``params`` CTE computes
+    :func:`adaptive_centroids`' K from count(*) via the integer CASE
+    ladder, and the seeding reads ``(SELECT kc FROM params)`` — the
+    oracle string stays static (registered at import) while K follows
+    the data, matching the Spark side's driver-probe K exactly."""
     from frauddetection_spark.operators.sampling import (
         sql_portable_hash_u32,
         sql_portable_uniform_keep,
@@ -562,21 +596,31 @@ def sql_ivf(
     )
     n2_terms = " + ".join(f"cqv[{j}] * cqv[{j}]" for j in range(1, dim + 1))
     ctes = [f"q AS ({SQL_QUANTIZED})"]
+    if n_centroids is None:
+        ctes.append(
+            f"params AS (SELECT {_sql_adaptive_centroids()} AS kc"
+            " FROM (SELECT count(*) AS cnt FROM q))"
+        )
+        kc = "(SELECT kc FROM params)"
+    else:
+        kc = str(n_centroids)
     if seeding == "sampled":
         ctes.append(
             f"train AS (SELECT * FROM q WHERE "
             f"{sql_portable_uniform_keep('vec_id', sample_pct, seed)})"
         )
+        # row_number instead of LIMIT so K can be a scalar subquery
         ctes.append(
-            f"cent0 AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2"
-            f" FROM train ORDER BY {sql_portable_hash_u32('vec_id', seed + 1)},"
-            f" vec_id LIMIT {n_centroids})"
+            f"cent0 AS (SELECT cid, cqv, cn2 FROM ("
+            f"SELECT vec_id AS cid, qv AS cqv, n2 AS cn2, row_number()"
+            f" OVER (ORDER BY {sql_portable_hash_u32('vec_id', seed + 1)},"
+            f" vec_id) AS rn FROM train) WHERE rn <= {kc})"
         )
     else:
         ctes.append("train AS (SELECT * FROM q)")
         ctes.append(
             f"cent0 AS (SELECT vec_id AS cid, qv AS cqv, n2 AS cn2 FROM q"
-            f" WHERE vec_id < {n_centroids})"
+            f" WHERE vec_id < {kc})"
         )
     for i in range(iters):
         ctes.append(

@@ -1295,30 +1295,61 @@ FUZZY_MAX_DIST = 4
     survey="E2,J4",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy matching: near-identical part names (Levenshtein
-    ≤ 4) found WITHIN (brand, size) blocking keys — the classic
-    entity-resolution shape. The blocking key is the entire scale
-    story: the quadratic edit-distance comparison runs only inside
-    each block's equi-join group (bounded fan-out), never all-pairs —
-    same discipline as the LSH band join. Both engines implement
-    standard unit-cost Levenshtein, so the distance histogram
-    hash-matches."""
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
-    a = p.alias("a")
-    b = p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-    ).select(
-        F.col("a.p_brand").alias("p_brand"),
-        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    """Blocked fuzzy matching: the (brand, dist) histogram of
+    near-identical part names (Levenshtein ≤ 4) WITHIN (brand, size)
+    blocking keys — the classic entity-resolution shape.
+
+    The oracle's row-pair self-join is only the DEFINITION (same
+    stance as q_spatial_join's n² oracle). The Spark plan aggregates
+    to the DISTINCT-name domain first: (block, name) groups with
+    multiplicity, the quadratic edit-distance join over distinct
+    names only, row-pair counts recovered as weight products
+    (cnt_a·cnt_b across name groups, C(cnt,2) at dist 0 within one).
+    Blocking keys are categorical (25 brands × 50 sizes), so block
+    size grows LINEARLY with the table and the row-pair join is a
+    hidden quadratic — the r12 sf0.1→sf1 audit measured it 59× for
+    10× data before this rewrite, ~1× after: the name domain is
+    vocabulary-bounded (64 distinct at sf0.1 AND sf1), so the pair
+    stage is constant-size while the scan stays one linear pass.
+    Both engines implement standard unit-cost Levenshtein, so the
+    histogram hash-matches."""
+    from frauddetection_spark.operators.caching import track_cache
+
+    p = t(spark, sf_dir, "part").select("p_brand", "p_size", "p_name")
+    # distinct-name domain with multiplicities; referenced three times
+    # (both join sides + the same-name leg) — persist the tiny frame
+    g = track_cache(
+        p.groupBy("p_brand", "p_size", "p_name")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    a = g.alias("a")
+    b = g.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_brand").alias("p_brand"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias(
+                "dist"
+            ),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("w"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    same = g.filter(F.col("cnt") >= 2).select(
+        "p_brand",
+        F.lit(0).alias("dist"),
+        F.expr("cnt * (cnt - 1) div 2").alias("w"),
     )
     return (
-        pairs.filter(F.col("dist") <= FUZZY_MAX_DIST)
+        cross.unionByName(same)
         .groupBy("p_brand", F.col("dist").cast("int").alias("dist"))
-        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.sum("w").cast("bigint").alias("n_pairs"))
         .orderBy("p_brand", "dist")
     )
 

@@ -29,6 +29,7 @@ from frauddetection_spark.operators.textsim import (
     word_shingles,
 )
 from frauddetection_spark.operators.vectors import (
+    adaptive_centroids,
     SQL_COS,
     SQL_QUANTIZED,
     cosine_pairs,
@@ -417,11 +418,42 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E3 scale path — deterministic IVF (learned codebook + multi-probe)
 # ---------------------------------------------------------------------------
 
-N_CENTROIDS = 16
-# nprobe=8 of 16: halves the pair space at rank-1 recall 0.81 on the
-# synthetic embeddings (sf0.1). The testdata vectors are near-uniform
-# on the sphere — the adversarial case for IVF, where recall ≈ probed
-# fraction; clustered real-world embeddings sit far above this floor.
+# Memoized driver-side corpus counts (DuckDB parquet-footer probe) for
+# the adaptive IVF centroid count — the ANALYZE-from-catalog pattern
+# (queries/graph.py): at 100 TB the row count lives in the table
+# catalog, and the K pick must not launch Spark jobs at
+# plan-construction time (tests/test_scale_lint.py).
+_EMB_COUNT: dict[str, int] = {}
+
+
+def _embeddings_count(sf_dir: str) -> int:
+    n = _EMB_COUNT.get(sf_dir)
+    if n is None:
+        import os
+
+        import duckdb
+
+        con = duckdb.connect()
+        n = con.execute(
+            "SELECT count(*) FROM read_parquet("
+            f"'{os.path.join(sf_dir, 'embeddings.parquet')}')"
+        ).fetchone()[0]
+        con.close()
+        _EMB_COUNT[sf_dir] = int(n)
+    return _EMB_COUNT[sf_dir]
+
+
+# Centroid count is ADAPTIVE (r12): K = adaptive_centroids(n) ~ √n,
+# computed from the memoized catalog probe above — a FIXED K made the
+# probed candidate space ~n²·nprobe/K, a hidden quadratic the
+# sf0.1→sf1 audit measured at 72× for 10× data. At the oracle-gate
+# scale factors (sf0.001/0.01, n ≤ 256) K stays at its floor of 16,
+# so the adaptive rule changes nothing the driver hashes there.
+# nprobe=8 fixed: at the floor K=16 that probes half the buckets at
+# rank-1 recall 0.81 on the synthetic embeddings (sf0.1). The testdata
+# vectors are near-uniform on the sphere — the adversarial case for
+# IVF, where recall ≈ probed fraction (drops as K grows past nprobe);
+# clustered real-world embeddings sit far above this floor.
 NPROBE = 8
 IVF_ITERS = 2
 
@@ -429,25 +461,26 @@ IVF_ITERS = 2
 @register(
     "q_ann_ivf",
     oracle=sql_ivf(
-        k=KNN_K, n_centroids=N_CENTROIDS, nprobe=NPROBE, iters=IVF_ITERS
+        k=KNN_K, n_centroids=None, nprobe=NPROBE, iters=IVF_ITERS
     ),
     survey="E3",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN, fully deterministic AND learned: a Lloyd-
-    iterated codebook (seeded with the 16 lowest vec_ids, 2 exact-int
+    iterated codebook (seeded with the K lowest vec_ids, 2 exact-int
     refinement rounds) replaces round 1's fixed centroids, and search
     probes each vector's 8 nearest centroids (nprobe=8) instead of 1 —
-    the two levers that lifted rank-1 recall from ~22% to ~0.81. The
-    candidate space is ~n²·nprobe/16 instead of n² — the structural move that
-    makes ANN scale; recall vs q_knn_cosine is pinned in
+    the two levers that lifted rank-1 recall from ~22% to ~0.81. K is
+    adaptive (~√n, see adaptive_centroids), so the candidate space is
+    ~n^1.5·nprobe instead of n² — the structural move that makes ANN
+    scale; recall vs q_knn_cosine is pinned in
     tests/test_properties.py. Exact quantized arithmetic end-to-end ⇒
     oracle-checkable despite being approximate (operators/vectors.py::
     ivf_topk and sql_ivf are the same algorithm in both engines)."""
     knn = ivf_topk(
         t(spark, sf_dir, "embeddings"),
         k=KNN_K,
-        n_centroids=N_CENTROIDS,
+        n_centroids=adaptive_centroids(_embeddings_count(sf_dir)),
         nprobe=NPROBE,
         iters=IVF_ITERS,
     )
@@ -466,7 +499,7 @@ IVF_SEED = 9001
     "q_ann_ivf_sampled",
     oracle=sql_ivf(
         k=KNN_K,
-        n_centroids=N_CENTROIDS,
+        n_centroids=None,
         nprobe=NPROBE,
         iters=IVF_ITERS,
         seeding="sampled",
@@ -481,7 +514,10 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     here every Lloyd iteration reads only a ~35% hash sample (any pct
     works; 35 keeps sf0.01's 600-vector sample statistically meaningful)
     and the full corpus is scanned exactly once, by the final
-    assignment + probe + rerank stage. Seeds are the sample's
+    assignment + probe + rerank stage. The centroid count is adaptive
+    (~√n) like q_ann_ivf's — fixed-K buckets grow linearly and the
+    bucket rerank goes quadratic (measured 72× for 10× data in the
+    r12 sf1 audit before this change). Seeds are the sample's
     n_centroids smallest portable-hash values — id-order-independent
     spread, the deterministic stand-in for k-means‖ oversampling —
     making the whole path, sampling included, oracle-checkable.
@@ -489,7 +525,7 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = ivf_topk(
         t(spark, sf_dir, "embeddings"),
         k=KNN_K,
-        n_centroids=N_CENTROIDS,
+        n_centroids=adaptive_centroids(_embeddings_count(sf_dir)),
         nprobe=NPROBE,
         iters=IVF_ITERS,
         seeding="sampled",

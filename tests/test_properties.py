@@ -109,25 +109,60 @@ def test_ivf_never_beats_exact(spark, sf_dir):
     assert j.filter(F.col("ivf_cos") > F.col("exact_cos") + 1e-9).count() == 0
 
 
-def test_ivf_rank1_recall(spark, sf_dir):
-    """ANN soundness: the learned-codebook + nprobe=8 IVF must find the
-    true nearest neighbor for ≥80% of vectors (VERDICT r1 item 6; was
-    ~22% with fixed centroids at nprobe=1). The synthetic embeddings
-    are near-uniform — IVF's adversarial case — so this is a floor."""
-    exact = (
-        REGISTRY["q_knn_cosine"].fn(spark, sf_dir)
-        .filter("rank = 1")
-        .select("vec_id", F.col("neighbor").alias("nn_exact"))
+def _rank1_recall(exact, approx) -> float:
+    e = exact.filter("rank = 1").select(
+        "vec_id", F.col("neighbor").alias("nn_exact")
     )
-    ivf = (
-        REGISTRY["q_ann_ivf"].fn(spark, sf_dir)
-        .filter("rank = 1")
-        .select("vec_id", F.col("neighbor").alias("nn_ivf"))
+    i = approx.filter("rank = 1").select(
+        "vec_id", F.col("neighbor").alias("nn_ivf")
     )
-    j = exact.join(ivf, "vec_id", "left")
+    j = e.join(i, "vec_id", "left")
     tot = j.count()
     hit = j.filter(F.col("nn_ivf") == F.col("nn_exact")).count()
-    assert hit / tot >= 0.8, f"rank-1 recall {hit}/{tot} = {hit / tot:.3f}"
+    assert tot > 0
+    return hit / tot
+
+
+def test_ivf_rank1_recall(spark, sf_dir):
+    """ANN soundness, two pins since K went adaptive (r12):
+
+    1. FLOOR-K configuration (corpus ≤ 256 vectors ⇒ K=16, nprobe=8 =
+       half the buckets probed): recall ≥ 0.8 — the original VERDICT
+       r1 item 6 property at the configuration it was measured at
+       (was ~22% with fixed centroids at nprobe=1; measured 0.82).
+    2. ADAPTIVE configuration (the shipped query at the suite sf,
+       n=500 ⇒ K=32, a quarter of the buckets probed): recall ≥ 0.6
+       (measured 0.74). The synthetic embeddings are near-uniform —
+       IVF's adversarial case, where recall tracks the probed
+       fraction; a FIXED recall floor at a SHRINKING probed fraction
+       is information-theoretically impossible on uniform data, and
+       the adaptive-K trade (probed fraction ~nprobe/√n for
+       ~n^1.5·nprobe candidates instead of the fixed-K hidden
+       quadratic the r12 sf1 audit caught at 72×) is the documented
+       design. Clustered real-world embeddings sit far above this
+       floor."""
+    from frauddetection_spark.operators.vectors import (
+        adaptive_centroids,
+        ivf_topk,
+        knn_topk_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.filter("vec_id < 256")
+    floor_recall = _rank1_recall(
+        knn_topk_bruteforce(spark, sub, k=3),
+        ivf_topk(sub, k=3, n_centroids=adaptive_centroids(256), nprobe=8,
+                 iters=2),
+    )
+    assert floor_recall >= 0.8, f"floor-K rank-1 recall {floor_recall:.3f}"
+
+    adaptive_recall = _rank1_recall(
+        REGISTRY["q_knn_cosine"].fn(spark, sf_dir),
+        REGISTRY["q_ann_ivf"].fn(spark, sf_dir),
+    )
+    assert adaptive_recall >= 0.6, (
+        f"adaptive rank-1 recall {adaptive_recall:.3f}"
+    )
 
 
 def test_asof_carries_latest_row_atomically(spark):
@@ -322,13 +357,15 @@ def test_profile_matches_direct_counts(spark, sf_dir):
 
 def test_ivf_sampled_recall_and_sample_shape(spark, sf_dir):
     """The 100-TB IVF path (codebook trained on a ~35% hash sample,
-    VERDICT r2 item 7) must not give up recall: measured 0.808/0.814 at
-    sf0.01/sf0.1 vs 0.81 for full-table training — the codebook needs
-    cluster geometry, not every point. Floor at 0.75 (sampling adds
-    variance). Also pins the sample really being ~35%: if the train
-    filter ever silently widened to the full table, the scale story
-    (Lloyd cost O(sample) not O(table)) would be gone with no test
-    noticing."""
+    VERDICT r2 item 7) must not give up recall vs full-table training
+    — the codebook needs cluster geometry, not every point. Same
+    two-pin structure as test_ivf_rank1_recall since K went adaptive
+    (r12): floor-K configuration ≥ 0.75 (measured 0.86), shipped
+    adaptive configuration ≥ 0.55 (measured 0.68 at suite sf; the
+    uniform-synthetic recall-vs-probed-fraction note there applies).
+    Also pins the sample really being ~35%: if the train filter ever
+    silently widened to the full table, the scale story (Lloyd cost
+    O(sample) not O(table)) would be gone with no test noticing."""
     from frauddetection_spark.operators.sampling import portable_uniform_keep
     from frauddetection_spark.queries.similarity import IVF_SAMPLE_PCT, IVF_SEED
 
@@ -339,20 +376,30 @@ def test_ivf_sampled_recall_and_sample_shape(spark, sf_dir):
     ).count()
     assert 0.25 * n <= n_train <= 0.45 * n, f"sample {n_train}/{n}"
 
-    exact = (
-        REGISTRY["q_knn_cosine"].fn(spark, sf_dir)
-        .filter("rank = 1")
-        .select("vec_id", F.col("neighbor").alias("nn_exact"))
+    sub = emb.filter("vec_id < 256")
+    from frauddetection_spark.operators.vectors import (
+        adaptive_centroids,
+        ivf_topk,
+        knn_topk_bruteforce,
     )
-    ivf = (
-        REGISTRY["q_ann_ivf_sampled"].fn(spark, sf_dir)
-        .filter("rank = 1")
-        .select("vec_id", F.col("neighbor").alias("nn_ivf"))
+
+    floor_recall = _rank1_recall(
+        knn_topk_bruteforce(spark, sub, k=3),
+        ivf_topk(sub, k=3, n_centroids=adaptive_centroids(256), nprobe=8,
+                 iters=2, seeding="sampled", sample_pct=IVF_SAMPLE_PCT,
+                 seed=IVF_SEED),
     )
-    j = exact.join(ivf, "vec_id", "left")
-    tot = j.count()
-    hit = j.filter(F.col("nn_ivf") == F.col("nn_exact")).count()
-    assert hit / tot >= 0.75, f"sampled rank-1 recall {hit}/{tot} = {hit / tot:.3f}"
+    assert floor_recall >= 0.75, (
+        f"sampled floor-K rank-1 recall {floor_recall:.3f}"
+    )
+
+    adaptive_recall = _rank1_recall(
+        REGISTRY["q_knn_cosine"].fn(spark, sf_dir),
+        REGISTRY["q_ann_ivf_sampled"].fn(spark, sf_dir),
+    )
+    assert adaptive_recall >= 0.55, (
+        f"sampled adaptive rank-1 recall {adaptive_recall:.3f}"
+    )
 
 
 def test_sessionize_covers_all_events(spark, sf_dir):

@@ -235,8 +235,21 @@ def test_persist_backed_set_is_nonempty_and_mechanical():
     assert len(_PERSIST_BACKED) >= 60
 
 
+# Queries whose sf0.001 result is EMPTY: AQE's EmptyRelation
+# propagation elides the whole final plan (cache reads included), so
+# the reuse assertion is vacuous at the suite sf — lint them at the
+# oracle sf (sf0.01), where the result is non-empty and the plan is
+# real. (q_fuzzy_match returns 0 histogram rows at sf0.001: no two
+# parts share a (brand, size) block there.)
+_LINT_AT_ORACLE_SF = {"q_fuzzy_match"}
+
+
 @pytest.mark.parametrize("name", _PERSIST_BACKED)
 def test_shared_frame_reused(spark, sf_dir, name):
+    if name in _LINT_AT_ORACLE_SF:
+        from tests.conftest import SF_DIR_ORACLE
+
+        sf_dir = SF_DIR_ORACLE
     df = REGISTRY[name].fn(spark, sf_dir)
     try:
         df.collect()

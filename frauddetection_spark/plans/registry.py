@@ -110,16 +110,20 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # round 11 covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r11
 # — zero hash mismatches ever recorded) plus driver rows>0 for all 10
 # rows-only queries: the contract is closed. This round-12 window is
-# pure EVIDENCE-FRESHNESS rotation, computed by rotate_window.py (the
-# pin test below reproduces it exactly):
+# STALENESS-FIRST, computed by rotate_window.py (the pin test below
+# reproduces it exactly):
 #
-# - ``rotate_window.py --staleness`` at the r12 freeze flagged NOTHING
-#   (every r11 rewrite — k-core window-peel, corpus-funnel persist —
-#   sat inside the r11 window and was driver-re-evidenced in
-#   CORRECTNESS_r11.json), so there is no mandatory list this round;
-# - all 50 slots fill by EVIDENCE AGE: the oracle queries whose latest
-#   green row is oldest (23 names last green in r04, 27 in r05;
-#   alphabetical within a round).
+# (a) slots 1-4 are the r12 rewrites the sf0.1->sf1 scale audit
+#     forced mid-round — q_ann_ivf / q_ann_ivf_sampled (adaptive
+#     centroid count) and q_fuzzy_match (distinct-name-domain
+#     rewrite) — plus q_dedup_minhash_ml, whose ``git log -L`` range
+#     trails into the edited comment block below its def (the
+#     documented -L caveat; body untouched, slot spent anyway so the
+#     mechanical close-out gate stays clean). All four are
+#     local-green on this tree; this is re-evidencing.
+# (b) slots 5-50 fill by EVIDENCE AGE: the oracle queries whose
+#     latest green row is oldest (23 names last green in r04, 23 in
+#     r05; alphabetical within a round).
 #
 # Rewrites cannot outrun a frozen window: the close-out gate
 # ``rotate_window.py --check-window`` (r11) fails if any staleness
@@ -128,7 +132,12 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # ∪ queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- evidence-age fill: the 23 queries last green in r04 ---
+    # --- r12 mandatory: the mid-round scale-audit rewrites ---
+    "q_ann_ivf",
+    "q_ann_ivf_sampled",
+    "q_fuzzy_match",
+    "q_dedup_minhash_ml",
+    # --- evidence-age fill ---
     "q_join_full_outer",
     "q_join_inner",
     "q_join_salted",
@@ -152,7 +161,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_two_level_agg",
     "q_union_by_name",
     "q_weighted_median",
-    # --- the 27 queries last green in r05 ---
     "q_autocorr",
     "q_benford",
     "q_bootstrap_means",
@@ -176,10 +184,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_repetition_ratio",
     "q_reservoir_group",
     "q_rle_islands",
-    "q_scan_xml",
-    "q_skew_probe",
-    "q_survival_km",
-    "q_target_encode",
 )
 
 DRIVER_WINDOW = 50

@@ -308,6 +308,102 @@ def _sql_adaptive_centroids(floor: int = 16, max_k: int = 1 << 16) -> str:
     return ("CASE " + " ".join(arms) + f" ELSE {max_k} END")
 
 
+# Block count for the cogrouped centroid-scoring kernel: the corpus
+# side is hash-split so every core gets work even when the parquet
+# scan is a single partition (a 30 MB embeddings file at sf10 is ONE
+# 128 MB-rule split holding 200k vectors).
+ASSIGN_BLOCKS = 32
+
+
+def _centroid_topn(frame: DataFrame, cent: DataFrame, n_top: int) -> DataFrame:
+    """(vec_id, cid, crank) — each vector's ``n_top`` centroids by
+    (ccos DESC, cid ASC), as a cogrouped numpy int64 matmul.
+
+    This replaces the Catalyst transform/aggregate scoring expression
+    (r12): higher-order functions never enter whole-stage codegen, so
+    the n·K·d assignment ran as interpreted per-element expression
+    eval — invisible at K=16, but the sf1→sf10 audit caught the
+    adaptive codebook at n=200k/K=512 spending ~6.5e9 interpreted
+    evals in one scan task (>20 min). The same arithmetic as a
+    per-block matmul is seconds, and the block split parallelizes a
+    single-partition scan. Semantics are bit-identical to the old
+    sort_array(struct(ccos, -cid, cid)) expression AND the DuckDB
+    twin's row_number window: exact int64 dot, one IEEE double
+    division, NaN ranked greatest (Spark's double order), ties by cid
+    ascending. Fully lazy — no driver collect, no broadcast variable,
+    zero jobs at construction (lint-pinned); the ≤K-row codebook is
+    replicated onto each of the ASSIGN_BLOCKS corpus blocks, the
+    standard small-side replication of query_batch_topk.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    B = ASSIGN_BLOCKS
+    left = frame.select("vec_id", "qv", "n2").withColumn(
+        "b", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    )
+    right = (
+        cent.select("cid", "cqv", "cn2")
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("b", F.col("b").cast("int"))
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cid", LongType()),
+            StructField("crank", IntegerType()),
+        ]
+    )
+
+    def kern(_key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame({"vec_id": [], "cid": [], "crank": []}).astype(
+                {"vec_id": "int64", "cid": "int64", "crank": "int32"}
+            )
+        qv = np.stack(l["qv"].to_numpy()).astype(np.int64)
+        cqv = np.stack(r["cqv"].to_numpy()).astype(np.int64)
+        n2 = l["n2"].to_numpy().astype(np.float64)
+        cn2 = r["cn2"].to_numpy().astype(np.float64)
+        cids = r["cid"].to_numpy()
+        vids = l["vec_id"].to_numpy()
+        # pre-sort the codebook by cid ascending: a STABLE argsort on
+        # the score column then breaks ties by column index = by cid
+        # ascending, vectorizing the whole per-vector ordering
+        ordc = np.argsort(cids, kind="stable")
+        cids, cqv, cn2 = cids[ordc], cqv[ordc], cn2[ordc]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (qv @ cqv.T) / np.sqrt(n2[:, None] * cn2[None, :])
+        # Spark's total order on doubles ranks NaN ABOVE +inf; a NaN
+        # ccos (zero-norm vector or centroid: 0/0) must sort first
+        # exactly as the old struct sort and the SQL twin's ORDER BY
+        # ccos DESC do — map NaN to +inf for the ordering key only
+        # (true ccos is bounded by 1, so no collision).
+        key = np.where(np.isnan(cos), np.inf, cos)
+        n_keep = min(n_top, len(cids))
+        idx = np.argsort(-key, axis=1, kind="stable")[:, :n_keep]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(vids, n_keep),
+                "cid": cids[idx].ravel(),
+                "crank": np.tile(
+                    np.arange(1, n_keep + 1, dtype=np.int32), len(vids)
+                ),
+            }
+        )
+
+    return (
+        left.groupBy("b")
+        .cogroup(right.groupBy("b"))
+        .applyInPandas(kern, schema)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 3,
@@ -375,40 +471,17 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown seeding {seeding!r}")
 
-    # Scoring + ranking against the codebook is MAP-ONLY (r07; same
-    # broadcast-argmin move as pq_topk): the ≤n_centroids codebook
-    # collapses into ONE broadcast array row, and each vector scores
-    # every centroid inside a transform — struct(ccos, -cid, cid)
-    # makes Spark's lexicographic struct order exactly the old
-    # window's (ccos DESC, cid ASC) including the NaN-greatest rule
-    # (array_max and sort_array share orderBy's total order on
-    # doubles), so the assignment is array_max and the top-nprobe
-    # probe list is sort_array(desc)+slice — no n·n_centroids shuffle
-    # through a row_number window, and the persisted index shrinks
-    # from n·n_centroids to n·nprobe rows.
-    def cand_arr(cent_df):
-        return cent_df.groupBy().agg(
-            F.collect_list(F.struct("cid", "cqv", "cn2")).alias("cands")
-        )
-
-    scored = F.transform(
-        "cands",
-        lambda c: F.struct(
-            (
-                F.aggregate(
-                    F.zip_with("qv", c["cqv"], lambda x, y: x * y),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / F.sqrt(
-                    F.col("n2").cast("double") * c["cn2"].cast("double")
-                )
-            ).alias("ccos"),
-            (-c["cid"]).alias("ncid"),
-            c["cid"].alias("cid"),
-        ),
-    )
-
+    # Scoring + ranking against the codebook runs in the cogrouped
+    # numpy kernel (_centroid_topn, r12): the r07 broadcast-argmin
+    # Catalyst expression (transform + aggregate over the codebook
+    # array) kept the shuffle away but never entered whole-stage
+    # codegen — interpreted per-element eval made the n·K·d
+    # assignment the plan's bottleneck once K went adaptive (the
+    # sf1→sf10 audit caught it at >20 min in a single scan task at
+    # n=200k/K=512; the matmul form is seconds). Ordering semantics
+    # (ccos DESC, cid ASC, NaN greatest) and the exact int64-dot +
+    # IEEE-division arithmetic are unchanged — the DuckDB twin still
+    # hash-matches. The persisted probe index stays n·nprobe rows.
     if seeding == "sampled":
         cent = (
             train.withColumn(
@@ -430,8 +503,8 @@ def ivf_topk(
         )
     for _ in range(iters):
         comp = (
-            train.crossJoin(F.broadcast(cand_arr(cent)))
-            .withColumn("cid", F.array_max(scored)["cid"])
+            _centroid_topn(train, cent, 1)
+            .join(train.select("vec_id", "qv"), "vec_id")
             .select("cid", F.posexplode("qv").alias("dim", "xv"))
             .groupBy("cid", "dim")
             .agg(
@@ -465,15 +538,7 @@ def ivf_topk(
     # referenced twice (home + probes): persist the n·nprobe probe
     # list — the standard materialized IVF index.
     ranked = track_cache(
-        q.crossJoin(F.broadcast(cand_arr(cent)))
-        .withColumn("top", F.slice(F.sort_array(scored, asc=False), 1, nprobe))
-        .select("vec_id", F.posexplode("top").alias("pos", "s"))
-        .select(
-            "vec_id",
-            F.col("s.cid").alias("cid"),
-            (F.col("pos") + 1).alias("crank"),
-        )
-        .persist()
+        _centroid_topn(q, cent, nprobe).persist()
     )
     home = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("r_vec_id"), F.col("cid").alias("bucket")

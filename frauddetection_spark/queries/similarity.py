@@ -801,8 +801,18 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf")).persist()
     )
     df = tf.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Every join below is between DATA-SCALED relations (postings,
+    # pair aggregates, per-doc norms): pin them to shuffle joins. The
+    # r12 sf1→sf10 audit caught AQE broadcast-converting the posting
+    # self-join — repeated shingle strings compress the shuffled side
+    # under the 64 MB threshold while decompressing to 3.7 GiB in the
+    # broadcast build, which is equally wrong on a 1000-executor
+    # cluster (a posting relation grows with the corpus; only truly
+    # bounded dims may broadcast).
     kept = track_cache(
-        tf.join(df.filter(F.col("df") <= _SC_DF_MAX), "shingle")
+        tf.join(
+            df.filter(F.col("df") <= _SC_DF_MAX).hint("merge"), "shingle"
+        )
         .select("doc_id", "shingle", "tf")
         .persist()
     )
@@ -811,7 +821,7 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         kept.alias("a")
-        .join(kept.alias("b"), "shingle")
+        .join(kept.alias("b").hint("merge"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -827,11 +837,15 @@ def q_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na_n2")),
+            norms.select(
+                F.col("doc_id").alias("doc_a"), F.col("n2").alias("na_n2")
+            ).hint("merge"),
             "doc_a",
         )
         .join(
-            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb_n2")),
+            norms.select(
+                F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb_n2")
+            ).hint("merge"),
             "doc_b",
         )
         .filter(cos >= _SC_MIN_COS)

@@ -113,16 +113,18 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # STALENESS-FIRST, computed by rotate_window.py (the pin test below
 # reproduces it exactly):
 #
-# (a) slots 1-4 are the r12 rewrites the sf0.1->sf1 scale audit
-#     forced mid-round — q_ann_ivf / q_ann_ivf_sampled (adaptive
-#     centroid count) and q_fuzzy_match (distinct-name-domain
-#     rewrite) — plus q_dedup_minhash_ml, whose ``git log -L`` range
-#     trails into the edited comment block below its def (the
-#     documented -L caveat; body untouched, slot spent anyway so the
-#     mechanical close-out gate stays clean). All four are
-#     local-green on this tree; this is re-evidencing.
-# (b) slots 5-50 fill by EVIDENCE AGE: the oracle queries whose
-#     latest green row is oldest (23 names last green in r04, 23 in
+# (a) slots 1-5 are the rewrites the r12 sf0.1->sf1 and sf1->sf10
+#     scale audits forced mid-round — q_ann_ivf / q_ann_ivf_sampled
+#     (adaptive centroid count + cogrouped scoring kernel),
+#     q_fuzzy_match (distinct-name-domain rewrite), q_sparse_cosine
+#     (merge hints on the corpus-scaled joins) — plus
+#     q_dedup_minhash_ml, whose ``git log -L`` range trails into the
+#     edited comment block below its def (the documented -L caveat;
+#     body untouched, slot spent anyway so the mechanical close-out
+#     gate stays clean). All five are local-green on this tree; this
+#     is re-evidencing.
+# (b) slots 6-50 fill by EVIDENCE AGE: the oracle queries whose
+#     latest green row is oldest (23 names last green in r04, 22 in
 #     r05; alphabetical within a round).
 #
 # Rewrites cannot outrun a frozen window: the close-out gate
@@ -137,6 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_ivf_sampled",
     "q_fuzzy_match",
     "q_dedup_minhash_ml",
+    "q_sparse_cosine",
     # --- evidence-age fill ---
     "q_join_full_outer",
     "q_join_inner",
@@ -183,7 +186,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_python_udtf",
     "q_repetition_ratio",
     "q_reservoir_group",
-    "q_rle_islands",
 )
 
 DRIVER_WINDOW = 50

@@ -368,6 +368,7 @@ def test_window_matches_rotation_tool():
         "q_ann_ivf_sampled",
         "q_fuzzy_match",
         "q_dedup_minhash_ml",
+        "q_sparse_cosine",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

@@ -160,6 +160,25 @@ def scale_audit() -> None:
     flag_ratio = float(os.environ.get("SPARK_GRAFT_AUDIT_FLAG", "6.0"))
     names = sys.argv[2:] or None
     registry = load_all()
+    # Heap auto-sizing (VERDICT r12): at sf10 the default 8g local JVM
+    # heap is ~20x under production executor sizing per concurrent task
+    # (32 tasks share one heap; a real cluster gives each executor core
+    # ~5g), and q_item_cf's 250 MB/task OOMed the r12 sweep before its
+    # healthy 3.3x could be measured at 24g. Size the heap from the hi
+    # data directory so the audit measures PLANS, not the harness: ~16x
+    # the on-disk parquet bytes (compressed parquet decompresses ~4x,
+    # and shuffle/cache copies multiply again), floor 8g, cap 96g
+    # (the box has 125g). Explicit SPARK_GRAFT_DRIVER_MEM still wins.
+    if not os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        hi_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(hi_dir)
+            for f in files
+        )
+        heap_g = min(96, max(8, (hi_bytes * 16) >> 30))
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{heap_g}g"
+        print(f"# driver heap auto-sized to {heap_g}g for "
+              f"{hi_bytes >> 20} MB hi data", file=sys.stderr)
     spark = get_spark(app_name="frauddetection-scale-audit")
     _quiet_cache_warnings(spark)
     registry["q_scan_parquet"].fn(spark, lo_dir).collect()

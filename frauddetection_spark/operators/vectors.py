@@ -280,19 +280,25 @@ SQL_COS = (
 EMB_DIM = 64  # embeddings table dimension (asserted in quantize callers)
 
 
-def adaptive_centroids(n: int, floor: int = 16) -> int:
+def adaptive_centroids(n: int, floor: int = 16, max_k: int = 1 << 16) -> int:
     """Smallest power of two K >= ``floor`` with K² >= n — the √n
-    centroid-count rule that keeps IVF buckets at ~√n vectors. With
-    FIXED K the probed candidate space is ~n²·nprobe/K, a hidden
-    quadratic: the r12 sf0.1→sf1 audit measured q_ann_ivf_sampled at
-    72× for 10× data (20k vectors / 16 centroids = 1250-vector
-    buckets). With K ~ √n and fixed nprobe the candidate space is
-    ~n^1.5·nprobe — the standard IVF scaling. Integer-only on purpose:
-    the DuckDB twin computes the SAME K via a CASE ladder over
-    count(*) (sql_ivf), and float log2 could disagree in the last ulp
-    at power-of-4 boundaries."""
+    centroid-count rule that keeps IVF buckets at ~√n vectors — CAPPED
+    at ``max_k`` (default 2¹⁶, the same cap as the twin's CASE
+    ladder). With FIXED K the probed candidate space is ~n²·nprobe/K,
+    a hidden quadratic: the r12 sf0.1→sf1 audit measured
+    q_ann_ivf_sampled at 72× for 10× data (20k vectors / 16 centroids
+    = 1250-vector buckets). With K ~ √n and fixed nprobe the candidate
+    space is ~n^1.5·nprobe — the standard IVF scaling. Integer-only on
+    purpose: the DuckDB twin computes the SAME K via a CASE ladder
+    over count(*) (sql_ivf), and float log2 could disagree in the last
+    ulp at power-of-4 boundaries. The cap exists because the ladder is
+    finite (ADVICE r12): an uncapped Python side would pick K=131072
+    at n=2³²+1 while the SQL ELSE arm stops at 65536, and the engines
+    would diverge — both sides now share one bound; past it, bucket
+    size grows linearly again (at n=2³² that is ~65k-vector buckets —
+    shard the corpus before that point)."""
     K = floor
-    while K * K < n:
+    while K * K < n and K < max_k:
         K *= 2
     return K
 
@@ -311,11 +317,39 @@ def _sql_adaptive_centroids(floor: int = 16, max_k: int = 1 << 16) -> str:
 # Block count for the cogrouped centroid-scoring kernel: the corpus
 # side is hash-split so every core gets work even when the parquet
 # scan is a single partition (a 30 MB embeddings file at sf10 is ONE
-# 128 MB-rule split holding 200k vectors).
+# 128 MB-rule split holding 200k vectors). ASSIGN_BLOCKS is the FLOOR;
+# assign_blocks(n) scales the count with the corpus so the per-task
+# pandas frame stays bounded (ADVICE r12: a fixed 32 meant ~n/32 rows
+# per task — ≈16 GB/task at 10⁹ vectors, the same hidden-linear-
+# footprint class the scale audit exists to catch).
 ASSIGN_BLOCKS = 32
 
+# ~rows per kernel task: 64-dim int64 qv ≈ 0.5 KB/row ⇒ ~32 MB/task.
+ASSIGN_TARGET_ROWS = 1 << 16
 
-def _centroid_topn(frame: DataFrame, cent: DataFrame, n_top: int) -> DataFrame:
+
+def assign_blocks(n_rows: int | None) -> int:
+    """Deterministic block count for :func:`_centroid_topn`: the
+    smallest power of two ≥ ``ASSIGN_BLOCKS`` with ≤
+    ``ASSIGN_TARGET_ROWS`` corpus rows per block. Block count does NOT
+    affect results (each block scores its vectors against the full
+    replicated codebook), so the DuckDB twin needs no mirror — it only
+    bounds per-task memory and sets parallelism. ``None`` (caller has
+    no cheap row count) falls back to the floor, today's behavior."""
+    if n_rows is None or n_rows <= ASSIGN_BLOCKS * ASSIGN_TARGET_ROWS:
+        return ASSIGN_BLOCKS
+    B = ASSIGN_BLOCKS
+    while B * ASSIGN_TARGET_ROWS < n_rows:
+        B *= 2
+    return B
+
+
+def _centroid_topn(
+    frame: DataFrame,
+    cent: DataFrame,
+    n_top: int,
+    n_rows: int | None = None,
+) -> DataFrame:
     """(vec_id, cid, crank) — each vector's ``n_top`` centroids by
     (ccos DESC, cid ASC), as a cogrouped numpy int64 matmul.
 
@@ -332,8 +366,10 @@ def _centroid_topn(frame: DataFrame, cent: DataFrame, n_top: int) -> DataFrame:
     division, NaN ranked greatest (Spark's double order), ties by cid
     ascending. Fully lazy — no driver collect, no broadcast variable,
     zero jobs at construction (lint-pinned); the ≤K-row codebook is
-    replicated onto each of the ASSIGN_BLOCKS corpus blocks, the
-    standard small-side replication of query_batch_topk.
+    replicated onto each of the assign_blocks(n_rows) corpus blocks,
+    the standard small-side replication of query_batch_topk.
+    ``n_rows`` is an optional caller-known corpus size hint that only
+    sizes the block split (per-task memory bound), never the result.
     """
     import numpy as np
     import pandas as pd
@@ -344,7 +380,7 @@ def _centroid_topn(frame: DataFrame, cent: DataFrame, n_top: int) -> DataFrame:
         StructType,
     )
 
-    B = ASSIGN_BLOCKS
+    B = assign_blocks(n_rows)
     left = frame.select("vec_id", "qv", "n2").withColumn(
         "b", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
     )
@@ -414,6 +450,7 @@ def ivf_topk(
     seeding: str = "low_id",
     sample_pct: int = 25,
     seed: int = 9001,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF approximate kNN with a LEARNED codebook, fully deterministic
     and oracle-expressible.
@@ -503,7 +540,7 @@ def ivf_topk(
         )
     for _ in range(iters):
         comp = (
-            _centroid_topn(train, cent, 1)
+            _centroid_topn(train, cent, 1, n_rows=n_rows)
             .join(train.select("vec_id", "qv"), "vec_id")
             .select("cid", F.posexplode("qv").alias("dim", "xv"))
             .groupBy("cid", "dim")
@@ -538,7 +575,7 @@ def ivf_topk(
     # referenced twice (home + probes): persist the n·nprobe probe
     # list — the standard materialized IVF index.
     ranked = track_cache(
-        _centroid_topn(q, cent, nprobe).persist()
+        _centroid_topn(q, cent, nprobe, n_rows=n_rows).persist()
     )
     home = ranked.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("r_vec_id"), F.col("cid").alias("bucket")

@@ -447,8 +447,12 @@ def _embeddings_count(sf_dir: str) -> int:
 # computed from the memoized catalog probe above — a FIXED K made the
 # probed candidate space ~n²·nprobe/K, a hidden quadratic the
 # sf0.1→sf1 audit measured at 72× for 10× data. At the oracle-gate
-# scale factors (sf0.001/0.01, n ≤ 256) K stays at its floor of 16,
-# so the adaptive rule changes nothing the driver hashes there.
+# scale factors (sf0.001/0.01) embeddings has n=500, so K=32 — the
+# adaptive rule DID change driver-visible IVF output in r12 (the twin
+# computes the same K from its CASE ladder, so the hashes still
+# match); both queries were re-evidenced via mandatory r12 window
+# slots (ADVICE r12 corrected an earlier claim here that K stayed at
+# its floor of 16 at the gates).
 # nprobe=8 fixed: at the floor K=16 that probes half the buckets at
 # rank-1 recall 0.81 on the synthetic embeddings (sf0.1). The testdata
 # vectors are near-uniform on the sphere — the adversarial case for
@@ -477,12 +481,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py. Exact quantized arithmetic end-to-end ⇒
     oracle-checkable despite being approximate (operators/vectors.py::
     ivf_topk and sql_ivf are the same algorithm in both engines)."""
+    n = _embeddings_count(sf_dir)
     knn = ivf_topk(
         t(spark, sf_dir, "embeddings"),
         k=KNN_K,
-        n_centroids=adaptive_centroids(_embeddings_count(sf_dir)),
+        n_centroids=adaptive_centroids(n),
         nprobe=NPROBE,
         iters=IVF_ITERS,
+        n_rows=n,
     )
     return knn.orderBy("vec_id", "rank")
 
@@ -522,15 +528,17 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread, the deterministic stand-in for k-means‖ oversampling —
     making the whole path, sampling included, oracle-checkable.
     Recall vs the exact kNN is pinned in tests/test_properties.py."""
+    n = _embeddings_count(sf_dir)
     knn = ivf_topk(
         t(spark, sf_dir, "embeddings"),
         k=KNN_K,
-        n_centroids=adaptive_centroids(_embeddings_count(sf_dir)),
+        n_centroids=adaptive_centroids(n),
         nprobe=NPROBE,
         iters=IVF_ITERS,
         seeding="sampled",
         sample_pct=IVF_SAMPLE_PCT,
         seed=IVF_SEED,
+        n_rows=n,
     )
     return knn.orderBy("vec_id", "rank")
 

@@ -96,13 +96,27 @@ def _roll_embeddings(col: pa.ChunkedArray, copy: int) -> pa.Array:
     rolled = np.roll(mat, copy % mat.shape[1], axis=1)
     # roll aliases at copy == dim (64): alternate the sign on each
     # wrap so shards 0 and 64 are not the same point set — negation
-    # is still orthogonal, norms and intra-shard dot products hold
+    # is still orthogonal, norms and intra-shard dot products hold.
+    # roll+sign together alias at copy == 2*dim (128): shard 128 would
+    # equal shard 0 exactly (ADVICE r12), silently reintroducing the
+    # cross-shard duplicate vectors this transform exists to prevent —
+    # build() asserts copies <= 128, so the effective generator
+    # headroom is min(676 word suffixes, 128 orthogonal transforms)
+    # = 128 copies ≈ sf12.8 on the sf0.1 base.
     if (copy // mat.shape[1]) % 2 == 1:
         rolled = -rolled
     return pa.array(list(rolled), type=pa.list_(pa.float32()))
 
 
 def build(out_dir: str, copies: int) -> None:
+    # the embedding transform family (roll × sign) has exactly 128
+    # distinct members — see _roll_embeddings; past that, shards repeat
+    # verbatim and every cross-shard dedup/ANN audit result is invalid
+    assert copies <= 128, (
+        f"copies={copies} > 128 aliases embedding shards "
+        "(roll+sign repeats at 2*dim) — extend _roll_embeddings "
+        "with a per-wrap coordinate permutation first"
+    )
     os.makedirs(out_dir, exist_ok=True)
     units = {}  # (table, column) -> offset unit
     for owner, cols in KEY_DOMAINS.items():

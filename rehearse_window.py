@@ -18,6 +18,19 @@ Usage:
     python rehearse_window.py            # first DRIVER_WINDOW entries
     python rehearse_window.py --all      # all declared queries
     python rehearse_window.py q_item_cf q_tpch_q2   # named subset
+    python rehearse_window.py --all --hostile       # hostile-config cert
+
+``--hostile`` swaps the vanilla driver session for the adversarial
+partition-invariance config the README's correctness claim is
+certified under (rounds 6/9/11 ran this ad-hoc; VERDICT r12 item 2
+asked for the full-catalog re-cert to be a standing reproducible
+artifact): local[5] (odd, undersubscribed), 7 shuffle partitions
+(prime, tiny — surfaces any per-partition nondeterminism a 32/200
+layout hides), ANSI mode off (the lenient coercion path), Arrow
+DISABLED for pandas UDF exchange (the slow serializer path — results
+must not depend on the Arrow batch boundary). Any query whose result
+depends on partition count, evaluation order, or the exchange format
+hash-mismatches here.
 
 Prints one line per query and a final JSON summary; exit code 1 on any
 mismatch/error.
@@ -36,6 +49,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="explicit query names")
     ap.add_argument("--all", action="store_true", help="run all declared queries")
+    ap.add_argument(
+        "--hostile",
+        action="store_true",
+        help="certify under the adversarial config: local[5], 7 shuffle "
+        "partitions, ANSI off, Arrow off (partition-invariance gate)",
+    )
     ap.add_argument(
         "--sf-dir",
         default=os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
@@ -65,11 +84,21 @@ def main() -> int:
     except ValueError:
         cpus = os.cpu_count() or 4
     cpus = max(1, cpus)
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("rehearse-window")
-        .getOrCreate()
-    )
+    if args.hostile:
+        spark = (
+            SparkSession.builder.master("local[5]")
+            .appName("rehearse-window-hostile")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.ansi.enabled", "false")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("rehearse-window")
+            .getOrCreate()
+        )
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     if args.names:

@@ -336,15 +336,12 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
 
 
 def test_window_matches_rotation_tool():
-    """The shipped round-12 _PRIORITY must equal rotate_window.py's
-    deterministic proposal for this round's mandatory set: the r12
-    scale-audit rewrites (adaptive-K IVF pair + the fuzzy-match
-    distinct-domain rewrite) plus q_dedup_minhash_ml, flagged only by
-    the -L trailing-range caveat (body untouched) but given a slot so
-    the mechanical close-out gate stays clean. (The round STARTED
-    with an empty mandatory set — the sf0.1->sf1 audit forced a
-    mid-round re-rotation, the designed response to rewrites that
-    postdate the freeze.) Pins both the tool and the
+    """The shipped round-13 _PRIORITY must equal rotate_window.py's
+    deterministic proposal for this round's mandatory set: q_ann_ivf
+    and q_ann_ivf_sampled, whose shared helpers changed when the r12
+    ADVICE fixes landed (adaptive_centroids cap + adaptive assignment
+    block count — result-identical at every oracle sf, re-evidenced
+    anyway per the standing rotation rule). Pins both the tool and the
     staleness-first policy; future rounds update the mandatory list
     here alongside the rotation commit. (The staleness scan itself is
     not re-run here — it needs git history and its answer changes as
@@ -366,9 +363,6 @@ def test_window_matches_rotation_tool():
     mandatory = [
         "q_ann_ivf",
         "q_ann_ivf_sampled",
-        "q_fuzzy_match",
-        "q_dedup_minhash_ml",
-        "q_sparse_cosine",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

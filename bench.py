@@ -142,6 +142,28 @@ AUDIT_QUADRATIC_BY_DESIGN = {
         "paths (r12 sf0.1->sf1: 100x pair growth for 10x rows, as "
         "the definition implies)"
     ),
+    # The IVF pair is ~n^1.5 BY CONSTRUCTION: K ~ sqrt(n) centroids
+    # keep buckets at ~sqrt(n) vectors, so all-corpus self-kNN probes
+    # n * nprobe * sqrt(n) candidate pairs — 10^1.5 ≈ 31.6x per 10x
+    # decade. That IS the designed trade (vs the anchor's 100x/decade);
+    # r12's 7.2x reading at sf1->sf10 was flattered by an
+    # overhead-dominated lo side — with the 23g auto-heap the lo run
+    # is clean and the ratio reads the true asymptote (r13: 32.8x,
+    # within 4% of theory). The linear-per-decade serving shape is
+    # q_ann_query_batch (fixed probe batch against the corpus); the
+    # all-pairs self-join at 10^9 vectors is what you'd shard or
+    # sample regardless of engine.
+    "q_ann_ivf": (
+        "IVF all-corpus self-kNN with K~sqrt(n) — designed ~n^1.5: "
+        "10^1.5 ≈ 31.6x per decade; measured 32.8x at sf1->sf10, "
+        "matching theory (see comment above; serving-scale path is "
+        "q_ann_query_batch)"
+    ),
+    "q_ann_ivf_sampled": (
+        "same ~n^1.5 IVF search as q_ann_ivf (sampled codebook "
+        "training only changes the Lloyd cost, not the probe/rerank "
+        "asymptotics); serving-scale path is q_ann_query_batch"
+    ),
 }
 
 

@@ -143,3 +143,41 @@ def test_round_of_sum_watchlist_matches_committed_file():
         f"{sorted(set(computed) - set(committed))}, "
         f"committed-not-computed: {sorted(set(committed) - set(computed))}"
     )
+
+
+def test_negzero_immunity_rules():
+    """Pins the three IEEE-754 facts the round-13 headline triage in
+    NEGZERO_WATCHLIST.txt relies on (if a runtime/libm ever broke
+    these, the immunity argument for the 17 headline entries would be
+    void and this test names exactly which clause fell):
+
+    (a) an integer zero cast to double is +0.0 — int-exact sums
+        (cents / e-4 dollars / 1e-6 quantized) can never surface -0.0;
+    (b) addition yields -0.0 only when EVERY addend is -0.0;
+        positive/negative cancellation and x-x give +0.0 under
+        round-to-nearest, so float sums of signable terms are safe
+        unless individual terms are already -0.0;
+    (c) the -0.0 entry points are sign-asymmetric products/quotients
+        and unary minus on zero — the constructs the triage verified
+        absent from both twins of every headline entry.
+    """
+    import math
+
+    def neg(v: float) -> bool:
+        return v == 0.0 and math.copysign(1.0, v) < 0
+
+    # (a) integer zero -> +0.0
+    assert not neg(float(0))
+    assert not neg(float(5 + (-5)))
+    # (b) sums: cancellation is +0.0; only all--0.0 addends go negative
+    assert not neg(5.0 + (-5.0))
+    assert not neg(3.7 - 3.7)
+    assert not neg(sum([1.5, -1.5, 2.0, -2.0]))
+    assert neg(-0.0 + -0.0)
+    # (builtin sum() seeds with int 0, so sum([-0.0, -0.0]) is +0.0 —
+    # engine column-sums fold pairwise over the values with no integer
+    # seed, which is why the all--0.0-addends case matters there)
+    # (c) the true entry points
+    assert neg(0.0 * -1.0)
+    assert neg(0.0 / -4.0)
+    assert neg(-(0.0))

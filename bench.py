@@ -144,25 +144,38 @@ AUDIT_QUADRATIC_BY_DESIGN = {
     ),
     # The IVF pair is ~n^1.5 BY CONSTRUCTION: K ~ sqrt(n) centroids
     # keep buckets at ~sqrt(n) vectors, so all-corpus self-kNN probes
-    # n * nprobe * sqrt(n) candidate pairs — 10^1.5 ≈ 31.6x per 10x
-    # decade. That IS the designed trade (vs the anchor's 100x/decade);
-    # r12's 7.2x reading at sf1->sf10 was flattered by an
-    # overhead-dominated lo side — with the 23g auto-heap the lo run
-    # is clean and the ratio reads the true asymptote (r13: 32.8x,
-    # within 4% of theory). The linear-per-decade serving shape is
+    # n * nprobe * sqrt(n) candidate pairs — 10^1.5 ≈ 31.6x of WORK
+    # per 10x decade. That IS the designed trade (vs the anchor's
+    # 100x/decade). Measured wall-clock at sf1->sf10 sits well under
+    # the work asymptote (4.2x warm, r12's 7.2x; one r13 cold-page-
+    # cache reading hit 32.8x) because the lo side is overhead-bound
+    # at these sizes — the entry exists so a sweep that DOES read the
+    # asymptote (cold cache, larger decades) reports design, not
+    # defect. The linear-per-decade serving shape is
     # q_ann_query_batch (fixed probe batch against the corpus); the
     # all-pairs self-join at 10^9 vectors is what you'd shard or
     # sample regardless of engine.
     "q_ann_ivf": (
-        "IVF all-corpus self-kNN with K~sqrt(n) — designed ~n^1.5: "
-        "10^1.5 ≈ 31.6x per decade; measured 32.8x at sf1->sf10, "
-        "matching theory (see comment above; serving-scale path is "
+        "IVF all-corpus self-kNN with K~sqrt(n) — designed ~n^1.5 "
+        "work: 10^1.5 ≈ 31.6x per decade ceiling (measured 4.2x warm "
+        "at sf1->sf10, overhead-bound; serving-scale path is "
         "q_ann_query_batch)"
     ),
     "q_ann_ivf_sampled": (
         "same ~n^1.5 IVF search as q_ann_ivf (sampled codebook "
         "training only changes the Lloyd cost, not the probe/rerank "
         "asymptotics); serving-scale path is q_ann_query_batch"
+    ),
+    "q_spatial_join": (
+        "fixed-radius proximity self-join on a FIXED synthetic "
+        "coordinate square — the OUTPUT is ~n^2*(2r/side)^2/2 pairs "
+        "(5.6e7 rows at sf10's 150k users), quadratic by definition "
+        "once the scale ladder packs 10x the users into the same "
+        "domain; the grid-cell plan stays within ~4-5x of output "
+        "size (optimal — no plan beats its own output), and the "
+        "docstring's scale claim is 'linear for BOUNDED density', "
+        "which physical geo data satisfies and the synthetic ladder "
+        "deliberately does not"
     ),
 }
 

@@ -91,6 +91,34 @@ def _suffix_words(texts: pa.ChunkedArray, copy: int) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def _shift_contacts(col: pa.ChunkedArray, copy: int, unit: int) -> pa.Array:
+    """Shift the contact id inside events.props (``{"k": <id>}``) by
+    ``copy * unit`` so the contact DOMAIN scales with the data (r13).
+
+    Without this, every shard reuses the base's ~100 contacts: at
+    copies=100 that is 150k users over a FIXED 100-contact domain —
+    per-contact degree grows linearly with data, Σdeg² (the wedge
+    space of q_join_common_neighbor / q_graph_jaccard / q_adamic_adar)
+    grows QUADRATICALLY (measured 5.3e11 wedges at sf10, vs 5.3e9 at
+    sf1), and "pairs sharing ≥5 contacts" degenerates to ~all-user-
+    pairs output. Real 10x call data has ~10x counterparties; shifting
+    per copy keeps each shard a disjoint congruent subgraph — same
+    principle as the per-shard word suffixes on documents — so graph
+    audits measure plans, not generator degeneracy."""
+    import json
+
+    out = []
+    for s in col.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        d = json.loads(s)
+        if "k" in d and d["k"] is not None:
+            d["k"] = int(d["k"]) + copy * unit
+        out.append(json.dumps(d))
+    return pa.array(out, type=pa.string())
+
+
 def _roll_embeddings(col: pa.ChunkedArray, copy: int) -> pa.Array:
     mat = np.stack(col.to_pandas().to_numpy())
     rolled = np.roll(mat, copy % mat.shape[1], axis=1)
@@ -133,6 +161,18 @@ def build(out_dir: str, copies: int) -> None:
 
     for name in SCALED:
         base = pq.read_table(f"{SRC}/{name}.parquet")
+        contact_unit = 0
+        if name == "events":
+            import json as _json
+
+            ks = [
+                _json.loads(s)["k"]
+                for s in base.column(
+                    base.schema.get_field_index("props")
+                ).to_pylist()
+                if s is not None and _json.loads(s).get("k") is not None
+            ]
+            contact_unit = (max(ks) + 1) if ks else 0
         shards = []
         for c in range(copies):
             shard = base
@@ -152,6 +192,11 @@ def build(out_dir: str, copies: int) -> None:
                 shard = shard.set_column(
                     j, shard.schema.field(j),
                     pc.utf8_length(mutated).cast(pa.int64()))
+            if name == "events" and c > 0 and contact_unit:
+                i = shard.schema.get_field_index("props")
+                shard = shard.set_column(
+                    i, shard.schema.field(i),
+                    _shift_contacts(shard.column(i), c, contact_unit))
             if name == "embeddings" and c > 0:
                 i = shard.schema.get_field_index("embedding")
                 shard = shard.set_column(

@@ -135,6 +135,14 @@ _PRIORITY: tuple[str, ...] = (
     # --- r13 mandatory: helper-staleness flags from the advice fixes ---
     "q_ann_ivf",
     "q_ann_ivf_sampled",
+    # --- r13 mandatory: mid-round plan rewrite (bench-drift fix) ---
+    # q_dense_spine went from three events scans to one persisted
+    # counts aggregate that feeds both spine dimensions and the left
+    # join — plan changed after its last green row (r10), so it takes
+    # a mandatory slot per the standing rotation rule. The last
+    # evidence-age name (q_attribution_markov, green r07) yields its
+    # slot; cumulative coverage holds via its past green row.
+    "q_dense_spine",
     # --- evidence-age fill ---
     "q_rle_islands",
     "q_scan_xml",
@@ -183,7 +191,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_variant_extract",
     "q_zipf_slope",
     "q_arrow_transform",
-    "q_attribution_markov",
 )
 
 DRIVER_WINDOW = 50

@@ -491,18 +491,35 @@ def q_class_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dense_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense (user × week) grid with zero-filled gaps (reference:
     append [0]*32 for absent users per slice, data_process.py:159-169).
-    The spine is |users| × |weeks| — tiny relative to the fact — so the
-    cross join broadcasts; the fact is touched once for the counts."""
+
+    The fact is touched ONCE: the (user, week) counts aggregate is
+    persisted and BOTH spine dimensions are derived from it —
+    ``distinct user_id`` / ``distinct week`` over the aggregate's keys
+    equal the distincts over events, since groupBy drops no key. The
+    original three-scan form (two dimension distincts + the counts agg,
+    each reading events from parquet) was r13's confirmed bench drift:
+    identical plan, but 3 fact scans + 5 exchanges of per-stage latency
+    the CPU calib can't see. At 100 TB the win is structural — one
+    pass over the fact, dims from the ~|users|·|weeks|-sized aggregate.
+    The spine is tiny relative to the fact, so the cross join
+    broadcasts."""
+    from frauddetection_spark.operators.caching import track_cache
+
     e = _events_with_week(spark, sf_dir)
-    users = e.select("user_id").distinct()
-    weeks = e.select("week").distinct()
-    counts = e.groupBy("user_id", "week").agg(
-        F.count("*").alias("n"),
-        (
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
-            / 100
-        ).alias("sum_value"),
+    counts = track_cache(
+        e.groupBy("user_id", "week")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("double")
+                / 100
+            ).alias("sum_value"),
+        )
+        .persist()
     )
+    users = counts.select("user_id").distinct()
+    weeks = counts.select("week").distinct()
     spine = users.crossJoin(F.broadcast(weeks))
     return (
         spine.join(counts, ["user_id", "week"], "left")

@@ -363,6 +363,10 @@ def test_window_matches_rotation_tool():
     mandatory = [
         "q_ann_ivf",
         "q_ann_ivf_sampled",
+        # mid-round plan rewrite (r13 bench-drift fix): one persisted
+        # counts aggregate replaces three events scans — plan changed
+        # after its r10 green row, so it takes a mandatory slot
+        "q_dense_spine",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

@@ -180,6 +180,39 @@ AUDIT_QUADRATIC_BY_DESIGN = {
 }
 
 
+# A by-design quadratic can also carry a DOCSTRING INPUT BOUND: the
+# operator's own contract names the corpus size past which the exact
+# definition stops being runnable and the bucketed paths take over.
+# Auditing it beyond that bound measures nothing (hours of wall-clock
+# that can only re-confirm the definition the by-design note already
+# states), so the sweep skips it and records the skip IN-ARTIFACT —
+# a silent cap would read as "covered", which the audit's own no-
+# silent-caps rule forbids. name -> (table, max hi-side rows, why).
+AUDIT_INPUT_BOUNDS = {
+    "q_knn_cosine": (
+        "embeddings", 100_000,
+        "docstring bounds the exact O(n^2*d) kNN anchor at ~1e5 "
+        "vectors (the ANN paths q_ann_ivf/_sampled/_pq/_query_batch "
+        "are the scale story past it); measured by-design at 60x on "
+        "the sf0.1->sf1 decade (SCALE_AUDIT_r12_sf1.json), and a "
+        "200k-vector hi side would cost ~2h/pass locally only to "
+        "re-confirm the definition",
+    ),
+}
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no Spark job."""
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return _pq.ParquetFile(path).metadata.num_rows
+
+
 def scale_audit() -> None:
     """`python bench.py --scale-audit [names...]`: run queries at two
     scale factors and report the runtime growth ratio against the data
@@ -236,9 +269,24 @@ def scale_audit() -> None:
         return per_sf
 
     rows = []
+    skipped = {}
     for name, spec in registry.items():
         if names is not None and name not in names:
             continue
+        bound = AUDIT_INPUT_BOUNDS.get(name)
+        if bound is not None:
+            table, max_rows, why = bound
+            hi_rows = _parquet_rows(os.path.join(hi_dir, table + ".parquet"))
+            if hi_rows > max_rows:
+                skipped[name] = {
+                    "table": table, "hi_rows": hi_rows,
+                    "bound_rows": max_rows,
+                    "skipped_beyond_bound": why,
+                }
+                print(f"# {name}: SKIPPED beyond docstring bound "
+                      f"({table} hi rows {hi_rows} > {max_rows}) — "
+                      f"{why}", file=sys.stderr)
+                continue
         # rows-only queries (spec.oracle is None) are audited too —
         # growth ratios need only a count(), not a twin (r11: the ten
         # rows-only queries had never been growth-audited because this
@@ -268,6 +316,7 @@ def scale_audit() -> None:
     # refutation is needed.
     queries_out = {r[0]: {"lo_s": r[1], "hi_s": r[2], "ratio": r[3]}
                    for r in rows}
+    queries_out.update(skipped)
     by_design = {}
     for name in list(flagged):
         note = AUDIT_QUADRATIC_BY_DESIGN.get(name)
@@ -299,6 +348,7 @@ def scale_audit() -> None:
         "metric": "scale_audit",
         "lo": lo_dir, "hi": hi_dir,
         "n_queries": len(rows),
+        "skipped_beyond_bound": sorted(skipped),
         "flagged": flagged,
         "refuted": refuted,
         "by_design": by_design,

@@ -470,3 +470,39 @@ def test_null_parsed_prior_with_amputated_tail_skipped(tmp_path):
     )
     assert any("unusable: driver-truncated" in ln for ln in lines)
     assert not any("REGRESSION" in ln for ln in lines)
+
+
+def test_audit_input_bounds_well_formed_and_skip_decision(tmp_path):
+    # The scale sweep's beyond-docstring-bound skip (round 13): a
+    # by-design quadratic whose own contract names a max corpus size
+    # is skipped IN-ARTIFACT once the hi side exceeds it, instead of
+    # burning hours re-confirming the definition or — worse —
+    # silently capping coverage. Pin: (a) every bound entry is also
+    # in the by-design list (a bound on a contested plan would hide a
+    # real flag), (b) the row counter reads parquet footers, (c) the
+    # decision flips exactly at the bound.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bench import (
+        AUDIT_INPUT_BOUNDS,
+        AUDIT_QUADRATIC_BY_DESIGN,
+        _parquet_rows,
+    )
+
+    for name, (table, max_rows, why) in AUDIT_INPUT_BOUNDS.items():
+        assert name in AUDIT_QUADRATIC_BY_DESIGN, (
+            f"{name}: input bounds may only cap BY-DESIGN quadratics; "
+            "a bound on a contested plan would hide a real flag"
+        )
+        assert isinstance(max_rows, int) and max_rows > 0
+        assert len(why) > 40, "the skip reason must be substantive"
+
+    p = tmp_path / "embeddings.parquet"
+    pq.write_table(pa.table({"vec_id": list(range(7))}), p)
+    assert _parquet_rows(str(p)) == 7
+    table, max_rows, _ = AUDIT_INPUT_BOUNDS["q_knn_cosine"]
+    assert table == "embeddings"
+    # sf1 (20k vectors) is under the bound — it was measured there;
+    # sf10 (200k) is over it
+    assert 20_000 <= max_rows < 200_000

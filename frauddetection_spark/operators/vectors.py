@@ -904,6 +904,7 @@ def pq_topk(
     iters: int = 1,
     cand: int = 12,
     qmod: int = 20,
+    qcap: int = 512,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Product-quantization ANN for a query batch, fully deterministic
@@ -1031,9 +1032,16 @@ def pq_topk(
             .persist()
         )
 
-    codes = assign(cent).filter(F.col("vec_id") % qmod != 0)
+    # Probe set = the first `qcap` multiples of `qmod` — a FIXED
+    # serving batch; corpus = everything else. The original unbounded
+    # "every multiple of qmod" rule made probes 5% OF THE CORPUS, and
+    # ADC work probes*corpus*m = quadratic — the r13 sf1->sf10 audit
+    # measured it at 18.9x on a 10x decade. With the batch pinned,
+    # ADC is qcap*n*m LUT gathers: linear per decade.
+    probe = (F.col("vec_id") % qmod == 0) & (F.col("vec_id") < qmod * qcap)
+    codes = assign(cent).filter(~probe)
     lut = (
-        subs.filter(F.col("vec_id") % qmod == 0)
+        subs.filter(probe)
         .select(F.col("vec_id").alias("query_id"), "m", "sub")
         .join(F.broadcast(cent), "m")
         .select(
@@ -1194,10 +1202,12 @@ def sql_pq(
     iters: int = 1,
     cand: int = 12,
     qmod: int = 20,
+    qcap: int = 512,
 ) -> str:
     """DuckDB twin of :func:`pq_topk` — subspace split as unrolled
     UNION ALL slices, Lloyd as chained CTEs (sql_ivf's discipline),
-    ADC as the same (m, cid) join + sum."""
+    ADC as the same (m, cid) join + sum. `qcap` mirrors the Spark
+    side's fixed probe batch (first qcap multiples of qmod)."""
     slices = "\n        UNION ALL ".join(
         f"SELECT vec_id, {mm} AS m,"
         f" qv[{mm * subdim + 1}:{(mm + 1) * subdim}] AS sub FROM q"
@@ -1272,13 +1282,13 @@ def sql_pq(
     )
     ctes.append(
         f"codes AS (SELECT vec_id, m, cid FROM fassign"
-        f" WHERE vec_id % {qmod} <> 0)"
+        f" WHERE NOT (vec_id % {qmod} = 0 AND vec_id < {qmod * qcap}))"
     )
     ctes.append(
         f"""lut AS (
         SELECT s.vec_id AS query_id, s.m, c.cid, {sub_dot} AS ldot
         FROM subs s JOIN {final} c ON s.m = c.m
-        WHERE s.vec_id % {qmod} = 0
+        WHERE s.vec_id % {qmod} = 0 AND s.vec_id < {qmod * qcap}
     )"""
     )
     ctes.append(

@@ -629,7 +629,18 @@ def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E3+ — asymmetric query-batch kNN (broadcast the small probe set)
 # ---------------------------------------------------------------------------
 
-QUERY_MOD = 20  # probes = vec_id % 20 == 0 (5% of the corpus)
+QUERY_MOD = 20  # probe ids are multiples of 20
+# The serving batch is FIXED at this many probes (the first QUERY_CAP
+# multiples of QUERY_MOD), NOT a fixed fraction of the corpus: the r13
+# sf1->sf10 audit caught the original "5% of vec_ids" probe rule as a
+# quadratic — probes x corpus = n²/20 work, measured 44.8x on a 10x
+# decade (SCALE_AUDIT_r13_sf10_full.json) — which contradicted the
+# query's own serving story ("a SMALL query batch against the full
+# corpus"). With the batch pinned, probe-side work is QUERY_CAP·n —
+# linear per decade. 512 is above every oracle-gate probe count
+# (sf0.001/0.01: 25, sf0.1: 100), so driver-hashed results are
+# unchanged; it binds only at sf1+ where only growth is measured.
+QUERY_CAP = 512
 
 
 @register(
@@ -640,7 +651,9 @@ QUERY_MOD = 20  # probes = vec_id % 20 == 0 (5% of the corpus)
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor,
                {SQL_COS} AS cos
         FROM q a JOIN q b
-          ON a.vec_id % {QUERY_MOD} = 0 AND b.vec_id != a.vec_id
+          ON a.vec_id % {QUERY_MOD} = 0
+         AND a.vec_id < {QUERY_MOD * QUERY_CAP}
+         AND b.vec_id != a.vec_id
     ),
     ranked AS (
         SELECT *, row_number() OVER (
@@ -654,23 +667,32 @@ QUERY_MOD = 20  # probes = vec_id % 20 == 0 (5% of the corpus)
     survey="E3,A14",
 )
 def q_ann_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric similarity search: a SMALL query batch (5% of ids)
-    against the full corpus — the serving shape, distinct from the
-    self-join of q_knn_cosine. Runs the cogrouped numpy int64 matmul
-    kernel (operators/vectors.py::query_batch_topk): the corpus stays
+    """Asymmetric similarity search: a FIXED probe batch (the first
+    {QUERY_CAP} multiples of {QUERY_MOD}) against the full corpus —
+    the serving shape, distinct from the self-join of q_knn_cosine.
+    Runs the cogrouped numpy int64 matmul kernel
+    (operators/vectors.py::query_batch_topk): the corpus stays
     in its natural hash block, the probe set is replicated onto every
     block, each pair meets in exactly one kernel call, and tiles emit
     only their local top-k. Profiled 4× faster at sf0.1 than the
     Catalyst zip_with/aggregate dot products (the IVF-rerank lesson),
     with the identical int64-dot + one-IEEE-division arithmetic the
-    DuckDB twin runs — still hash-equal. At 100 TB the same plan
-    holds until the probe batch itself is large, at which point the
-    IVF bucket route (q_ann_ivf) takes over."""
+    DuckDB twin runs — still hash-equal. Scale: QUERY_CAP·n dots —
+    linear per decade by construction (the r13 audit measured the old
+    probes-as-5%-of-corpus rule at 44.8x/decade, a quadratic hiding
+    inside the serving query; a growing probe WORKLOAD is sharded
+    into fixed batches by the caller, it never rides one query). At
+    100 TB the same plan holds until the per-batch corpus scan
+    itself is the bottleneck, at which point the IVF bucket route
+    (q_ann_ivf) takes over."""
     from frauddetection_spark.operators.vectors import query_batch_topk
 
     emb = t(spark, sf_dir, "embeddings")
     q_all = quantize(emb).select("vec_id", "qv", "n2")
-    probes = q_all.filter(F.col("vec_id") % QUERY_MOD == 0)
+    probes = q_all.filter(
+        (F.col("vec_id") % QUERY_MOD == 0)
+        & (F.col("vec_id") < QUERY_MOD * QUERY_CAP)
+    )
     return query_batch_topk(q_all, probes, k=KNN_K).orderBy(
         "query_id", "rank"
     )
@@ -702,6 +724,7 @@ PQ_CAND = 64
         iters=PQ_ITERS,
         cand=PQ_CAND,
         qmod=QUERY_MOD,
+        qcap=QUERY_CAP,
     ),
     survey="E3",
 )
@@ -728,6 +751,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         cand=PQ_CAND,
         qmod=QUERY_MOD,
+        qcap=QUERY_CAP,
     ).orderBy("query_id", "rank")
 
 

@@ -1228,26 +1228,44 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("q") * F.col("sgn")).alias("s"))
     )
-    sig = proj.groupBy("vec_id").agg(
-        F.sum(
-            F.when(
-                (F.col("j") < 32) & (F.col("s") >= 0),
-                F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
-            ).otherwise(0)
+    # sig and norms are each broadcast TWICE below (pair sides a/b).
+    # They are |vecs|-row aggregates, but sig sits downstream of the
+    # |vecs|·d·64 projection — without a persist each broadcast
+    # re-executes that whole pipeline (Spark's broadcast-exchange
+    # reuse does not unify the two differently-aliased projections).
+    # The r13 sf1->sf10 audit measured the consequence: 23.7x growth
+    # on a 10x decade (the duplicated 819M-row projection plus its
+    # hash-agg GC pressure at sf10); persisted, the projection runs
+    # once and the query re-measures linear (3.3x — the sweep's
+    # post-fix line in SCALE_AUDIT_r13_sf10_rewrites.json).
+    sig = track_cache(
+        proj.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("j") < 32) & (F.col("s") >= 0),
+                    F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("w0"),
+            F.sum(
+                F.when(
+                    (F.col("j") >= 32) & (F.col("s") >= 0),
+                    F.expr(
+                        "shiftleft(cast(1 as bigint), cast(j - 32 as int))"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("w1"),
         )
-        .cast("bigint")
-        .alias("w0"),
-        F.sum(
-            F.when(
-                (F.col("j") >= 32) & (F.col("s") >= 0),
-                F.expr("shiftleft(cast(1 as bigint), cast(j - 32 as int))"),
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("w1"),
+        .persist()
     )
-    norms = comp.groupBy("vec_id").agg(
-        F.sum(F.col("q") * F.col("q")).alias("nrm")
+    norms = track_cache(
+        comp.groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("nrm"))
+        .persist()
     )
     a = comp.select(
         F.col("vec_id").alias("vec_a"), "i", F.col("q").alias("qa")

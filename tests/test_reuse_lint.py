@@ -182,6 +182,7 @@ _MULTI_PERSIST_FLOOR = {
     "q_graph_triangles": 2,
     "q_growth_accounting": 2,
     "q_hits": 2,
+    "q_hyperplane_est": 5,
     "q_minhash_est": 2,
     "q_money_loops": 2,
     "q_pagerank": 1,

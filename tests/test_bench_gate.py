@@ -506,3 +506,31 @@ def test_audit_input_bounds_well_formed_and_skip_decision(tmp_path):
     # sf1 (20k vectors) is under the bound — it was measured there;
     # sf10 (200k) is over it
     assert 20_000 <= max_rows < 200_000
+
+
+def test_audit_strategy_boundary_wiring():
+    # Cost-model-boundary adjudication (round 13): entries must name a
+    # real registered query, a non-empty env pin whose key the query
+    # module actually reads (a renamed env var would silently turn the
+    # adjudication into a no-op re-measurement of the SAME auto plan),
+    # and a substantive note.
+    import glob
+
+    from bench import AUDIT_STRATEGY_BOUNDARY
+
+    src = "\n".join(
+        open(p).read()
+        for p in glob.glob(
+            os.path.join(_REPO, "frauddetection_spark", "**", "*.py"),
+            recursive=True,
+        )
+    )
+    for name, (env, note) in AUDIT_STRATEGY_BOUNDARY.items():
+        assert env and all(
+            isinstance(k, str) and isinstance(v, str) for k, v in env.items()
+        )
+        assert len(note) > 40
+        for key in env:
+            assert key in src, (
+                f"{name}: env pin {key} is read nowhere in the package"
+            )

@@ -135,14 +135,22 @@ _PRIORITY: tuple[str, ...] = (
     # --- r13 mandatory: helper-staleness flags from the advice fixes ---
     "q_ann_ivf",
     "q_ann_ivf_sampled",
-    # --- r13 mandatory: mid-round plan rewrite (bench-drift fix) ---
+    # --- r13 mandatory: mid-round plan rewrites ---
     # q_dense_spine went from three events scans to one persisted
     # counts aggregate that feeds both spine dimensions and the left
-    # join — plan changed after its last green row (r10), so it takes
-    # a mandatory slot per the standing rotation rule. The last
-    # evidence-age name (q_attribution_markov, green r07) yields its
-    # slot; cumulative coverage holds via its past green row.
+    # join — plan changed after its last green row (r10). The four
+    # names below were rewritten by the r13 scale-audit fixes AFTER
+    # the window first froze (probe-batch pin on q_ann_query_batch /
+    # q_ann_pq, sig+norms persist on q_hyperplane_est, the pinned
+    # strategy-boundary machinery on q_join_common_neighbor), so the
+    # window is re-rotated staleness-first per the standing rule; the
+    # last four evidence-age names yield their slots (coverage holds
+    # via their past green rows).
     "q_dense_spine",
+    "q_join_common_neighbor",
+    "q_ann_query_batch",
+    "q_ann_pq",
+    "q_hyperplane_est",
     # --- evidence-age fill ---
     "q_rle_islands",
     "q_scan_xml",
@@ -187,10 +195,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q22",
     "q_tpch_q3",
     "q_tpch_q4",
-    "q_unigram_logprob",
-    "q_variant_extract",
-    "q_zipf_slope",
-    "q_arrow_transform",
 )
 
 DRIVER_WINDOW = 50

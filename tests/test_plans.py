@@ -367,6 +367,14 @@ def test_window_matches_rotation_tool():
         # counts aggregate replaces three events scans — plan changed
         # after its r10 green row, so it takes a mandatory slot
         "q_dense_spine",
+        # r13 scale-audit rewrites landed after the first freeze
+        # (probe-batch pin, hyperplane persist, strategy-boundary
+        # machinery) — the window re-rotated staleness-first with
+        # these four added to the mandatory set
+        "q_join_common_neighbor",
+        "q_ann_query_batch",
+        "q_ann_pq",
+        "q_hyperplane_est",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

@@ -344,6 +344,41 @@ def assign_blocks(n_rows: int | None) -> int:
     return B
 
 
+def _cos_sort_key(qv, n2, r):
+    """Shared scoring for the centroid kernels: the cid-ascending-sorted
+    codebook plus the (rows × K) ordering-key matrix — exact int64 dot,
+    one IEEE double division, NaN mapped to +inf so it ranks FIRST
+    under descending order exactly like Spark's double total order and
+    the SQL twin's ORDER BY ccos DESC (true ccos is bounded by 1, so
+    no collision). One definition, two consumers (`_centroid_topn`,
+    `_lloyd_partials`) — the ranking and the training assignment can
+    never drift apart."""
+    import numpy as np
+
+    cqv = np.stack(r["cqv"].to_numpy()).astype(np.int64)
+    cn2 = r["cn2"].to_numpy().astype(np.float64)
+    cids = r["cid"].to_numpy()
+    # pre-sort the codebook by cid ascending: a STABLE argsort (or
+    # argmax's first-wins) on the score column then breaks ties by
+    # column index = by cid ascending, vectorizing the ordering
+    ordc = np.argsort(cids, kind="stable")
+    cids, cqv, cn2 = cids[ordc], cqv[ordc], cn2[ordc]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = (qv @ cqv.T) / np.sqrt(n2[:, None] * cn2[None, :])
+    key = np.where(np.isnan(cos), np.inf, cos)
+    return cids, key
+
+
+def _assign_rank1(qv, n2, r):
+    """(sorted cids, rank-1 centroid POSITION per row) — argmax over
+    the shared key; first-wins on ties = lowest cid, identical to
+    `_centroid_topn(..., n_top=1)`."""
+    import numpy as np
+
+    cids, key = _cos_sort_key(qv, n2, r)
+    return cids, np.argmax(key, axis=1)
+
+
 def _centroid_topn(
     frame: DataFrame,
     cent: DataFrame,
@@ -403,24 +438,12 @@ def _centroid_topn(
                 {"vec_id": "int64", "cid": "int64", "crank": "int32"}
             )
         qv = np.stack(l["qv"].to_numpy()).astype(np.int64)
-        cqv = np.stack(r["cqv"].to_numpy()).astype(np.int64)
-        n2 = l["n2"].to_numpy().astype(np.float64)
-        cn2 = r["cn2"].to_numpy().astype(np.float64)
-        cids = r["cid"].to_numpy()
         vids = l["vec_id"].to_numpy()
-        # pre-sort the codebook by cid ascending: a STABLE argsort on
-        # the score column then breaks ties by column index = by cid
-        # ascending, vectorizing the whole per-vector ordering
-        ordc = np.argsort(cids, kind="stable")
-        cids, cqv, cn2 = cids[ordc], cqv[ordc], cn2[ordc]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = (qv @ cqv.T) / np.sqrt(n2[:, None] * cn2[None, :])
-        # Spark's total order on doubles ranks NaN ABOVE +inf; a NaN
-        # ccos (zero-norm vector or centroid: 0/0) must sort first
-        # exactly as the old struct sort and the SQL twin's ORDER BY
-        # ccos DESC do — map NaN to +inf for the ordering key only
-        # (true ccos is bounded by 1, so no collision).
-        key = np.where(np.isnan(cos), np.inf, cos)
+        # scoring + NaN/tie semantics live in the shared _cos_sort_key
+        # (one definition for ranking AND the Lloyd assignment)
+        cids, key = _cos_sort_key(
+            qv, l["n2"].to_numpy().astype(np.float64), r
+        )
         n_keep = min(n_top, len(cids))
         idx = np.argsort(-key, axis=1, kind="stable")[:, :n_keep]
         return pd.DataFrame(
@@ -430,6 +453,88 @@ def _centroid_topn(
                 "crank": np.tile(
                     np.arange(1, n_keep + 1, dtype=np.int32), len(vids)
                 ),
+            }
+        )
+
+    return (
+        left.groupBy("b")
+        .cogroup(right.groupBy("b"))
+        .applyInPandas(kern, schema)
+    )
+
+
+def _lloyd_partials(
+    frame: DataFrame,
+    cent: DataFrame,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """(cid, psum: array<bigint>, pcnt: bigint) — per-block PARTIAL
+    sums for one Lloyd update: each cogroup block assigns its vectors
+    to their rank-1 centroid (the exact `_centroid_topn` ordering —
+    shared `_assign_rank1` helper, so the two can never drift) and
+    emits one row per non-empty centroid with the int64 elementwise
+    sum and member count of its local assignees.
+
+    This is the map-side-combine form of the centroid-mean update
+    (guide §2.3 "aggregate before you shuffle"): the previous shape
+    joined the n-row assignment back onto the n-row train set (a
+    train-sized shuffle per iteration) and then posexploded n·d
+    (vector, dim) rows through an aggregate — 6.4e10 exploded rows per
+    iteration at 10⁹ 64-dim vectors. Partial sums shuffle ≤ B·K rows
+    per iteration instead, independent of n. Exactness: int64 addition
+    is associative and commutative, so Σ_blocks(partial sums) is
+    bit-equal to the global Σ, the member counts are identical, and
+    the one IEEE division + round downstream sees identical inputs —
+    the DuckDB twin (sql_ivf, unchanged) still hash-matches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    B = assign_blocks(n_rows)
+    left = frame.select("vec_id", "qv", "n2").withColumn(
+        "b", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    )
+    right = (
+        cent.select("cid", "cqv", "cn2")
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("b", F.col("b").cast("int"))
+    )
+    schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("psum", ArrayType(LongType())),
+            StructField("pcnt", LongType()),
+        ]
+    )
+
+    def kern(_key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {"cid": pd.Series([], dtype="int64"),
+                 "psum": pd.Series([], dtype="object"),
+                 "pcnt": pd.Series([], dtype="int64")}
+            )
+        qv = np.stack(l["qv"].to_numpy()).astype(np.int64)
+        cids, pos = _assign_rank1(
+            qv,
+            l["n2"].to_numpy().astype(np.float64),
+            r,
+        )
+        K = len(cids)
+        sums = np.zeros((K, qv.shape[1]), dtype=np.int64)
+        np.add.at(sums, pos, qv)
+        cnts = np.bincount(pos, minlength=K).astype(np.int64)
+        keep = cnts > 0
+        return pd.DataFrame(
+            {
+                "cid": cids[keep],
+                "psum": [s.tolist() for s in sums[keep]],
+                "pcnt": cnts[keep],
             }
         )
 
@@ -539,14 +644,22 @@ def ivf_topk(
             F.col("n2").alias("cn2"),
         )
     for _ in range(iters):
+        # Update via per-block PARTIAL sums from the assignment kernel
+        # (_lloyd_partials): the r12 shape joined the n-row assignment
+        # back onto train (a train-sized shuffle) and posexploded n·d
+        # (vector, dim) rows per iteration; partials shuffle ≤ B·K
+        # rows, independent of n, and the explode below runs over
+        # B·K·d rows. Σ_blocks of int64 partials is bit-equal to the
+        # global Σ and Σ pcnt is the member count, so round(sum/count)
+        # sees identical inputs — sql_ivf (unchanged) still
+        # hash-matches.
         comp = (
-            _centroid_topn(train, cent, 1, n_rows=n_rows)
-            .join(train.select("vec_id", "qv"), "vec_id")
-            .select("cid", F.posexplode("qv").alias("dim", "xv"))
+            _lloyd_partials(train, cent, n_rows=n_rows)
+            .select("cid", "pcnt", F.posexplode("psum").alias("dim", "s"))
             .groupBy("cid", "dim")
             .agg(
                 F.round(
-                    F.sum("xv").cast("double") / F.count("*")
+                    F.sum("s").cast("double") / F.sum("pcnt")
                 ).cast("bigint").alias("cv")
             )
         )

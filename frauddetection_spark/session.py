@@ -61,6 +61,15 @@ def get_spark(
         # --- broadcast: dims (region/nation/customer/supplier/part at
         #     test SFs) should broadcast; AQE also converts at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- heap: flat 8g default, SPARK_GRAFT_DRIVER_MEM overrides
+        #     (the scale audit auto-sizes from data; clusters pass
+        #     their own). A heap-∝-cores default (24g at 32 cores) was
+        #     trialled in r13: a controlled 2-query profile cut
+        #     jvmGcTime 119s→40s, but two full-sweep A/Bs could not
+        #     confirm a wall-clock win (the sandbox hypervisor shows
+        #     ~10% CPU steal with minute-scale bursts that dominate
+        #     per-run numbers), so the prior-round environment is kept
+        #     for artifact comparability — see OPTIMIZATION_r13.md.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master is not None:

@@ -100,6 +100,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="frauddetection-measure-r13")
     registry = load_all()
+    # bench.py-parity warmup: JVM + parquet footers + Arrow workers,
+    # so per-query numbers here are comparable to the sweep's.
+    registry["q_scan_parquet"].fn(spark, sf_dir).collect()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     plans_dir = os.path.join(os.path.dirname(__file__), "plans", "r13")
     os.makedirs(plans_dir, exist_ok=True)
     jvm_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
@@ -123,7 +129,8 @@ def main() -> None:
             rec["jobs_3runs"] = js
         except Exception as e:  # noqa: BLE001
             rec["jobs_err"] = str(e)[:100]
-        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        spark.sparkContext.setLocalProperty("spark.job.description", None)
         if do_noop:
             spark.sparkContext.setJobDescription(f"measure:{name}:noop")
             release_caches()

@@ -165,6 +165,65 @@ def test_ivf_rank1_recall(spark, sf_dir):
     )
 
 
+def test_lloyd_partials_update_matches_rowwise_shape(spark):
+    """The r13 optimization replaced ivf_topk's Lloyd update (assign →
+    join back onto train → posexplode n·d rows → mean) with per-block
+    partial sums from the assignment kernel (_lloyd_partials). Pin the
+    two shapes to the bit: on a frame that spans several blocks and
+    has centroid ties and a zero-norm vector, the (cid, dim, cv) rows
+    of the partial-sum update must equal the old row-wise update
+    exactly — int64 partials are associative, so the sums, counts,
+    and the one IEEE division all see identical inputs."""
+    from frauddetection_spark.operators.vectors import (
+        _centroid_topn,
+        _lloyd_partials,
+    )
+
+    rows = [
+        # vec_id, qv (d=3), n2 — includes a zero-norm vector (NaN cos,
+        # assigned to the lowest cid) and exact-tie vectors
+        (0, [2, 0, 0], 4),
+        (1, [0, 2, 0], 4),
+        (2, [0, 0, 2], 4),
+        (3, [2, 2, 0], 8),
+        (4, [0, 0, 0], 0),
+        (5, [4, 0, 0], 16),
+        (6, [0, 4, 4], 32),
+        (7, [1, 1, 1], 3),
+    ]
+    train = spark.createDataFrame(
+        rows, "vec_id: bigint, qv: array<bigint>, n2: bigint"
+    )
+    cent = spark.createDataFrame(
+        [(0, [2, 0, 0], 4), (1, [0, 2, 0], 4), (2, [0, 0, 2], 4)],
+        "cid: bigint, cqv: array<bigint>, cn2: bigint",
+    )
+    new = (
+        _lloyd_partials(train, cent)
+        .select("cid", "pcnt", F.posexplode("psum").alias("dim", "s"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(F.sum("s").cast("double") / F.sum("pcnt"))
+            .cast("bigint")
+            .alias("cv")
+        )
+    )
+    old = (
+        _centroid_topn(train, cent, 1)
+        .join(train.select("vec_id", "qv"), "vec_id")
+        .select("cid", F.posexplode("qv").alias("dim", "xv"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(F.sum("xv").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("cv")
+        )
+    )
+    got = sorted(map(tuple, new.collect()))
+    want = sorted(map(tuple, old.collect()))
+    assert got == want and len(want) > 0
+
+
 def test_asof_carries_latest_row_atomically(spark):
     # code-review regression: a NULL in the latest right row must be
     # carried as NULL (not back-filled from an older row), and columns

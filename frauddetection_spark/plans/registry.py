@@ -151,6 +151,15 @@ _PRIORITY: tuple[str, ...] = (
     "q_ann_query_batch",
     "q_ann_pq",
     "q_hyperplane_est",
+    # --- r13 mandatory: optimization-round plan rewrites ---
+    # q_rfm's three ntile passes flattened from a chained range-rank
+    # pipeline to independent narrow rank passes joined back, and
+    # q_hyperplane_est (already in-window above) moved its signature
+    # build into a map-only Arrow kernel — both plans changed after
+    # their last green rows, so the window re-rotated staleness-first
+    # again; q_tpch_q4, the last evidence-age name, yields its slot
+    # (coverage holds via its past green row).
+    "q_rfm",
     # --- evidence-age fill ---
     "q_rle_islands",
     "q_scan_xml",
@@ -194,7 +203,6 @@ _PRIORITY: tuple[str, ...] = (
     "q_tpch_q19",
     "q_tpch_q22",
     "q_tpch_q3",
-    "q_tpch_q4",
 )
 
 DRIVER_WINDOW = 50

@@ -175,16 +175,38 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f",
         "m_cents",
     )
+    # Three INDEPENDENT narrow rank passes joined back on custkey
+    # (r13): the previous shape chained the passes — pass 2 range-
+    # shuffled pass 1's full-width output, and each pass's persisted
+    # range frame nested the previous pass's whole lineage, so the
+    # final plan re-printed ~267 Exchange nodes and every task closure
+    # carried the triple-nested tree (planning + per-task deserialize
+    # cost, guide §2.3/§5). Ranking each score over a 2-column
+    # projection of the SAME persisted base keeps every range shuffle
+    # minimal-width, lets the three rank subtrees run as independent
+    # stages of one job, and joins back |customers|-row (custkey,
+    # score) pairs — plan at sf0.1: 34 -> 22 Exchanges, tasks/run
+    # 317 -> ~200 (plans/r13/q_rfm_{before,after}.txt). Results are
+    # identical: each prefix_rank sees the same (order key, custkey)
+    # total order it saw inside the chain.
+    s = track_cache(s.persist())
     out = s
-    for score, order in [
-        ("r_score", [F.col("recency_us").asc(), F.col("custkey").asc()]),
-        ("f_score", [F.col("f").desc(), F.col("custkey").asc()]),
-        ("m_score", [F.col("m_cents").desc(), F.col("custkey").asc()]),
+    for score, key, order in [
+        ("r_score", "recency_us",
+         [F.col("recency_us").asc(), F.col("custkey").asc()]),
+        ("f_score", "f", [F.col("f").desc(), F.col("custkey").asc()]),
+        ("m_score", "m_cents",
+         [F.col("m_cents").desc(), F.col("custkey").asc()]),
     ]:
-        ranked = prefix_rank(out, order, total_count="_n")
-        out = ranked.withColumn(
-            score, _ntile(F.col("rn"), F.col("_n"), 5)
-        ).drop("rn", "_n")
+        ranked = prefix_rank(
+            s.select("custkey", key), order, total_count="_n"
+        )
+        out = out.join(
+            ranked.select(
+                "custkey", _ntile(F.col("rn"), F.col("_n"), 5).alias(score)
+            ),
+            "custkey",
+        )
     return out.select(
         "custkey", "recency_us", "f", "m_cents",
         "r_score", "f_score", "m_score",

@@ -1173,163 +1173,122 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-row arithmetic, projections/norms/dots are exact int64
     sums, the cos(π·h/64) table is 65 precomputed 1e-9 integers
     inlined into both twins, and the one sqrt is IEEE-exact. Scale:
-    signature build is explode(d)×planes → two bounded groupBys
-    (rows·d·64 map-side work, shuffle of |vecs|·64 partial rows);
-    at serving time the signature table replaces the full-vector
-    table in any pairwise stage — 8 bytes vs 4·d, and hamming
-    screens pairs before the exact rerank touches vectors (the LSH
-    banding of q_simhash_pairs applies unchanged on these words)."""
+    signature build is ONE map-only Arrow kernel pass — a d×64 int64
+    matmul per vector batch (r13; previously an explode(d)×planes
+    join generating |vecs|·d·64 rows plus three shuffling
+    aggregates); at serving time the signature table replaces the
+    full-vector table in any pairwise stage — 8 bytes vs 4·d, and
+    hamming screens pairs before the exact rerank touches vectors
+    (the LSH banding of q_simhash_pairs applies unchanged)."""
     emb = t(spark, sf_dir, "embeddings")
-    # comp feeds the projections, the norms and BOTH sides of the
-    # consecutive-id dot spine (4 references) — persist it or the
-    # explode+quantize replays per reference (r07 executed-plan audit:
-    # 6 parquet scans, 15 exchanges, zero reuse without it).
-    comp = track_cache(
-        emb.select(
-            "vec_id",
-            F.posexplode("embedding").alias("i", "v"),
-        )
-        .select(
-            "vec_id",
-            F.col("i").cast("bigint").alias("i"),
-            F.round(F.col("v").cast("double") * 1000000)
-            .cast("bigint")
-            .alias("q"),
-        )
-        .persist()
+    # r13 kernel rewrite (guide §2.3/§4.2; the r12 IVF-scoring
+    # precedent): the old plan exploded every embedding into |vecs|·d
+    # component rows, fanned them ×64 through a broadcast-joined sign
+    # grid (|vecs|·d·64 generated rows — 819M at sf10, ~4e12 at 10⁹
+    # vectors), rebuilt signatures and norms with two more shuffling
+    # aggregates, and computed the spine dots through an exploded
+    # (vec_a, i) join. One map-only Arrow kernel now computes the
+    # projection as a d×64 int64 matmul per vector batch and emits
+    # (vec_id, w0, w1, nrm, qv) in a single pass — no component
+    # explosion, no sign-grid join, no signature/norm shuffles; the
+    # pair spine is ONE self-join on consecutive ids with the
+    # zip_with int-dot (the cosine_pairs idiom). Exactness:
+    # quantization stays the SAME Spark-side round(x·1e6) expression
+    # (computed before the kernel, so no float-rounding reimplement);
+    # plane signs come from hashlib.md5 over the identical (i·64+j)
+    # decimal strings — byte-equal to the twin's md5 — and
+    # projections/norms are order-free int64 sums, so the unchanged
+    # DuckDB twin still hash-matches (checked at sf0.001/0.01/0.1).
+    # Plan diff: plans/r13/q_hyperplane_est_{before,after}.txt.
+    import pandas as pd
+
+    qv1m = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
     )
-    planes = spark.range(_HP_PLANES).select(F.col("id").alias("j"))
-    sign = F.when(
-        F.ascii(
-            F.substring(
-                F.md5((F.col("i") * _HP_PLANES + F.col("j")).cast("string")),
-                1,
-                1,
+    quant = emb.select("vec_id", qv1m.alias("qv")).filter(
+        F.col("qv").isNotNull() & (F.size("qv") > 0)
+    )
+
+    def _hp_sig(batches):
+        import hashlib
+
+        import numpy as np
+
+        S = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            if S is None:
+                d = Q.shape[1]
+                S = np.empty((d, _HP_PLANES), dtype=np.int64)
+                for i in range(d):
+                    for j in range(_HP_PLANES):
+                        h = hashlib.md5(
+                            str(i * _HP_PLANES + j).encode()
+                        ).hexdigest()
+                        S[i, j] = 1 if ord(h[0]) % 2 == 0 else -1
+            P = Q @ S  # |batch|×64 exact int64 projections
+            bits = (P >= 0).astype(np.int64)
+            pow32 = np.int64(1) << np.arange(32, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "w0": bits[:, :32] @ pow32,
+                    "w1": bits[:, 32:] @ pow32,
+                    "nrm": (Q * Q).sum(axis=1),
+                    "qv": pdf["qv"],
+                }
             )
-        )
-        % 2
-        == 0,
-        1,
-    ).otherwise(-1)
-    # The plane sign depends ONLY on (i, j) — d·64 combos (4096 here) —
-    # so it is precomputed once on a tiny (dims × planes) grid and
-    # broadcast, instead of evaluating the md5 on every one of the
-    # |comp|·64 projection rows (24.6M md5 calls at sf0.1; the r07
-    # executed-plan audit measured the projection as the query's hot
-    # stage). Same formula on the same (i, j) → identical signs.
-    signs = (
-        comp.select("i")
-        .distinct()
-        .crossJoin(F.broadcast(planes))
-        .select("i", "j", sign.cast("bigint").alias("sgn"))
+
+    # referenced by both spine sides — one persist replaces the old
+    # three (comp / sig / norms)
+    hp = track_cache(
+        quant.mapInPandas(
+            _hp_sig,
+            schema=(
+                "vec_id bigint, w0 bigint, w1 bigint, nrm bigint,"
+                " qv array<bigint>"
+            ),
+        ).persist()
     )
-    proj = (
-        comp.join(F.broadcast(signs), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("q") * F.col("sgn")).alias("s"))
-    )
-    # sig and norms are each broadcast TWICE below (pair sides a/b).
-    # They are |vecs|-row aggregates, but sig sits downstream of the
-    # |vecs|·d·64 projection — without a persist each broadcast
-    # re-executes that whole pipeline (Spark's broadcast-exchange
-    # reuse does not unify the two differently-aliased projections).
-    # The r13 sf1->sf10 audit measured the consequence: 23.7x growth
-    # on a 10x decade (the duplicated 819M-row projection plus its
-    # hash-agg GC pressure at sf10); persisted, the projection runs
-    # once and the query re-measures linear (3.3x — the sweep's
-    # post-fix line in SCALE_AUDIT_r13_sf10_rewrites.json).
-    sig = track_cache(
-        proj.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("j") < 32) & (F.col("s") >= 0),
-                    F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("w0"),
-            F.sum(
-                F.when(
-                    (F.col("j") >= 32) & (F.col("s") >= 0),
-                    F.expr(
-                        "shiftleft(cast(1 as bigint), cast(j - 32 as int))"
-                    ),
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("w1"),
-        )
-        .persist()
-    )
-    norms = track_cache(
-        comp.groupBy("vec_id")
-        .agg(F.sum(F.col("q") * F.col("q")).alias("nrm"))
-        .persist()
-    )
-    a = comp.select(
-        F.col("vec_id").alias("vec_a"), "i", F.col("q").alias("qa")
-    )
-    b = comp.select(
-        (F.col("vec_id") - 1).alias("vec_a"),
-        "i",
-        F.col("q").alias("qb"),
-        F.col("vec_id").alias("vec_b"),
-    )
-    dots = (
-        a.join(b, ["vec_a", "i"])
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dot"))
-    )
-    est = F.lit(None).cast("bigint")
     # build the CASE chain from the shared constant table
     expr = F.when(F.col("hamming") == 0, _HP_COS_E9[0])
     for h in range(1, _HP_PLANES + 1):
         expr = expr.when(F.col("hamming") == h, _HP_COS_E9[h])
-    pairs = (
-        dots.join(
-            F.broadcast(sig).select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("w0").alias("w0a"),
-                F.col("w1").alias("w1a"),
-            ),
-            "vec_a",
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    a = hp.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("w0").alias("w0a"),
+        F.col("w1").alias("w1a"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("qv").alias("qa"),
+    )
+    b = hp.select(
+        (F.col("vec_id") - 1).alias("vec_a"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("w0").alias("w0b"),
+        F.col("w1").alias("w1b"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("qv").alias("qb"),
+    )
+    pairs = a.join(b, "vec_a").select(
+        "vec_a",
+        "vec_b",
+        (
+            F.bit_count(F.col("w0a").bitwiseXOR(F.col("w0b")))
+            + F.bit_count(F.col("w1a").bitwiseXOR(F.col("w1b")))
         )
-        .join(
-            F.broadcast(sig).select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("w0").alias("w0b"),
-                F.col("w1").alias("w1b"),
-            ),
-            "vec_b",
-        )
-        .join(
-            F.broadcast(norms).select(
-                F.col("vec_id").alias("vec_a"), F.col("nrm").alias("nrm_a")
-            ),
-            "vec_a",
-        )
-        .join(
-            F.broadcast(norms).select(
-                F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nrm_b")
-            ),
-            "vec_b",
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                F.bit_count(
-                    F.col("w0a").bitwiseXOR(F.col("w0b"))
-                )
-                + F.bit_count(F.col("w1a").bitwiseXOR(F.col("w1b")))
-            )
-            .cast("bigint")
-            .alias("hamming"),
-            "dot",
-            "nrm_a",
-            "nrm_b",
-        )
+        .cast("bigint")
+        .alias("hamming"),
+        dot.alias("dot"),
+        "nrm_a",
+        "nrm_b",
     )
     return pairs.select(
         "vec_a",
@@ -1338,7 +1297,9 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr.cast("bigint").alias("est_cos_e9"),
         (
             F.col("dot").cast("double")
-            / F.sqrt(F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double"))
+            / F.sqrt(
+                F.col("nrm_a").cast("double") * F.col("nrm_b").cast("double")
+            )
         ).alias("cos_exact"),
     ).orderBy("vec_a")
 

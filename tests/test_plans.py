@@ -375,6 +375,10 @@ def test_window_matches_rotation_tool():
         "q_ann_query_batch",
         "q_ann_pq",
         "q_hyperplane_est",
+        # r13 optimization-round rewrites: q_rfm flattened its chained
+        # ntile rank passes (q_hyperplane_est's kernel rewrite is
+        # already slotted above)
+        "q_rfm",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact

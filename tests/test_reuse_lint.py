@@ -182,7 +182,10 @@ _MULTI_PERSIST_FLOOR = {
     "q_graph_triangles": 2,
     "q_growth_accounting": 2,
     "q_hits": 2,
-    "q_hyperplane_est": 5,
+    # q_hyperplane_est left this table in r13: the kernel rewrite's
+    # single persisted signature frame (read by both spine sides)
+    # replaced the old comp/sig/norms persist trio, so the query is
+    # single-persist and rides the base >= 1 assertion.
     "q_minhash_est": 2,
     "q_money_loops": 2,
     "q_pagerank": 1,
@@ -191,7 +194,12 @@ _MULTI_PERSIST_FLOOR = {
     "q_quantile_grid": 2,
     "q_quantile_interp": 2,
     "q_random_walks": 2,
-    "q_rfm": 4,
+    # r13 flatten: the three ntile passes rank narrow PROJECTIONS of
+    # one persisted base and join back (they no longer chain, so the
+    # nested per-pass range frames left the top-level plan); the final
+    # plan reads the persisted base + the last join's rank frame — the
+    # other rank frames are read inside AQE-materialized stages.
+    "q_rfm": 2,
     "q_rolling_dau": 2,
     "q_sampling_weights": 2,
     "q_sequence_gaps": 2,

@@ -61,16 +61,28 @@ def get_spark(
         # --- broadcast: dims (region/nation/customer/supplier/part at
         #     test SFs) should broadcast; AQE also converts at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # --- heap: flat 8g default, SPARK_GRAFT_DRIVER_MEM overrides
-        #     (the scale audit auto-sizes from data; clusters pass
-        #     their own). A heap-∝-cores default (24g at 32 cores) was
-        #     trialled in r13: a controlled 2-query profile cut
-        #     jvmGcTime 119s→40s, but two full-sweep A/Bs could not
-        #     confirm a wall-clock win (the sandbox hypervisor shows
-        #     ~10% CPU steal with minute-scale bursts that dominate
-        #     per-run numbers), so the prior-round environment is kept
-        #     for artifact comparability — see OPTIMIZATION_r13.md.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # --- heap: scaled with the core count (0.75 GiB per local
+        #     core, floor 8g), SPARK_GRAFT_DRIVER_MEM overrides (the
+        #     scale audit auto-sizes from data; clusters pass their
+        #     own). local[N] packs N executor cores into ONE driver
+        #     JVM, so a flat heap starves concurrent tasks as N grows:
+        #     the flat-8g default gave 32 tasks 0.25 GiB each — ~10x
+        #     under any production executor sizing (guide §5) — and a
+        #     controlled r13 profile measured jvmGcTime 119s→40s when
+        #     raising it to 24g, with three r13 sweep queries running
+        #     2-8x over their own same-JVM standalone rechecks from GC
+        #     churn alone. r14 makes heap-per-core the default (24g at
+        #     32 cores, 8g at ≤10 — the 8-core comparison run keeps
+        #     its r13 heap). This is §5 memory sizing that transfers
+        #     to any executor shape, not a local-only tune; the
+        #     round-over-round comparability break is documented in
+        #     OPTIMIZATION_r14.md.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", f"{max(8, (cpus * 3) // 4)}g"
+            ),
+        )
     )
     if master is not None:
         builder = builder.master(master)

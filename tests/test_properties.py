@@ -224,7 +224,186 @@ def test_lloyd_partials_update_matches_rowwise_shape(spark):
     assert got == want and len(want) > 0
 
 
-def test_asof_carries_latest_row_atomically(spark):
+def _pq_old_hof_assignment(spark, q, subdim, n_m, cent):
+    """The r07-r13 PQ assignment, reconstructed for pinning: explode
+    the corpus into (vec_id, m, sub) subvector rows, broadcast-join
+    the per-subspace candidate lists, and take the interpreted
+    array_min(transform(...aggregate(zip_with(...)))) argmin over
+    exact-int L2 with ties → lower cid."""
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice("qv", mm * subdim + 1, subdim).alias("sub"),
+            )
+            for mm in range(n_m)
+        ]
+    )
+    subs = q.select("vec_id", F.explode(sub_structs).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    ).withColumn(
+        "sub_n2",
+        F.aggregate("sub", F.lit(0).cast("bigint"), lambda a, x: a + x * x),
+    )
+    cn2 = F.aggregate(
+        "csub", F.lit(0).cast("bigint"), lambda a, x: a + x * x
+    )
+    cands = (
+        cent.withColumn("cn2", cn2)
+        .groupBy("m")
+        .agg(F.collect_list(F.struct("cid", "csub", "cn2")).alias("cands"))
+    )
+
+    def cdist(c):
+        return F.struct(
+            (
+                F.col("sub_n2")
+                + c["cn2"]
+                - 2
+                * F.aggregate(
+                    F.zip_with("sub", c["csub"], lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda a, x: a + x,
+                )
+            ).alias("d2"),
+            c["cid"].alias("cid"),
+        )
+
+    return (
+        subs.join(F.broadcast(cands), "m")
+        .withColumn("cid", F.array_min(F.transform("cands", cdist))["cid"])
+        .select("vec_id", "m", "sub", "cid")
+    )
+
+
+# Shared fixture frame for the two PQ kernel pins: d=4, m=2 subspaces
+# of subdim=2, spanning several pmod blocks, with an exact d2 tie
+# (vec 6 vs cids 0/1 in subspace 0 → lower cid), negative components,
+# and a zero vector.
+_PQ_PIN_ROWS = [
+    (0, [2, 0, 1, 1], 6),
+    (1, [0, 2, 1, -1], 6),
+    (2, [2, 0, -1, 1], 6),
+    (3, [1, 1, 0, 0], 2),
+    (4, [0, 0, 0, 0], 0),
+    (5, [-2, 0, 3, 3], 22),
+    (6, [1, 1, 2, 2], 10),
+    (7, [4, 4, -2, -2], 40),
+]
+_PQ_PIN_CENT = [
+    (0, 0, [2, 0]),
+    (0, 1, [0, 2]),
+    (1, 0, [1, 1]),
+    (1, 1, [-1, 1]),
+]
+
+
+def test_pq_partials_update_matches_hof_shape(spark):
+    """r14: pq_topk's training update moved from the broadcast-join +
+    interpreted-HOF argmin + columnar-sum aggregate over n·m subvector
+    rows into the blocked numpy kernel _pq_partials. Pin the updated
+    means to the bit against the old shape: int64 partials are
+    associative, so sums, counts, and the one IEEE division + round
+    see identical inputs."""
+    from frauddetection_spark.operators.vectors import _pq_partials
+
+    subdim, n_m = 2, 2
+    q = spark.createDataFrame(
+        _PQ_PIN_ROWS, "vec_id: bigint, qv: array<bigint>, n2: bigint"
+    )
+    cent = spark.createDataFrame(
+        _PQ_PIN_CENT, "m: int, cid: bigint, csub: array<bigint>"
+    )
+    new = (
+        _pq_partials(q, cent, subdim)
+        .groupBy("m", "cid")
+        .agg(
+            F.sum("pcnt").alias("_n"),
+            *[F.sum(F.col("psum")[j]).alias(f"_s{j}") for j in range(subdim)],
+        )
+        .select(
+            "m",
+            "cid",
+            *[
+                F.round(F.col(f"_s{j}").cast("double") / F.col("_n"))
+                .cast("bigint")
+                .alias(f"c{j}")
+                for j in range(subdim)
+            ],
+        )
+    )
+    old = (
+        _pq_old_hof_assignment(spark, q, subdim, n_m, cent)
+        .groupBy("m", "cid")
+        .agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.col("sub")[j]).alias(f"_s{j}") for j in range(subdim)],
+        )
+        .select(
+            "m",
+            "cid",
+            *[
+                F.round(F.col(f"_s{j}").cast("double") / F.col("_n"))
+                .cast("bigint")
+                .alias(f"c{j}")
+                for j in range(subdim)
+            ],
+        )
+    )
+    got = sorted(map(tuple, new.collect()))
+    want = sorted(map(tuple, old.collect()))
+    assert got == want and len(want) > 0
+
+
+def test_pq_encode_matches_hof_shape(spark):
+    """r14: pq_topk's corpus encode moved into the _pq_encode kernel,
+    which also assembles the m-ascending code array and carries n2 —
+    replacing the old argmin + groupBy(vec_id)
+    sort_array(collect_list) + n2 join. Pin codes AND assembly order
+    to the bit against the old shape."""
+    from frauddetection_spark.operators.vectors import _pq_encode
+
+    subdim, n_m = 2, 2
+    q = spark.createDataFrame(
+        _PQ_PIN_ROWS, "vec_id: bigint, qv: array<bigint>, n2: bigint"
+    )
+    cent = spark.createDataFrame(
+        _PQ_PIN_CENT, "m: int, cid: bigint, csub: array<bigint>"
+    )
+    new = _pq_encode(q, cent, subdim, n_blocks=3).select(
+        "vec_id", "code", "n2"
+    )
+    old = (
+        _pq_old_hof_assignment(spark, q, subdim, n_m, cent)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"],
+            ).alias("code")
+        )
+        .join(q.select("vec_id", "n2"), "vec_id")
+    )
+    got = sorted((r["vec_id"], tuple(r["code"]), r["n2"]) for r in new.collect())
+    want = sorted((r["vec_id"], tuple(r["code"]), r["n2"]) for r in old.collect())
+    assert got == want and len(want) == len(_PQ_PIN_ROWS)
+
+
+def test_pq_quantize_invariant_fixed_width_no_nulls(spark, sf_dir):
+    """ADVICE r13: pq_topk's columnar-mean update divides every
+    per-dimension sum by one shared count(*), and the r14 positional
+    argmin indexes sub[j] with literal ordinals — both assume every
+    embedding is exactly EMB_DIM wide with no null elements. Pin that
+    quantize invariant on the test data (the scale ladder replicates
+    these rows, so it inherits the invariant)."""
+    from frauddetection_spark.queries._util import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    bad = emb.filter(
+        (F.size("embedding") != 64)
+        | (F.exists("embedding", lambda x: x.isNull()))
+    ).count()
+    assert bad == 0
     # code-review regression: a NULL in the latest right row must be
     # carried as NULL (not back-filled from an older row), and columns
     # must never mix across right rows

@@ -168,7 +168,12 @@ _MULTI_PERSIST_FLOOR = {
     "q_adamic_adar": 2,
     "q_ann_ivf": 8,
     "q_ann_ivf_sampled": 8,
-    "q_ann_pq": 7,
+    # r14 kernel rewrite: subs is no longer persisted (only constant-
+    # size slices read it) and the encode/training argmin moved into
+    # blocked cogroup kernels, so the final plan reads the persisted q
+    # and trained-cent frames 4 times (measured on the suite config;
+    # was 7 when the n·m subs frame was a third persist).
+    "q_ann_pq": 4,
     "q_assortativity": 1,
     "q_bfs_levels": 1,
     "q_bpe_merge": 2,

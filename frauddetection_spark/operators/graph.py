@@ -187,6 +187,7 @@ def common_neighbor_pairs(
     n_contacts: int | None = None,
     n_users: int | None = None,
     sum_d2: int | None = None,
+    contact_values: list | None = None,
 ) -> DataFrame:
     """Pairs of users sharing ≥ min_common contacts (buildLSN,
     data_process.py:20-48, live k=1 at :219-220). The reference's
@@ -215,7 +216,11 @@ def common_neighbor_pairs(
       probe job runs; otherwise a probe (contact-degree aggregate +
       distinct-user count) runs at plan-construction time (documented
       cost — the one query path that is not job-free at construction
-      unless stats are injected).
+      unless stats are injected). ``contact_values`` (r14): the sorted
+      distinct contact domain from the same catalog probe; when given
+      and the bitmask strategy runs, the contact→bit index becomes a
+      driver literal (no distinct+window pass over the frame) and the
+      persist moves from the input to the reused masks frame.
 
     Both strategies are semantically identical for min_common ≥ 1 (the
     join-based inverted path cannot observe zero-overlap pairs, so
@@ -254,7 +259,9 @@ def common_neighbor_pairs(
         strategy = _pick_cn_strategy(n_contacts, n_users, sum_d2)
 
     if strategy == "bitmask":
-        return _common_neighbors_bitmask(c, min_common, n_contacts)
+        return _common_neighbors_bitmask(
+            c, min_common, n_contacts, contact_values
+        )
 
     a = c.select(F.col("u").alias("user_a"), "ct")
     b = c.select(F.col("u").alias("user_b"), "ct")
@@ -303,7 +310,10 @@ def _dense_index(values: DataFrame, col: str) -> DataFrame:
 
 
 def _common_neighbors_bitmask(
-    c: DataFrame, min_common: int, n_contacts: int | None = None
+    c: DataFrame,
+    min_common: int,
+    n_contacts: int | None = None,
+    contact_values: list | None = None,
 ) -> DataFrame:
     """Dense-domain strategy: contact sets as packed bit words.
 
@@ -314,14 +324,31 @@ def _common_neighbors_bitmask(
     caller budgets the pair space (_pick_cn_strategy's word-op budget)
     before picking this path.
     """
-    # the distinct contact set feeds both the index build and the mask
-    # build — persist the (≤ MAX_USERS × MAX_CONTACTS distinct) frame so
-    # the upstream scan (typically a JSON extract over events) runs once
     from pyspark import StorageLevel
 
-    if c.storageLevel == StorageLevel.NONE:
-        c = track_cache(c.persist())
-    if n_contacts is not None:
+    if contact_values:
+        # r14 (guide §2.3 fewer passes, VERDICT r13 #5): the caller's
+        # driver-side catalog probe already enumerated the (≤ 4096)
+        # distinct contacts, so the contact→bit index is a LITERAL
+        # local relation — the per-run distinct + window index pass
+        # over c is gone, and c is consumed exactly once (the mask
+        # build), so the persist moves to the frame that IS read
+        # twice: masks (n_users × n_words rows, both sides of the
+        # pair loop). Bit order cannot affect results — any bijective
+        # contact→bit mapping yields identical AND/popcount overlaps.
+        spark = c.sparkSession
+        idx = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(contact_values)], ["ct", "idx"]
+        )
+        n_words = max(1, (len(contact_values) + 63) // 64)
+        persist_masks = True
+    elif n_contacts is not None:
+        # the distinct contact set feeds both the index build and the
+        # mask build — persist the (≤ MAX_USERS × MAX_CONTACTS
+        # distinct) frame so the upstream scan (typically a JSON
+        # extract over events) runs once
+        if c.storageLevel == StorageLevel.NONE:
+            c = track_cache(c.persist())
         # domain known ≤ BITMASK_MAX_CONTACTS: a single window over
         # ≤4096 rows is bounded by construction and cheaper than the
         # two-phase range-partitioned index (no sampling pass/shuffle)
@@ -331,13 +358,17 @@ def _common_neighbors_bitmask(
             .withColumn("idx", F.row_number().over(Window.orderBy("ct")) - 1)
         )
         n_words = max(1, (n_contacts + 63) // 64)
+        persist_masks = False
     else:
         # domain size unknown (direct strategy="bitmask" call): use the
         # scalable two-phase index — no single-partition funnel
+        if c.storageLevel == StorageLevel.NONE:
+            c = track_cache(c.persist())
         idx = _dense_index(c.select("ct").distinct(), "ct")
         n_words = (
             idx.agg((F.floor(F.max("idx") / 64) + 1).alias("w")).first()[0] or 1
         )
+        persist_masks = False
     masked = c.join(F.broadcast(idx), "ct").select(
         "u", (F.col("idx") / 64).cast("int").alias("w"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").alias("bit"),
@@ -348,6 +379,8 @@ def _common_neighbors_bitmask(
             for w in range(int(n_words))
         ]
     )
+    if persist_masks:
+        masks = track_cache(masks.persist())
     a = masks.select(
         F.col("u").alias("user_a"), *[F.col(f"m{w}").alias(f"a{w}") for w in range(int(n_words))]
     )
@@ -358,8 +391,13 @@ def _common_neighbors_bitmask(
     for w in range(int(n_words)):
         term = F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
         overlap = term if overlap is None else overlap + term
+    # explicit broadcast: the pair loop is a non-equi join, and the
+    # planner must never fall back to CartesianProduct when the cached
+    # masks frame loses its size estimate (r14). Always safe here: the
+    # strategy's word-op budget (BITMASK_MAX_WORDOPS) bounds the mask
+    # table at ~79k users × ≤65 int64 columns ≈ 41 MB worst case.
     return (
-        a.join(b, F.col("user_a") < F.col("user_b"))
+        a.join(F.broadcast(b), F.col("user_a") < F.col("user_b"))
         .withColumn("n_common", overlap.cast("bigint"))
         .filter(F.col("n_common") >= min_common)
         .select("user_a", "user_b", "n_common")

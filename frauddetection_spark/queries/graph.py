@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from frauddetection_spark.operators.graph import (
+    BITMASK_MAX_CONTACTS,
     pagerank_integer,
     aggregate_messages,
     clustering_coefficients,
@@ -20,9 +21,12 @@ from frauddetection_spark.operators.graph import (
 from frauddetection_spark.plans.registry import register
 from frauddetection_spark.queries._util import r6, t
 
-# per-sf_dir memo of (n_contacts, n_users, sum_d2) for the
-# common-neighbor strategy pick: probe once, reuse like catalog stats
-_CN_STATS: dict[str, tuple[int, int, int]] = {}
+# per-sf_dir memo of (n_contacts, n_users, sum_d2, contact_values) for
+# the common-neighbor strategy pick: probe once, reuse like catalog
+# stats. contact_values is the sorted distinct contact domain when it
+# fits the bitmask strategy (≤ BITMASK_MAX_CONTACTS), else None — it
+# feeds the bitmask contact→bit index as a driver literal (r14).
+_CN_STATS: dict[str, tuple[int, int, int, list[int] | None]] = {}
 
 # DuckDB twin of edges_from_events
 _SQL_EDGES = """
@@ -119,8 +123,34 @@ def q_join_common_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT sum(deg * deg) FROM d) AS sd2
             """
         ).fetchone()
+        # r14 (guide §2.3 fewer passes — VERDICT r13 #5): when the
+        # domain fits the bitmask strategy, the SAME catalog probe
+        # also serves the contact VALUES (≤ 4096 strings), so the
+        # bitmask path builds its contact→bit index from a driver
+        # literal instead of a distinct+window pass over the Spark
+        # frame — two fewer stages per run and the c frame is consumed
+        # once. The index order doesn't affect results (any bijective
+        # contact→bit mapping yields the same popcounts); DuckDB's
+        # DISTINCT here returns exactly the values Spark's distinct
+        # would (same JSON extraction both engines, oracle-pinned).
+        contact_vals = None
+        if int(row[0]) <= BITMASK_MAX_CONTACTS:
+            contact_vals = [
+                int(r[0])
+                for r in con.execute(
+                    f"""
+                    SELECT DISTINCT
+                        CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        AS ct
+                    FROM read_parquet(
+                        '{os.path.join(sf_dir, "events.parquet")}')
+                    WHERE json_extract_string(props, '$.k') IS NOT NULL
+                    ORDER BY ct
+                    """
+                ).fetchall()
+            ]
         con.close()
-        stats = (int(row[0]), int(row[1]), int(row[2] or 0))
+        stats = (int(row[0]), int(row[1]), int(row[2] or 0), contact_vals)
         _CN_STATS[sf_dir] = stats
     # Strategy override for the scale audit's cost-model-boundary
     # adjudication (bench.py AUDIT_STRATEGY_BOUNDARY): the r13
@@ -142,6 +172,7 @@ def q_join_common_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_contacts=stats[0],
             n_users=stats[1],
             sum_d2=stats[2],
+            contact_values=stats[3],
         )
         .orderBy("user_a", "user_b")
     )
@@ -860,10 +891,29 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_src = Window.partitionBy("src")
     w_dst = Window.partitionBy("dst")
-    for _ in range(KCORE_PEELS):
+    # r14 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the two per-round windows are order-independent —
+    # both count over the SAME pre-filter edge set — but each round
+    # used to run (dst-window, src-window) unconditionally, so every
+    # round OPENED with an Exchange(dst) even though the previous
+    # round CLOSED partitioned by src. Alternating which window runs
+    # first makes each round's first window reuse the partitioning the
+    # previous round ended on (Filter/Project preserve hash
+    # partitioning, so EnsureRequirements inserts no exchange):
+    # 2 exchanges for round 1, then 1 per round — 10 → 6 window
+    # exchanges / stage barriers for the 5 peels. Round count stays
+    # odd-ended on src, so the final degree aggregate still reuses the
+    # last round's partitioning. Results are identical: both degrees
+    # are computed over the same e_i regardless of column order.
+    for i in range(KCORE_PEELS):
+        first, second = (
+            ((w_dst, "d_dst"), (w_src, "d_src"))
+            if i % 2 == 0
+            else ((w_src, "d_src"), (w_dst, "d_dst"))
+        )
         und = (
-            und.withColumn("d_dst", F.count(F.lit(1)).over(w_dst))
-            .withColumn("d_src", F.count(F.lit(1)).over(w_src))
+            und.withColumn(first[1], F.count(F.lit(1)).over(first[0]))
+            .withColumn(second[1], F.count(F.lit(1)).over(second[0]))
             .filter(
                 (F.col("d_src") >= KCORE_K) & (F.col("d_dst") >= KCORE_K)
             )

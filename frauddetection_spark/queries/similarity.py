@@ -1219,7 +1219,33 @@ def q_hyperplane_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            Q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            # ADVICE r13 guards: the old posexplode+SUM plan silently
+            # treated null elements as 0 and tolerated ragged widths
+            # row-by-row; a bare np.stack().astype(int64) would either
+            # crash opaquely (ragged/None) or — worse — coerce NaN to
+            # garbage int64 silently. Fast path is unchanged for
+            # regular data (np.stack of int64 rows); irregular rows
+            # get null→0 (the SUM-skip semantics) and ragged widths
+            # raise naming the offending vec_ids.
+            try:
+                Q = np.stack([np.asarray(v) for v in pdf["qv"].to_list()])
+            except ValueError as e:
+                bad = pdf["vec_id"].to_numpy()[:8].tolist()
+                raise ValueError(
+                    "hyperplane sketch: ragged embedding widths in "
+                    f"batch containing vec_ids {bad}: {e}"
+                ) from e
+            if Q.dtype != np.int64:
+                Q = np.nan_to_num(
+                    Q.astype(np.float64), nan=0.0
+                ).astype(np.int64)
+            if S is not None and Q.shape[1] != S.shape[0]:
+                bad = pdf["vec_id"].to_numpy()[:8].tolist()
+                raise ValueError(
+                    f"hyperplane sketch: embedding width {Q.shape[1]} "
+                    f"!= sign-grid width {S.shape[0]} in batch "
+                    f"containing vec_ids {bad}"
+                )
             if S is None:
                 d = Q.shape[1]
                 S = np.empty((d, _HP_PLANES), dtype=np.int64)

@@ -2081,6 +2081,14 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows — noise next to Σ C(deg,2). Measured at sf0.1: steady
     # 6.1-7.5s → 3.6-4.1s, cold 17.4s → 7.9s (same-session A/B,
     # hash-identical output).
+    # r14 (guide §5 caching): persist only the rows the two downstream
+    # readers actually touch — the diagonal (marginals) and the
+    # off-diagonal survivors of the HAVING n_uv >= 2 cut. At sf0.1 the
+    # unfiltered aggregate is 12.7M pairs of which 11.8M are
+    # off-diagonal singletons no reader ever consumes; caching them
+    # cost a 14x larger InMemoryRelation write for nothing. The filter
+    # commutes with both readers (marg reads only p1 == p2 rows, pairs
+    # reads only n_uv >= 2 ∧ p1 != p2 rows), so results are identical.
     counts = track_cache(
         baskets.select(F.posexplode("ps").alias("i", "p1"), "ps")
         .select(
@@ -2091,6 +2099,7 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p1", "p2")
         .agg(F.count("*").cast("bigint").alias("n_uv"))
+        .filter((F.col("p1") == F.col("p2")) | (F.col("n_uv") >= 2))
         .persist()
     )
     marg = counts.filter(F.col("p1") == F.col("p2")).select(

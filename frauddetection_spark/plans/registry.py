@@ -107,23 +107,23 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 
 # Explicit presentation order. The round driver evaluates only the
 # FIRST 50 entries of ``queries()``. Cumulative driver evidence after
-# round 12 covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r12
+# round 13 covers ALL 299 oracle-backed queries (CORRECTNESS_r01..r13
 # — zero hash mismatches ever recorded) plus driver rows>0 for all 10
-# rows-only queries: the contract is closed. This round-13 window is
+# rows-only queries: the contract is closed. This round-14 window is
 # STALENESS-FIRST, computed by rotate_window.py (the pin test below
 # reproduces it exactly):
 #
-# (a) slots 1-2 are the round-13 staleness flags: q_ann_ivf /
-#     q_ann_ivf_sampled, whose shared helpers changed when the r12
-#     ADVICE fixes landed (adaptive_centroids gained the SQL ladder's
-#     65536 cap — a no-op below 4.3B vectors, so results are unchanged
-#     at every oracle sf — and the assignment kernel's block count
-#     went adaptive via the new n_rows hint, which never affects
-#     results; both queries are local-green on this tree, this is
-#     re-evidencing post-change per the standing rotation rule).
-# (b) slots 3-50 fill by EVIDENCE AGE: the oracle queries whose
-#     latest green row is oldest (9 names last green in r05, 37 in
-#     r06, 2 in r07; alphabetical within a round).
+# (a) slots 1-5 are the round-14 staleness flags — the five queries
+#     whose plans this optimization round rewrote after their latest
+#     green rows: q_join_common_neighbor (catalog-fed bitmask index +
+#     explicit pair-loop broadcast), q_ann_pq (assignment/encode moved
+#     into blocked numpy kernels), q_hyperplane_est (kernel
+#     null/ragged guards), q_kcore (alternating per-peel window order),
+#     q_item_cf (filtered persist). All five are local-green at
+#     sf0.001/0.01/0.1 on this tree; this is re-evidencing post-change
+#     per the standing rotation rule.
+# (b) slots 6-50 fill by EVIDENCE AGE: the oracle queries whose
+#     latest green row is oldest (alphabetical within a round).
 #
 # Rewrites cannot outrun a frozen window: the close-out gate
 # ``rotate_window.py --check-window`` (r11) fails if any staleness
@@ -132,77 +132,56 @@ def register(name: str, oracle: str | None, survey: str = "", doc: str = ""):
 # ∪ queue) covers every oracle query — is pinned by
 # tests/test_plans.py::test_driver_window_completes_evidence.
 _PRIORITY: tuple[str, ...] = (
-    # --- r13 mandatory: helper-staleness flags from the advice fixes ---
-    "q_ann_ivf",
-    "q_ann_ivf_sampled",
-    # --- r13 mandatory: mid-round plan rewrites ---
-    # q_dense_spine went from three events scans to one persisted
-    # counts aggregate that feeds both spine dimensions and the left
-    # join — plan changed after its last green row (r10). The four
-    # names below were rewritten by the r13 scale-audit fixes AFTER
-    # the window first froze (probe-batch pin on q_ann_query_batch /
-    # q_ann_pq, sig+norms persist on q_hyperplane_est, the pinned
-    # strategy-boundary machinery on q_join_common_neighbor), so the
-    # window is re-rotated staleness-first per the standing rule; the
-    # last four evidence-age names yield their slots (coverage holds
-    # via their past green rows).
-    "q_dense_spine",
-    "q_join_common_neighbor",
-    "q_ann_query_batch",
-    "q_ann_pq",
-    "q_hyperplane_est",
-    # --- r13 mandatory: optimization-round plan rewrites ---
-    # q_rfm's three ntile passes flattened from a chained range-rank
-    # pipeline to independent narrow rank passes joined back, and
-    # q_hyperplane_est (already in-window above) moved its signature
-    # build into a map-only Arrow kernel — both plans changed after
-    # their last green rows, so the window re-rotated staleness-first
-    # again; q_tpch_q4, the last evidence-age name, yields its slot
-    # (coverage holds via its past green row).
-    "q_rfm",
-    # --- evidence-age fill ---
-    "q_rle_islands",
-    "q_scan_xml",
-    "q_skew_probe",
-    "q_survival_km",
-    "q_target_encode",
-    "q_ttest_welch",
-    "q_twap",
-    "q_woe_iv",
-    "q_ztest_proportions",
-    "q_cluster_griddensity",
-    "q_cohort_ltv",
-    "q_collation",
-    "q_cuped",
-    "q_did",
-    "q_doc_novelty",
-    "q_dwell_time",
-    "q_embed_meanpool",
-    "q_fill_forward",
-    "q_group_percentile",
-    "q_impossible_travel",
-    "q_lexicon_score",
-    "q_mann_whitney",
-    "q_minmax_by",
-    "q_nearest_centroid",
-    "q_ratio_delta_method",
-    "q_ref_integrity",
-    "q_rolling_corr",
-    "q_sample_neyman",
-    "q_scan_pysource",
-    "q_seasonality_dow",
-    "q_semi_additive",
-    "q_spatial_join",
-    "q_sql_pipe",
-    "q_sql_udf",
-    "q_structuring",
-    "q_table_diff",
-    "q_temperature_mix",
-    "q_tpch_q1",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_tpch_q22",
-    "q_tpch_q3",
+"q_join_common_neighbor",
+"q_ann_pq",
+"q_hyperplane_est",
+"q_kcore",
+"q_item_cf",
+"q_tpch_q4",
+"q_unigram_logprob",
+"q_variant_extract",
+"q_zipf_slope",
+"q_arrow_transform",
+"q_attribution_markov",
+"q_attribution_ushape",
+"q_bag_set_ops",
+"q_benford_groups",
+"q_bloom_membership",
+"q_calendar_ops",
+"q_chain_ladder",
+"q_changepoint",
+"q_circular_hours",
+"q_countmin",
+"q_event_study",
+"q_future_label",
+"q_incremental_agg",
+"q_k_anonymity",
+"q_ndcg",
+"q_null_logic",
+"q_scan_federated",
+"q_seasonal_anomaly",
+"q_sequence_examples",
+"q_shingle_containment",
+"q_split_temporal",
+"q_threshold_sweep",
+"q_tpch_q13",
+"q_tpch_q15",
+"q_tpch_q6",
+"q_tpch_q7",
+"q_try_semantics",
+"q_wilson_ci",
+"q_window_suite",
+"q_zorder_layout",
+"q_anova_f",
+"q_attribution_shapley",
+"q_auc_delong",
+"q_bpe_merge",
+"q_brier_decomp",
+"q_cascade_delete",
+"q_corpus_funnel",
+"q_edge_weights",
+"q_graph_aggregate",
+"q_graph_degrees",
 )
 
 DRIVER_WINDOW = 50
@@ -217,7 +196,7 @@ DRIVER_WINDOW = 50
 # queues again, rotate at round START (promote the queue in the same
 # commit that bumps this marker) so the shipped tree is never red at a
 # judging snapshot.
-QUEUE_AS_OF_ROUND = 13
+QUEUE_AS_OF_ROUND = 14
 
 QUEUED_NEXT_WINDOW: tuple[str, ...] = ()
 

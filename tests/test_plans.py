@@ -330,17 +330,16 @@ def test_cc_consumers_local_finish_parity(qname, spark, sf_dir, monkeypatch):
 
 
 def test_window_matches_rotation_tool():
-    """The shipped round-13 _PRIORITY must equal rotate_window.py's
-    deterministic proposal for this round's mandatory set: q_ann_ivf
-    and q_ann_ivf_sampled, whose shared helpers changed when the r12
-    ADVICE fixes landed (adaptive_centroids cap + adaptive assignment
-    block count — result-identical at every oracle sf, re-evidenced
-    anyway per the standing rotation rule). Pins both the tool and the
-    staleness-first policy; future rounds update the mandatory list
-    here alongside the rotation commit. (The staleness scan itself is
-    not re-run here — it needs git history and its answer changes as
-    the round progresses; the frozen list is the input being
-    pinned.)"""
+    """The shipped round-14 _PRIORITY must equal rotate_window.py's
+    deterministic proposal for this round's mandatory set: the five
+    queries whose plans the r14 optimization round rewrote after their
+    latest green rows (all local-green at sf0.001/0.01/0.1 on this
+    tree; re-evidenced per the standing rotation rule). Pins both the
+    tool and the staleness-first policy; future rounds update the
+    mandatory list here alongside the rotation commit. (The staleness
+    scan itself is not re-run here — it needs git history and its
+    answer changes as the round progresses; the frozen list is the
+    input being pinned.)"""
     import os
     import sys
 
@@ -355,24 +354,17 @@ def test_window_matches_rotation_tool():
     )
 
     mandatory = [
-        "q_ann_ivf",
-        "q_ann_ivf_sampled",
-        # mid-round plan rewrite (r13 bench-drift fix): one persisted
-        # counts aggregate replaces three events scans — plan changed
-        # after its r10 green row, so it takes a mandatory slot
-        "q_dense_spine",
-        # r13 scale-audit rewrites landed after the first freeze
-        # (probe-batch pin, hyperplane persist, strategy-boundary
-        # machinery) — the window re-rotated staleness-first with
-        # these four added to the mandatory set
+        # r14 optimization-round rewrites, staleness-scan order:
+        # catalog-fed bitmask index + explicit pair-loop broadcast
         "q_join_common_neighbor",
-        "q_ann_query_batch",
+        # assignment/encode moved into blocked numpy kernels
         "q_ann_pq",
+        # kernel null/ragged-input guards (ADVICE r13)
         "q_hyperplane_est",
-        # r13 optimization-round rewrites: q_rfm flattened its chained
-        # ntile rank passes (q_hyperplane_est's kernel rewrite is
-        # already slotted above)
-        "q_rfm",
+        # alternating per-peel window order (exchange reuse)
+        "q_kcore",
+        # persist filtered to the rows the readers consume
+        "q_item_cf",
     ]
     # derive from the evidence that existed when this window froze
     # (rounds < QUEUE_AS_OF_ROUND), so the NEXT round's artifact
